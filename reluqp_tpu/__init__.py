@@ -1,0 +1,28 @@
+"""tpu-reluqp: a TPU-native ReLU-QP solver framework (JAX/XLA/Pallas).
+
+Same capabilities as the ReLUQP-py reference — an ADMM solver for
+box-constrained dense QPs whose iteration is pre-compiled at setup into an
+affine + clip layer per ρ in a precomputed schedule — redesigned TPU-first.
+Public API mirrors the reference package (``reluqp.reluqpth.ReLU_QP`` etc.)
+so reference users can switch directly::
+
+    import reluqp_tpu as rq
+    model = rq.ReLU_QP()
+    model.setup(H, g, A, l, u)
+    results = model.solve()
+"""
+from .classes import QP, Info, Results, Settings
+from .solver import ReLU_QP
+from .core.bank import Bank, DeviceQP, build_bank_jnp, build_bank_np
+from .core.iteration import SolveResult, solve_loop
+from .core.ladder import initial_rho_index, setup_rhos
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ReLU_QP", "QP", "Settings", "Info", "Results",
+    "Bank", "DeviceQP", "SolveResult",
+    "solve_loop", "build_bank_np", "build_bank_jnp",
+    "setup_rhos", "initial_rho_index",
+    "__version__",
+]

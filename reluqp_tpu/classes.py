@@ -1,0 +1,175 @@
+"""Data model for the TPU-native ReLU-QP solver.
+
+Plays the role of the reference's ``reluqp/classes.py`` (QP :4, Settings :32,
+Info :67, Results :91 in ``ReLU-QP-py/reluqp/classes.py``) but is designed
+JAX-first: the problem container normalizes to device arrays of a single
+dtype, the settings record is an immutable-ish plain dataclass whose static
+fields key jit caches, and Info/Results are plain host-side records filled
+after ``jax.block_until_ready``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["QP", "Settings", "Info", "Results", "as_dtype"]
+
+
+_DTYPE_ALIASES = {
+    "float32": jnp.float32,
+    "f32": jnp.float32,
+    "fp32": jnp.float32,
+    "single": jnp.float32,
+    "float64": jnp.float64,
+    "f64": jnp.float64,
+    "fp64": jnp.float64,
+    "double": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+}
+
+
+def as_dtype(precision: Any) -> Any:
+    """Normalize a user-facing precision spec to a jnp dtype."""
+    if isinstance(precision, str):
+        key = precision.lower()
+        if key not in _DTYPE_ALIASES:
+            raise ValueError(f"Unknown precision {precision!r}")
+        dtype = _DTYPE_ALIASES[key]
+    else:
+        dtype = jnp.dtype(precision).type
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "precision='float64' requires jax x64: run "
+            "jax.config.update('jax_enable_x64', True) first (note: fp64 is "
+            "emulated and slow on TPU; the fp64 bank factorization always "
+            "runs on host regardless, so 'float32' iteration is the "
+            "recommended TPU mode)")
+    return dtype
+
+
+def _to_np(x, dtype=np.float64) -> np.ndarray:
+    """Accept numpy / jax / list / torch-like inputs, return fp64 numpy."""
+    if hasattr(x, "detach"):  # torch tensor without importing torch
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=dtype)
+
+
+class QP:
+    """Problem container for  min ½xᵀHx + gᵀx  s.t.  l ≤ Ax ≤ u.
+
+    Mirrors the role of ``classes.py:4-30`` in the reference: normalizes
+    inputs and derives nx/nc. Unlike the reference it keeps a float64 numpy
+    master copy (used for the setup-time factorization, which runs in fp64 on
+    host regardless of the iteration dtype) plus device copies in the
+    iteration dtype.
+    """
+
+    def __init__(self, H, g, A, l, u, precision=jnp.float32):
+        dtype = as_dtype(precision)
+        # fp64 numpy master copies (setup-time factorization precision).
+        self.H_np = _to_np(H)
+        self.g_np = _to_np(g).reshape(-1)
+        self.A_np = _to_np(A)
+        self.l_np = _to_np(l).reshape(-1)
+        self.u_np = _to_np(u).reshape(-1)
+
+        if self.H_np.ndim != 2 or self.H_np.shape[0] != self.H_np.shape[1]:
+            raise ValueError(f"H must be square, got {self.H_np.shape}")
+        if self.A_np.ndim != 2 or self.A_np.shape[1] != self.H_np.shape[0]:
+            raise ValueError(
+                f"A must be (nc, nx) with nx={self.H_np.shape[0]}, got {self.A_np.shape}"
+            )
+
+        self.nx = int(self.H_np.shape[0])
+        self.nc = int(self.A_np.shape[0])
+        if self.g_np.shape != (self.nx,):
+            raise ValueError(f"g must have shape ({self.nx},), got {self.g_np.shape}")
+        if self.l_np.shape != (self.nc,) or self.u_np.shape != (self.nc,):
+            raise ValueError("l/u must have shape (nc,)")
+
+        self.dtype = dtype
+        # Device copies in iteration dtype.
+        self.H = jnp.asarray(self.H_np, dtype=dtype)
+        self.g = jnp.asarray(self.g_np, dtype=dtype)
+        self.A = jnp.asarray(self.A_np, dtype=dtype)
+        self.l = jnp.asarray(self.l_np, dtype=dtype)
+        self.u = jnp.asarray(self.u_np, dtype=dtype)
+
+
+@dataclasses.dataclass
+class Settings:
+    """All solver knobs (reference parity: ``classes.py:32-65``).
+
+    ``device``/``precision`` are JAX-flavored: ``device`` is a jax.Device or
+    None (default device), ``precision`` any spec accepted by ``as_dtype``.
+    ``adaptive_rho_interval`` is accepted for API parity but, like the
+    reference, the residual check cadence is ``check_interval``.
+    """
+
+    verbose: bool = False
+    warm_starting: bool = True
+    scaling: bool = False  # parity placeholder (reference: todo as well)
+    rho: float = 0.1
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+    sigma: float = 1e-6
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 1
+    adaptive_rho_tolerance: float = 5.0
+    max_iter: int = 4000
+    eps_abs: float = 1e-3
+    eq_tol: float = 1e-6
+    check_interval: int = 25
+    device: Optional[Any] = None
+    precision: Any = "float32"
+    # TPU-native extension: which iteration backend to use.
+    #   "auto"   -> pallas on TPU when the bank fits VMEM, else XLA
+    #   "xla"    -> pure jnp/lax path
+    #   "pallas" -> force the fused Pallas multi-step kernel
+    backend: str = "auto"
+
+    def __post_init__(self):
+        self.precision_dtype = as_dtype(self.precision)
+        if self.check_interval < 1:
+            raise ValueError("check_interval must be >= 1")
+        if self.max_iter < 1:
+            raise ValueError("max_iter must be >= 1")
+        if self.adaptive_rho_tolerance <= 1.0:
+            raise ValueError("adaptive_rho_tolerance must be > 1")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"Invalid backend {self.backend!r}")
+
+
+@dataclasses.dataclass
+class Info:
+    """Solve metadata (reference parity: ``classes.py:67-88``)."""
+
+    iter: Optional[int] = None
+    status: Optional[str] = None
+    obj_val: Optional[float] = None
+    pri_res: Optional[float] = None
+    dua_res: Optional[float] = None
+    setup_time: float = 0.0
+    solve_time: float = 0.0
+    update_time: float = 0.0
+    run_time: float = 0.0
+    rho_estimate: Optional[float] = None
+
+
+@dataclasses.dataclass
+class Results:
+    """Solve results (reference parity: ``classes.py:91-96``).
+
+    ``x``/``z`` are device arrays in the iteration dtype; ``lam`` (the dual
+    of the box constraint) is an extension the reference keeps internal.
+    """
+
+    x: Optional[jax.Array] = None
+    z: Optional[jax.Array] = None
+    lam: Optional[jax.Array] = None
+    info: Optional[Info] = None

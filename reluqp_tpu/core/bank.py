@@ -1,0 +1,186 @@
+"""Weight-bank construction: the setup-time "compiler".
+
+For each ρ in the ladder this builds the affine map of one ADMM iteration on
+the stacked state ``y = [x; z; λ] ∈ R^D`` (D = nx + 2·nc):
+
+    y⁺ = clamp(W_k y + b_k)        with the clamp active on the z-segment
+
+with ``K = (H + σI + Aᵀ diag(ρ⃗) A)⁻¹`` and the 3×3 block map
+
+    W = [[ K(σI − AᵀRA),        2 K Aᵀ R,        −K Aᵀ          ],
+         [ A K(σI − AᵀRA) + A,  2 A K Aᵀ R − I,  −A K Aᵀ + R⁻¹  ],
+         [ R A,                 −R,               I             ]]
+    B = [−K; −A K; 0],   b = B g
+
+where R = diag(ρ⃗) and ρ⃗ boosts equality rows (u−l ≤ eq_tol) by 1e3.
+Behavioral parity with the reference ``ReLU_Layer.setup_matrices``
+(``ReLU-QP-py/reluqp/reluqpth.py:40-78``), re-derived and built TPU-first:
+
+- the host builder runs in fp64 numpy via Cholesky-or-LU once at setup (the
+  reference does |ρ| separate ``torch.inverse`` calls on device);
+- the on-device builder is a single ``vmap`` over the ladder (batched
+  ``jnp.linalg.solve``), used for batched problem setup under jit;
+- instead of per-iteration index slicing for the clamp, we precompute full
+  clamp vectors lo/hi = ±inf outside the z-segment so the iteration is a
+  branch- and slice-free ``clip(Wy+b, lo, hi)``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Bank",
+    "DeviceQP",
+    "equality_mask",
+    "build_bank_np",
+    "build_bank_jnp",
+    "clamp_bounds",
+    "stacked_dim",
+]
+
+
+class Bank(NamedTuple):
+    """HBM-resident weight bank over the ρ ladder."""
+
+    W: jax.Array      # (N_rho, D, D)
+    B: jax.Array      # (N_rho, D, nx)   (for b = B g updates)
+    b: jax.Array      # (N_rho, D)
+    rhos: jax.Array   # (N_rho,)
+
+
+class DeviceQP(NamedTuple):
+    """Device-side problem data used by the iteration/residual path."""
+
+    H: jax.Array     # (nx, nx)
+    g: jax.Array     # (nx,)
+    A: jax.Array     # (nc, nx)
+    lo: jax.Array    # (D,)  -inf outside the z-segment, l inside
+    hi: jax.Array    # (D,)  +inf outside the z-segment, u inside
+
+
+def stacked_dim(nx: int, nc: int) -> int:
+    return nx + 2 * nc
+
+
+def equality_mask(l: np.ndarray, u: np.ndarray, eq_tol: float) -> np.ndarray:
+    """Rows treated as equalities: u − l ≤ eq_tol (reference ``reluqpth.py:54``)."""
+    return (np.asarray(u) - np.asarray(l)) <= eq_tol
+
+
+def clamp_bounds(l, u, nx: int, nc: int, xp=np):
+    """Full-length clamp vectors: identity outside [nx, nx+nc)."""
+    inf = xp.asarray(xp.inf, dtype=xp.asarray(l).dtype)
+    lo = xp.concatenate([xp.full((nx,), -inf), xp.asarray(l), xp.full((nc,), -inf)])
+    hi = xp.concatenate([xp.full((nx,), inf), xp.asarray(u), xp.full((nc,), inf)])
+    return lo, hi
+
+
+def _bank_blocks_np(H, A, rho_vec, sigma):
+    """One ladder rung in fp64 numpy. Returns (W, B) blocks."""
+    nx = H.shape[0]
+    nc = A.shape[0]
+    M = H + sigma * np.eye(nx) + A.T @ (rho_vec[:, None] * A)
+    # SPD by construction for convex QPs; fall back to general solve if the
+    # Cholesky fails (indefinite H still "works" in the reference via inv).
+    I = np.eye(nx)
+    try:
+        c, low = _cho_factor(M)
+        K = _cho_solve((c, low), I)
+    except np.linalg.LinAlgError:
+        K = np.linalg.solve(M, I)
+    KAt = K @ A.T                      # (nx, nc)
+    AK = KAt.T                         # A K  (K symmetric)
+    KAtR = KAt * rho_vec               # K Aᵀ R
+    S = sigma * K - KAtR @ A           # K (σI − AᵀRA)
+    AS = A @ S
+    AKAt = A @ KAt
+    Ic = np.eye(nc)
+    D = nx + 2 * nc
+    W = np.empty((D, D), dtype=np.float64)
+    W[:nx, :nx] = S
+    W[:nx, nx:nx + nc] = 2.0 * KAtR
+    W[:nx, nx + nc:] = -KAt
+    W[nx:nx + nc, :nx] = AS + A
+    W[nx:nx + nc, nx:nx + nc] = 2.0 * (AKAt * rho_vec) - Ic
+    W[nx:nx + nc, nx + nc:] = -AKAt + np.diag(1.0 / rho_vec)
+    W[nx + nc:, :nx] = rho_vec[:, None] * A
+    W[nx + nc:, nx:nx + nc] = -np.diag(rho_vec)
+    W[nx + nc:, nx + nc:] = Ic
+    B = np.concatenate([-K, -AK, np.zeros((nc, nx))], axis=0)
+    return W, B
+
+
+def _cho_factor(M):
+    # Local import so numpy-only environments can still use the LU fallback.
+    from scipy.linalg import cho_factor
+    return cho_factor(M, lower=True, check_finite=False)
+
+
+def _cho_solve(cf, I):
+    from scipy.linalg import cho_solve
+    return cho_solve(cf, I, check_finite=False)
+
+
+def build_bank_np(H: np.ndarray, g: np.ndarray, A: np.ndarray,
+                  eq_mask: np.ndarray, rhos: np.ndarray, sigma: float):
+    """fp64 host bank build over the whole ladder.
+
+    Returns numpy ``(W, B, b)`` with shapes (N,D,D), (N,D,nx), (N,D).
+    """
+    H = np.asarray(H, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64).reshape(-1)
+    A = np.asarray(A, dtype=np.float64)
+    rhos = np.asarray(rhos, dtype=np.float64)
+    nx, nc = H.shape[0], A.shape[0]
+    D = stacked_dim(nx, nc)
+    N = rhos.shape[0]
+    W = np.empty((N, D, D), dtype=np.float64)
+    B = np.empty((N, D, nx), dtype=np.float64)
+    for k, rho in enumerate(rhos):
+        rho_vec = np.full((nc,), rho, dtype=np.float64)
+        rho_vec[eq_mask] = rho * 1e3
+        W[k], B[k] = _bank_blocks_np(H, A, rho_vec, sigma)
+    b = np.einsum("kdx,x->kd", B, g)
+    return W, B, b
+
+
+def build_bank_jnp(H, g, A, eq_mask, rhos, sigma):
+    """On-device bank build: one vmapped batched solve over the ladder.
+
+    jit-friendly; dtype follows the inputs. Used for building banks for many
+    problems at once (vmap this over a problem batch).
+    """
+    H = jnp.asarray(H)
+    g = jnp.asarray(g)
+    A = jnp.asarray(A)
+    dtype = H.dtype
+    rhos = jnp.asarray(rhos, dtype=dtype)
+    eq_mask = jnp.asarray(eq_mask)
+    nx, nc = H.shape[0], A.shape[0]
+    Ix = jnp.eye(nx, dtype=dtype)
+    Ic = jnp.eye(nc, dtype=dtype)
+    sigma = jnp.asarray(sigma, dtype=dtype)
+
+    def one(rho):
+        rho_vec = jnp.where(eq_mask, rho * 1e3, rho).astype(dtype)
+        M = H + sigma * Ix + A.T @ (rho_vec[:, None] * A)
+        K = jnp.linalg.solve(M, Ix)
+        KAt = K @ A.T
+        AK = KAt.T
+        KAtR = KAt * rho_vec
+        S = sigma * K - KAtR @ A
+        AKAt = A @ KAt
+        W = jnp.block([
+            [S, 2.0 * KAtR, -KAt],
+            [A @ S + A, 2.0 * (AKAt * rho_vec) - Ic, -AKAt + jnp.diag(1.0 / rho_vec)],
+            [rho_vec[:, None] * A, -jnp.diag(rho_vec), Ic],
+        ])
+        B = jnp.concatenate([-K, -AK, jnp.zeros((nc, nx), dtype=dtype)], axis=0)
+        return W, B, B @ g
+
+    W, B, b = jax.vmap(one)(rhos)
+    return Bank(W=W, B=B, b=b, rhos=rhos)

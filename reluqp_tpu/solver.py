@@ -1,0 +1,337 @@
+"""OSQP-style stateful solver API: ``ReLU_QP``.
+
+Reference-parity surface (``ReLU-QP-py/reluqp/reluqpth.py:92-333``):
+``setup / solve / update(g,l,u) / update_settings / warm_start /
+clear_primal_dual`` returning ``Results(x, z, Info)`` with the same timer
+fields. The implementation is TPU-first:
+
+- ``setup`` builds the ρ ladder and the fp64 weight bank **once on the
+  host** (batched Cholesky), then ships it to HBM in the iteration dtype,
+  transposed and lane-padded so the hot loop is a row-vector matmul;
+- ``solve`` dispatches one jitted ``lax.while_loop`` (``core.iteration``)
+  that runs to convergence entirely on device — there is no per-check
+  host round-trip like the reference's ``:218-233``;
+- timers are honest TPU timers: ``time.perf_counter`` around
+  ``jax.block_until_ready``.
+
+Documented divergences from reference quirks (SURVEY.md §7 item 5): λ is
+*not* unconditionally zeroed after each solve (reference ``:303`` defeats
+its own dual warm start); ``warm_start`` re-packs the stacked state
+immediately (reference ``:251-276`` writes x/z/λ but never re-packs);
+``update_settings`` accepts the correctly-spelled ``eps_abs`` (reference
+``:194`` has the "eps_ab" typo, making eps_abs un-updatable).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .classes import QP, Info, Results, Settings
+from .core.bank import (Bank, DeviceQP, build_bank_np, clamp_bounds,
+                        equality_mask, stacked_dim)
+from .core.iteration import (compute_objective, solve_loop, xla_chunk_runner)
+from .core.ladder import initial_rho_index, setup_rhos
+from .ops.fused_step import pad_dim, pallas_chunk_runner, vmem_bytes_needed
+
+__all__ = ["ReLU_QP", "prepare_bank"]
+
+# Leave headroom under the ~16 MB/core VMEM for the y/b/lo/hi tiles and
+# double-buffering; larger banks fall back to the XLA streaming path.
+_PALLAS_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _is_tpu(device) -> bool:
+    try:
+        if device is not None:
+            return device.platform == "tpu"
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no devices at all
+        return False
+
+
+def prepare_bank(W_np, B_np, b_np, rhos_np, dtype, dp: int, device=None) -> Bank:
+    """Host fp64 bank → device runtime layout.
+
+    Runtime layout: ``W`` holds Wᵀ per rung, padded to (dp, dp); ``B`` is
+    row-padded to (dp, nx) so ``b = B @ g`` lands directly in padded layout;
+    ``b`` is (dp,)-padded with zeros. Zero padding + ±inf clamp bounds keep
+    padded lanes exactly 0 through every iteration.
+    """
+    n, d, _ = W_np.shape
+    nx = B_np.shape[2]
+    Wt = np.zeros((n, dp, dp), dtype=np.float64)
+    Wt[:, :d, :d] = np.swapaxes(W_np, 1, 2)
+    Bp = np.zeros((n, dp, nx), dtype=np.float64)
+    Bp[:, :d, :] = B_np
+    bp = np.zeros((n, dp), dtype=np.float64)
+    bp[:, :d] = b_np
+    put = lambda a: jax.device_put(jnp.asarray(a, dtype=dtype), device)
+    return Bank(W=put(Wt), B=put(Bp), b=put(bp),
+                rhos=put(np.asarray(rhos_np)))
+
+
+class ReLU_QP:
+    """TPU-native ReLU-QP solver with the reference's lifecycle API."""
+
+    def __init__(self):
+        self.info = Info()
+        self.results = Results(info=self.info)
+        self._ready = False
+
+    # ------------------------------------------------------------------ #
+    # setup                                                              #
+    # ------------------------------------------------------------------ #
+    def setup(self, H, g, A, l, u,
+              verbose=False,
+              warm_starting=True,
+              scaling=False,
+              rho=0.1,
+              rho_min=1e-6,
+              rho_max=1e6,
+              sigma=1e-6,
+              adaptive_rho=True,
+              adaptive_rho_interval=1,
+              adaptive_rho_tolerance=5,
+              max_iter=4000,
+              eps_abs=1e-3,
+              eq_tol=1e-6,
+              check_interval=25,
+              device=None,
+              precision="float32",
+              backend="auto"):
+        """Setup the ReLU-QP solver for
+
+            minimize     1/2 x' H x + g' x
+            subject to   l <= A x <= u
+
+        (reference ``setup``: ``reluqpth.py:102-157``; unlike the reference,
+        ``eq_tol`` is exposed here too, and ``precision`` defaults to fp32 —
+        the bank factorization always runs in fp64 on the host.)
+        """
+        t0 = time.perf_counter()
+        self.settings = Settings(
+            verbose=verbose, warm_starting=warm_starting, scaling=scaling,
+            rho=rho, rho_min=rho_min, rho_max=rho_max, sigma=sigma,
+            adaptive_rho=adaptive_rho,
+            adaptive_rho_interval=adaptive_rho_interval,
+            adaptive_rho_tolerance=adaptive_rho_tolerance,
+            max_iter=max_iter, eps_abs=eps_abs, eq_tol=eq_tol,
+            check_interval=check_interval, device=device,
+            precision=precision, backend=backend)
+        stng = self.settings
+        dtype = stng.precision_dtype
+
+        self.QP = QP(H, g, A, l, u, precision=dtype)
+        nx, nc = self.QP.nx, self.QP.nc
+        self.nx, self.nc = nx, nc
+        self.D = stacked_dim(nx, nc)
+
+        # ρ ladder (host, shape-static).
+        self.rhos_np = setup_rhos(stng.rho, stng.rho_min, stng.rho_max,
+                                  stng.adaptive_rho,
+                                  stng.adaptive_rho_tolerance)
+        self.rho_ind = initial_rho_index(self.rhos_np, stng.rho)
+
+        # Backend pick + padded dimension.
+        self._chunk_runner = self._select_runner(dtype)
+        self.Dp = pad_dim(self.D) if self._chunk_runner is pallas_chunk_runner \
+            else self.D
+
+        # fp64 host bank build, then device runtime layout.
+        self.eq_mask = equality_mask(self.QP.l_np, self.QP.u_np, stng.eq_tol)
+        W_np, B_np, b_np = build_bank_np(
+            self.QP.H_np, self.QP.g_np, self.QP.A_np, self.eq_mask,
+            self.rhos_np, stng.sigma)
+        self.bank = prepare_bank(W_np, B_np, b_np, self.rhos_np, dtype,
+                                 self.Dp, stng.device)
+
+        # Device problem data (clamp bounds in padded layout).
+        lo, hi = self._padded_bounds(self.QP.l_np, self.QP.u_np, dtype)
+        put = lambda a: jax.device_put(a, stng.device)
+        self.qp_dev = DeviceQP(H=put(self.QP.H), g=put(self.QP.g),
+                               A=put(self.QP.A), lo=put(lo), hi=put(hi))
+
+        # Stacked state y = [x; z; λ; pad].
+        self.y = put(jnp.zeros((self.Dp,), dtype=dtype))
+
+        jax.block_until_ready((self.bank, self.qp_dev, self.y))
+        self.info.setup_time = time.perf_counter() - t0
+        self.info.update_time = 0.0
+        self._ready = True
+
+    def _select_runner(self, dtype):
+        stng = self.settings
+        if stng.backend == "xla":
+            return xla_chunk_runner
+        dp = pad_dim(self.D)
+        fits = vmem_bytes_needed(dp, 1, dtype) <= _PALLAS_VMEM_BUDGET
+        if stng.backend == "pallas":
+            if not fits:
+                raise ValueError(
+                    f"pallas backend needs ~{vmem_bytes_needed(dp, 1, dtype)}"
+                    f" bytes of VMEM for D={self.D}; use backend='xla'")
+            return pallas_chunk_runner
+        # auto
+        if _is_tpu(stng.device) and fits:
+            return pallas_chunk_runner
+        return xla_chunk_runner
+
+    def _padded_bounds(self, l_np, u_np, dtype):
+        lo_d, hi_d = clamp_bounds(l_np, u_np, self.nx, self.nc, xp=np)
+        lo = np.full((self.Dp,), -np.inf)
+        hi = np.full((self.Dp,), np.inf)
+        lo[:self.D] = lo_d
+        hi[:self.D] = hi_d
+        return jnp.asarray(lo, dtype=dtype), jnp.asarray(hi, dtype=dtype)
+
+    # ------------------------------------------------------------------ #
+    # update / settings                                                  #
+    # ------------------------------------------------------------------ #
+    def update(self, g=None, l=None, u=None, Hx=None, Ax=None):
+        """Update problem vectors (reference ``update``: ``reluqpth.py:159-183``).
+
+        g-updates recompute the whole bias bank on device as one batched
+        GEMV ``b_k = B_k g`` (the reference loops over ρ in Python,
+        ``:168-169``). Matrix updates require a full re-``setup`` (same
+        restriction as the reference ``:177``).
+        """
+        assert Hx is None and Ax is None, \
+            "updating Hx and Ax is not supported yet"
+        self._check_ready()
+        t0 = time.perf_counter()
+        stng = self.settings
+        dtype = stng.precision_dtype
+        if g is not None:
+            g_np = np.asarray(g, dtype=np.float64).reshape(-1)
+            if g_np.shape != (self.nx,):
+                raise ValueError(f"g must have shape ({self.nx},)")
+            self.QP.g_np = g_np
+            g_dev = jax.device_put(jnp.asarray(g_np, dtype=dtype), stng.device)
+            new_b = _update_bias(self.bank.B, g_dev)
+            self.bank = self.bank._replace(b=new_b)
+            self.qp_dev = self.qp_dev._replace(g=g_dev)
+            self.QP.g = g_dev
+        if l is not None or u is not None:
+            if l is not None:
+                l_np = np.asarray(l, dtype=np.float64).reshape(-1)
+                if l_np.shape != (self.nc,):
+                    raise ValueError(f"l must have shape ({self.nc},)")
+                self.QP.l_np = l_np
+                self.QP.l = jnp.asarray(l_np, dtype=dtype)
+            if u is not None:
+                u_np = np.asarray(u, dtype=np.float64).reshape(-1)
+                if u_np.shape != (self.nc,):
+                    raise ValueError(f"u must have shape ({self.nc},)")
+                self.QP.u_np = u_np
+                self.QP.u = jnp.asarray(u_np, dtype=dtype)
+            lo, hi = self._padded_bounds(self.QP.l_np, self.QP.u_np, dtype)
+            put = lambda a: jax.device_put(a, stng.device)
+            self.qp_dev = self.qp_dev._replace(lo=put(lo), hi=put(hi))
+        jax.block_until_ready((self.bank.b, self.qp_dev))
+        self.info.update_time = time.perf_counter() - t0
+
+    def update_settings(self, **kwargs):
+        """Update runtime-mutable settings (reference ``reluqpth.py:185-199``).
+
+        Mutable: ``max_iter``, ``eps_abs``, ``verbose``, ``check_interval``.
+        The ρ/σ family raises (changing it would invalidate the bank).
+        """
+        for key, value in kwargs.items():
+            if key in ("max_iter", "eps_abs", "verbose", "check_interval"):
+                setattr(self.settings, key, value)
+            elif key in ("rho", "rho_min", "rho_max", "sigma", "adaptive_rho",
+                         "adaptive_rho_interval", "adaptive_rho_tolerance"):
+                raise ValueError(f"Cannot change {key} after setup")
+            else:
+                raise ValueError(f"Invalid setting: {key}")
+
+    # ------------------------------------------------------------------ #
+    # solve                                                              #
+    # ------------------------------------------------------------------ #
+    def solve(self) -> Results:
+        """Solve the QP (reference ``solve``: ``reluqpth.py:201-249``)."""
+        self._check_ready()
+        t0 = time.perf_counter()
+        stng = self.settings
+        rho0 = self.rhos_np[self.rho_ind]
+        res = solve_loop(
+            self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
+            nx=self.nx, nc=self.nc, max_iter=stng.max_iter,
+            check_interval=stng.check_interval,
+            adaptive_rho=stng.adaptive_rho,
+            adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+            eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+            rho_max=float(stng.rho_max), chunk_runner=self._chunk_runner,
+            verbose=bool(stng.verbose))
+        res = jax.block_until_ready(res)
+        run_time = time.perf_counter() - t0
+
+        self.y = res.y
+        self.rho_ind = int(res.rho_ind)
+        x = res.y[:self.nx]
+        z = res.y[self.nx:self.nx + self.nc]
+        lam = res.y[self.nx + self.nc:self.nx + 2 * self.nc]
+
+        info = self.info
+        info.iter = int(res.iters)
+        info.status = "solved" if bool(res.converged) else "max_iters_reached"
+        info.obj_val = float(compute_objective(self.qp_dev.H, self.qp_dev.g, x))
+        info.pri_res = float(res.pri_res)
+        info.dua_res = float(res.dua_res)
+        info.rho_estimate = float(res.rho_estimate)
+        info.run_time = run_time
+        info.solve_time = info.update_time + run_time
+
+        self.results.x = x
+        self.results.z = z
+        self.results.lam = lam
+        self.results.info = info
+
+        if not stng.warm_starting:
+            self.clear_primal_dual()
+        return self.results
+
+    # ------------------------------------------------------------------ #
+    # warm start / reset                                                 #
+    # ------------------------------------------------------------------ #
+    def warm_start(self, x=None, z=None, lam=None, rho: Optional[float] = None):
+        """Inject primal/dual state and/or re-pick ρ (reference
+        ``reluqpth.py:251-276``; fixed to re-pack the stacked state)."""
+        self._check_ready()
+        dtype = self.settings.precision_dtype
+        y = self.y
+        if x is not None:
+            x = jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+            y = y.at[:self.nx].set(x)
+        if z is not None:
+            z = jnp.asarray(np.asarray(z, dtype=np.float64), dtype=dtype)
+            y = y.at[self.nx:self.nx + self.nc].set(z)
+        if lam is not None:
+            lam = jnp.asarray(np.asarray(lam, dtype=np.float64), dtype=dtype)
+            y = y.at[self.nx + self.nc:self.nx + 2 * self.nc].set(lam)
+        self.y = jax.device_put(y, self.settings.device)
+        if rho is not None:
+            self.rho_ind = initial_rho_index(self.rhos_np, rho)
+
+    def clear_primal_dual(self):
+        """Zero the stacked state and reset ρ (reference ``reluqpth.py:324-333``)."""
+        self._check_ready()
+        self.y = jax.device_put(
+            jnp.zeros((self.Dp,), dtype=self.settings.precision_dtype),
+            self.settings.device)
+        self.rho_ind = initial_rho_index(self.rhos_np, self.settings.rho)
+
+    # ------------------------------------------------------------------ #
+    def _check_ready(self):
+        if not self._ready:
+            raise RuntimeError("call setup() first")
+
+
+@jax.jit
+def _update_bias(B_bank, g):
+    """All-ρ bias refresh in one batched GEMV: b_k = B_k g."""
+    return jnp.einsum("kdx,x->kd", B_bank, g)
