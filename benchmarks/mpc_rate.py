@@ -1,0 +1,91 @@
+"""MPC solve-rate benchmark: warm receding-horizon Hz per chip.
+
+North-star config (BASELINE.json): 100-state, horizon-10 QP at ≥1000 Hz.
+Sweeps plant sizes; for each, measures the steady-state rate of the fully
+on-device closed loop (``mpc_rollout_scan``) and of the host-driven
+``MPC.step`` cycle (the reference-style path with per-step dispatches,
+SURVEY.md §3.3).
+
+Run:  python benchmarks/mpc_rate.py [--sizes 20 50 100] [--horizon 10]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bench_one(nx, nu, horizon, T, tol, backend):
+    import jax
+    from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
+
+    Ad, Bd = random_linear_system(nx, nu, seed=0, spectral_radius=0.99)
+    Q = np.eye(nx)
+    R = 0.1 * np.eye(nu)
+    ctrl = MPC(Ad, Bd, Q, R, horizon=horizon, u_min=-1.0, u_max=1.0,
+               eps_abs=tol, backend=backend)
+    x0 = 0.05 * np.random.RandomState(1).randn(nx)
+
+    # on-device rollout (compile, then best-of-3 warm)
+    xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, T)
+    jax.block_until_ready(xs)
+    assert np.all(np.isfinite(np.asarray(xs)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, T)
+        jax.block_until_ready(xs)
+        best = min(best, time.perf_counter() - t0)
+    hz_device = T / best
+    mean_iters = float(np.mean(np.asarray(iters)))
+
+    # host-driven cycle (reference-style): time 25 steps
+    x = x0.copy()
+    ctrl.step(x)  # warm
+    t0 = time.perf_counter()
+    n_host = 25
+    for _ in range(n_host):
+        u, _ = ctrl.step(x)
+        x = Ad @ x + Bd @ u
+    hz_host = n_host / (time.perf_counter() - t0)
+    return dict(nx=nx, nu=nu, horizon=horizon, qp_vars=horizon * nu,
+                hz_device=hz_device, hz_host=hz_host,
+                mean_iters=mean_iters)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="+", default=[20, 50, 100])
+    p.add_argument("--nu-frac", type=float, default=0.2)
+    p.add_argument("--horizon", type=int, default=10)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--out", default="results/mpc_rate.json")
+    args = p.parse_args(argv)
+
+    records = []
+    for nx in args.sizes:
+        nu = max(int(nx * args.nu_frac), 1)
+        rec = bench_one(nx, nu, args.horizon, args.steps, args.tol,
+                        args.backend)
+        records.append(rec)
+        print(f"nx={nx:4d} nu={nu:3d} h={args.horizon}  "
+              f"device {rec['hz_device']:8.0f} Hz   "
+              f"host {rec['hz_host']:7.0f} Hz   "
+              f"iters/step {rec['mean_iters']:5.0f}")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"config": vars(args), "records": records}, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Random-QP benchmark sweep (parity with the reference harness).
+
+Reproduces the protocol of ``ReLU-QP-py/benchmarks/random_qps.py:14-108``:
+nx over ``geomspace(nx_min, nx_max, n_sample)``, ``n_eq = n_ineq = nx/4``,
+``n_seeds`` seeds each, warm-up solves for jit compile, solved-status and
+solution-parity assertions per instance. Differences, by design:
+
+- oracles: OSQP/ProxQP are optional (gated imports — not in the TPU image);
+  the built-in gate is the fp64 scipy oracle from ``utils.problems`` plus
+  the solver's own residual criteria;
+- results are DUMPED AS JSON (the reference only saves a plot image,
+  ``random_qps.py:97`` — no numbers are committed anywhere, BASELINE.md);
+- an optional matplotlib plot reproduces the reference figure.
+
+Run:  python benchmarks/random_qps.py [--nx-max 500] [--seeds 5]
+          [--tol 1e-4] [--plot] [--oracle]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def reluqp_solve(H, g, A, l, u, tol, backend="auto", warm=None):
+    from reluqp_tpu import ReLU_QP
+    m = ReLU_QP()
+    t0 = time.perf_counter()
+    m.setup(H, g, A, l, u, eps_abs=tol, backend=backend)
+    setup_t = time.perf_counter() - t0
+    res = m.solve()
+    return m, res, setup_t
+
+
+def osqp_solve(H, g, A, l, u, tol):  # pragma: no cover - optional dep
+    import osqp
+    from scipy import sparse
+    m = osqp.OSQP()
+    m.setup(sparse.csc_matrix(H), g, sparse.csc_matrix(A), l, u,
+            verbose=False, eps_abs=tol, eps_rel=0, max_iter=4000)
+    t0 = time.perf_counter()
+    r = m.solve()
+    return r.x, time.perf_counter() - t0
+
+
+def proxqp_solve(H, g, A, l, u, tol):  # pragma: no cover - optional dep
+    from proxsuite import proxqp
+    n, m_ = H.shape[0], A.shape[0]
+    qp = proxqp.dense.QP(n, 0, m_)
+    qp.settings.eps_abs = tol
+    qp.init(H, g, None, None, A, l, u)
+    t0 = time.perf_counter()
+    qp.solve()
+    return np.asarray(qp.results.x), time.perf_counter() - t0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nx-min", type=int, default=10)
+    p.add_argument("--nx-max", type=int, default=500)
+    p.add_argument("--n-sample", type=int, default=10)
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--tol", type=float, default=1e-4)
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--oracle", action="store_true",
+                   help="check against the fp64 scipy oracle (slow)")
+    p.add_argument("--out", default="results/random_qp_benchmark.json")
+    args = p.parse_args(argv)
+
+    from reluqp_tpu.utils.problems import rand_qp, kkt_error
+    import jax
+
+    try:
+        import osqp  # noqa: F401
+        have_osqp = True
+    except ImportError:
+        have_osqp = False
+    try:
+        import proxsuite  # noqa: F401
+        have_proxqp = True
+    except ImportError:
+        have_proxqp = False
+
+    nxs = np.unique(np.geomspace(args.nx_min, args.nx_max,
+                                 args.n_sample).astype(int))
+
+    # Warm-up solves so jit compile is excluded (reference :53-55).
+    inst = rand_qp(nx=nxs[0], n_eq=max(nxs[0] // 4, 1),
+                   n_ineq=max(nxs[0] // 4, 1), seed=0, compute_sol=False)
+    for _ in range(2):
+        reluqp_solve(inst.H, inst.g, inst.A, inst.l, inst.u, args.tol,
+                     args.backend)
+
+    records = []
+    for nx in nxs:
+        n_eq = n_ineq = max(int(nx // 4), 1)
+        for seed in range(args.seeds):
+            inst = rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=seed,
+                           compute_sol=args.oracle)
+            m, res, setup_t = reluqp_solve(inst.H, inst.g, inst.A, inst.l,
+                                           inst.u, args.tol, args.backend)
+            assert res.info.status == "solved", \
+                f"nx={nx} seed={seed}: {res.info.status}"
+            # warm re-solve measures the steady-state path
+            m.clear_primal_dual()
+            t0 = time.perf_counter()
+            res = m.solve()
+            jax.block_until_ready(res.x)
+            solve_t = time.perf_counter() - t0
+            x = np.asarray(res.x, np.float64)
+            rec = dict(nx=int(nx), n_eq=n_eq, n_ineq=n_ineq, seed=seed,
+                       iters=res.info.iter, setup_s=setup_t,
+                       solve_s=solve_t, pri_res=res.info.pri_res,
+                       dua_res=res.info.dua_res)
+            _, pri_feas, _ = kkt_error(inst.H, inst.g, inst.A, inst.l,
+                                       inst.u, x)
+            rec["primal_violation"] = float(pri_feas)
+            if args.oracle and inst.x_sol is not None:
+                rec["err_vs_oracle"] = float(np.max(np.abs(x - inst.x_sol)))
+                assert rec["err_vs_oracle"] < 50 * args.tol, rec
+            if have_osqp:
+                x_o, t_o = osqp_solve(inst.H, inst.g, inst.A, inst.l,
+                                      inst.u, args.tol)
+                rec["osqp_s"] = t_o
+                rec["err_vs_osqp"] = float(np.max(np.abs(x - x_o)))
+            if have_proxqp:
+                x_p, t_p = proxqp_solve(inst.H, inst.g, inst.A, inst.l,
+                                        inst.u, args.tol)
+                rec["proxqp_s"] = t_p
+            records.append(rec)
+        ms = [r["solve_s"] for r in records if r["nx"] == nx]
+        print(f"nx={nx:4d}  solve {np.mean(ms)*1e3:8.2f} ± "
+              f"{np.std(ms)*1e3:6.2f} ms   "
+              f"iters {np.mean([r['iters'] for r in records if r['nx']==nx]):6.0f}")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"config": vars(args), "records": records}, f, indent=1)
+    print("wrote", args.out)
+
+    if args.plot:
+        _plot(records, os.path.splitext(args.out)[0] + ".png", have_osqp)
+
+
+def _plot(records, path, have_osqp):  # pragma: no cover - visual artifact
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    nxs = sorted({r["nx"] for r in records})
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+
+    def series(key):
+        mean, std = [], []
+        for nx in nxs:
+            v = [r[key] for r in records if r["nx"] == nx and key in r]
+            mean.append(np.mean(v) if v else np.nan)
+            std.append(np.std(v) if v else np.nan)
+        return np.array(mean), np.array(std)
+
+    m, s = series("solve_s")
+    ax.errorbar(nxs, m, yerr=s, label="ReLU-QP (TPU-native)", marker="o")
+    if have_osqp:
+        m, s = series("osqp_s")
+        ax.errorbar(nxs, m, yerr=s, label="OSQP", marker="s")
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("problem size nx")
+    ax.set_ylabel("solve time (s)")
+    ax.legend()
+    ax.grid(True, which="both", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,16 +13,23 @@ so reference users can switch directly::
 """
 from .classes import QP, Info, Results, Settings
 from .solver import ReLU_QP
+from .batch import BatchedReLU_QP, BatchInfo, BatchResults
 from .core.bank import Bank, DeviceQP, build_bank_jnp, build_bank_np
 from .core.iteration import SolveResult, solve_loop
+from .core.batched import (BatchSolveResult, solve_batched_hetero,
+                           solve_batched_shared)
 from .core.ladder import initial_rho_index, setup_rhos
+from . import models, parallel
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ReLU_QP", "QP", "Settings", "Info", "Results",
+    "BatchedReLU_QP", "BatchInfo", "BatchResults", "BatchSolveResult",
     "Bank", "DeviceQP", "SolveResult",
-    "solve_loop", "build_bank_np", "build_bank_jnp",
+    "solve_loop", "solve_batched_shared", "solve_batched_hetero",
+    "build_bank_np", "build_bank_jnp",
     "setup_rhos", "initial_rho_index",
+    "models", "parallel",
     "__version__",
 ]

@@ -1,0 +1,402 @@
+"""Batched solver API: many QPs per chip (and per mesh) in one dispatch.
+
+The reference framework has no batched solver — its benchmark loops over
+problems in Python (``ReLU-QP-py/benchmarks/random_qps.py:57-72``). This is
+the TPU-native replacement: ``BatchedReLU_QP`` carries the same
+``setup / solve / update / warm_start / clear_primal_dual`` lifecycle as the
+single-problem ``ReLU_QP`` but over a leading batch axis, compiling to ONE
+on-device loop (``core.batched``) whose iteration is dense MXU GEMM work.
+
+Two batch regimes, selected by the rank of ``H``/``A`` at ``setup``:
+
+- shared:  ``H (nx,nx)``, ``A (nc,nx)``, batched ``g/l/u (B,·)`` — one
+  weight bank for the whole batch (scenario MPC, perturbed right-hand
+  sides). The equality-row pattern must be identical across the batch
+  (it shapes the bank); otherwise use the heterogeneous regime.
+- hetero:  ``H (B,nx,nx)``, ``A (B,nc,nx)`` — per-problem banks, built on
+  host in fp64 (default) or on device via the vmapped builder.
+
+Pass ``mesh=(Mesh, axis_name)`` to shard the batch across chips: batch-led
+arrays get a ``NamedSharding`` over the axis and the compiled loop's
+convergence reduction becomes the cross-chip collective exit. See
+``reluqp_tpu.parallel`` for the explicit ``shard_map`` variant and
+multi-host initialization.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .classes import Settings
+from .core.bank import build_bank_np, clamp_bounds, equality_mask, stacked_dim
+from .core.batched import (BatchSolveResult, solve_batched_hetero,
+                           solve_batched_shared)
+from .core.ladder import initial_rho_index, setup_rhos
+from .ops.fused_step import (batch_tile_rows, pad_dim,
+                             pallas_batched_chunk_runner, round_up,
+                             vmem_bytes_needed)
+
+__all__ = ["BatchedReLU_QP", "BatchResults", "BatchInfo"]
+
+
+@dataclasses.dataclass
+class BatchInfo:
+    """Per-batch solve metadata (batched analogue of ``classes.Info``)."""
+
+    iter: Optional[np.ndarray] = None          # (B,) first-convergence iters
+    status: Optional[np.ndarray] = None        # (B,) bool converged
+    obj_val: Optional[np.ndarray] = None       # (B,)
+    pri_res: Optional[np.ndarray] = None       # (B,)
+    dua_res: Optional[np.ndarray] = None       # (B,)
+    rho_estimate: Optional[np.ndarray] = None  # (B,)
+    setup_time: float = 0.0
+    solve_time: float = 0.0
+    update_time: float = 0.0
+    run_time: float = 0.0
+    n_iter_total: int = 0                      # chunks·interval actually run
+
+
+@dataclasses.dataclass
+class BatchResults:
+    x: Optional[jax.Array] = None    # (B, nx)
+    z: Optional[jax.Array] = None    # (B, nc)
+    lam: Optional[jax.Array] = None  # (B, nc)
+    info: Optional[BatchInfo] = None
+
+
+class BatchedReLU_QP:
+    """Batch-of-QPs solver with the ``ReLU_QP`` lifecycle."""
+
+    def __init__(self):
+        self.info = BatchInfo()
+        self.results = BatchResults(info=self.info)
+        self._ready = False
+
+    # ------------------------------------------------------------------ #
+    def setup(self, H, g, A, l, u, *, rho_mode: str = "shared",
+              mesh: Optional[Any] = None, axis_name: str = "qp",
+              bank_build: str = "host", **settings_kw):
+        """Set up a batch of QPs.
+
+        Args:
+          H: (nx,nx) shared or (B,nx,nx) per-problem Hessians.
+          g: (B,nx); A: (nc,nx) or (B,nc,nx); l, u: (B,nc).
+          rho_mode: "shared" (one ladder index for the batch; fastest) or
+            "per_problem" (each problem walks its own index). Heterogeneous
+            batches always use per-problem indices.
+          mesh: optional ``jax.sharding.Mesh`` to shard the batch over;
+            ``axis_name`` selects the mesh axis.
+          bank_build: "host" (fp64 numpy factorization) or "device"
+            (vmapped fp32 on-accelerator build; faster for huge hetero
+            batches, slightly less accurate).
+        """
+        t0 = time.perf_counter()
+        self.settings = Settings(**settings_kw)
+        stng = self.settings
+        dtype = stng.precision_dtype
+
+        g = np.asarray(g, dtype=np.float64)
+        if g.ndim != 2:
+            raise ValueError("g must be (B, nx) for the batched solver")
+        B_n, nx = g.shape
+        l = np.asarray(l, dtype=np.float64)
+        u = np.asarray(u, dtype=np.float64)
+        H = np.asarray(H, dtype=np.float64)
+        A = np.asarray(A, dtype=np.float64)
+        self.hetero = H.ndim == 3 or A.ndim == 3
+        if self.hetero:
+            H = np.broadcast_to(H, (B_n, nx, nx)) if H.ndim == 3 else \
+                np.repeat(H[None], B_n, axis=0)
+            if A.ndim == 2:
+                A = np.repeat(A[None], B_n, axis=0)
+            nc = A.shape[1]
+        else:
+            nc = A.shape[0]
+        if l.shape != (B_n, nc) or u.shape != (B_n, nc):
+            raise ValueError(f"l/u must be (B, nc) = ({B_n}, {nc})")
+        self.B_n, self.nx, self.nc = B_n, nx, nc
+        self.D = stacked_dim(nx, nc)
+        self.rho_mode = "per_problem" if self.hetero else rho_mode
+        self.mesh, self.axis_name = mesh, axis_name
+
+        # Backend: the Pallas grid-tiled kernel handles shared-(H,A)
+        # shared-ρ batches on TPU (bank row held in VMEM across the whole
+        # chunk); everything else runs the pure-XLA GEMM path.
+        self._use_pallas = self._pick_pallas(stng)
+        if self._use_pallas:
+            self.Dp = pad_dim(self.D)
+            tile = min(batch_tile_rows(self.Dp, stng.precision_dtype), B_n)
+            self.B_pad = round_up(B_n, max(tile, 8))
+        else:
+            self.Dp = self.D   # pure-XLA GEMMs need no lane padding
+            self.B_pad = B_n
+
+        self.rhos_np = setup_rhos(stng.rho, stng.rho_min, stng.rho_max,
+                                  stng.adaptive_rho,
+                                  stng.adaptive_rho_tolerance)
+        rho_ind0 = initial_rho_index(self.rhos_np, stng.rho)
+
+        if self.hetero:
+            self._setup_hetero(H, g, A, l, u, dtype, bank_build)
+        else:
+            self._setup_shared(H, g, A, l, u, dtype)
+
+        self.rhos = self._put(jnp.asarray(self.rhos_np, dtype=dtype),
+                              replicated=True)
+        if self.rho_mode == "shared":
+            self.rho_ind = jnp.asarray(rho_ind0, jnp.int32)
+        else:
+            self.rho_ind = self._put(
+                jnp.full((B_n,), rho_ind0, dtype=jnp.int32))
+        self.Y = self._put(jnp.zeros((self.B_pad, self.Dp), dtype=dtype))
+
+        jax.block_until_ready(self.Y)
+        self.info.setup_time = time.perf_counter() - t0
+        self.info.update_time = 0.0
+        self._ready = True
+
+    def _pick_pallas(self, stng) -> bool:
+        if self.hetero or self.rho_mode != "shared":
+            if stng.backend == "pallas":
+                raise ValueError("the pallas batched backend requires a "
+                                 "shared-(H,A) batch with rho_mode='shared'")
+            return False
+        if stng.backend == "xla":
+            return False
+        from .solver import _is_tpu
+        dp = pad_dim(self.D)
+        fits = vmem_bytes_needed(dp, 8, stng.precision_dtype) \
+            <= 12 * 1024 * 1024
+        if stng.backend == "pallas":
+            if not fits:
+                raise ValueError(f"bank too large for VMEM at D={self.D}; "
+                                 "use backend='xla'")
+            return True
+        return _is_tpu(stng.device) and fits and self.mesh is None
+
+    def _sharding(self, replicated=False):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh,
+                             P() if replicated else P(self.axis_name))
+
+    def _put(self, arr, replicated=False):
+        s = self._sharding(replicated)
+        return jax.device_put(arr, s) if s is not None else arr
+
+    def _setup_shared(self, H, g, A, l, u, dtype):
+        eq = equality_mask(l[0], u[0], self.settings.eq_tol)
+        if not all(np.array_equal(equality_mask(l[i], u[i],
+                                                self.settings.eq_tol), eq)
+                   for i in range(1, self.B_n)):
+            raise ValueError(
+                "equality-row pattern differs across the batch; the shared "
+                "bank would be wrong — pass batched H/A (hetero mode)")
+        W, Bm, _ = build_bank_np(H, np.zeros(self.nx), A, eq, self.rhos_np,
+                                 self.settings.sigma)
+        # Runtime layout: Wᵀ per rung, lane-padded to Dp for pallas.
+        Wt = np.swapaxes(W, 1, 2)
+        if self.Dp != self.D:
+            N = Wt.shape[0]
+            Wt_p = np.zeros((N, self.Dp, self.Dp))
+            Wt_p[:, :self.D, :self.D] = Wt
+            B_p = np.zeros((N, self.Dp, self.nx))
+            B_p[:, :self.D] = Bm
+            Wt, Bm = Wt_p, B_p
+        self.Wt_bank = self._put(jnp.asarray(Wt, dtype=dtype),
+                                 replicated=True)
+        self.B_bank = self._put(jnp.asarray(Bm, dtype=dtype), replicated=True)
+        self.H_dev = self._put(jnp.asarray(H, dtype=dtype), replicated=True)
+        self.A_dev = self._put(jnp.asarray(A, dtype=dtype), replicated=True)
+        g_pad = np.zeros((self.B_pad, self.nx))
+        g_pad[:self.B_n] = g
+        self.G = self._put(jnp.asarray(g_pad, dtype=dtype))
+        self.bias_all = _bias_all_shared(self.B_bank, self.G)
+        self._set_bounds(l, u, dtype)
+
+    def _setup_hetero(self, H, g, A, l, u, dtype, bank_build):
+        N = len(self.rhos_np)
+        if bank_build == "host":
+            Wt = np.empty((self.B_n, N, self.D, self.D))
+            Bb = np.empty((self.B_n, N, self.D, self.nx))
+            for i in range(self.B_n):
+                eq = equality_mask(l[i], u[i], self.settings.eq_tol)
+                W, Bm, _ = build_bank_np(H[i], np.zeros(self.nx), A[i], eq,
+                                         self.rhos_np, self.settings.sigma)
+                Wt[i] = np.swapaxes(W, 1, 2)
+                Bb[i] = Bm
+            self.Wt_bank = self._put(jnp.asarray(Wt, dtype=dtype))
+            self.B_bank = self._put(jnp.asarray(Bb, dtype=dtype))
+        else:
+            from .core.bank import build_bank_jnp
+            eq = (u - l) <= self.settings.eq_tol
+
+            def one(Hi, Ai, eqi):
+                bank = build_bank_jnp(Hi, jnp.zeros((self.nx,), dtype=dtype),
+                                      Ai, eqi, self.rhos_np,
+                                      self.settings.sigma)
+                return jnp.swapaxes(bank.W, 1, 2), bank.B
+
+            Wt, Bb = jax.jit(jax.vmap(one))(
+                self._put(jnp.asarray(H, dtype=dtype)),
+                self._put(jnp.asarray(A, dtype=dtype)),
+                self._put(jnp.asarray(eq)))
+            self.Wt_bank, self.B_bank = Wt, Bb
+        self.H_dev = self._put(jnp.asarray(H, dtype=dtype))
+        self.A_dev = self._put(jnp.asarray(A, dtype=dtype))
+        self.G = self._put(jnp.asarray(g, dtype=dtype))
+        self.bias_all = _bias_all_hetero(self.B_bank, self.G)
+        self._set_bounds(l, u, dtype)
+
+    def _set_bounds(self, l, u, dtype):
+        # Padding (extra lanes AND extra batch rows) is ±inf — inert.
+        lo = np.full((self.B_pad, self.Dp), -np.inf)
+        hi = np.full((self.B_pad, self.Dp), np.inf)
+        for i in range(self.B_n):
+            lo[i, :self.D], hi[i, :self.D] = clamp_bounds(
+                l[i], u[i], self.nx, self.nc, xp=np)
+        self.lo = self._put(jnp.asarray(lo, dtype=dtype))
+        self.hi = self._put(jnp.asarray(hi, dtype=dtype))
+
+    # ------------------------------------------------------------------ #
+    def update(self, g=None, l=None, u=None):
+        """Refresh batched problem vectors; biases recompute as one GEMM."""
+        self._check_ready()
+        t0 = time.perf_counter()
+        dtype = self.settings.precision_dtype
+        if g is not None:
+            g = np.asarray(g, dtype=np.float64)
+            if g.shape != (self.B_n, self.nx):
+                raise ValueError(f"g must be ({self.B_n}, {self.nx})")
+            g_pad = np.zeros((self.B_pad, self.nx))
+            g_pad[:self.B_n] = g
+            self.G = self._put(jnp.asarray(g_pad, dtype=dtype))
+            self.bias_all = (_bias_all_hetero if self.hetero
+                             else _bias_all_shared)(self.B_bank, self.G)
+        if l is not None or u is not None:
+            l_np = np.asarray(jax.device_get(self.lo))[:, self.nx:self.nx + self.nc] \
+                if l is None else np.asarray(l, dtype=np.float64)
+            u_np = np.asarray(jax.device_get(self.hi))[:, self.nx:self.nx + self.nc] \
+                if u is None else np.asarray(u, dtype=np.float64)
+            self._set_bounds(l_np, u_np, dtype)
+        jax.block_until_ready((self.bias_all, self.lo))
+        self.info.update_time = time.perf_counter() - t0
+
+    # ------------------------------------------------------------------ #
+    def solve(self) -> BatchResults:
+        """Solve the whole batch in one on-device loop."""
+        self._check_ready()
+        t0 = time.perf_counter()
+        stng = self.settings
+        kw = dict(nx=self.nx, nc=self.nc, max_iter=stng.max_iter,
+                  check_interval=stng.check_interval,
+                  adaptive_rho=stng.adaptive_rho,
+                  adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+                  eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+                  rho_max=float(stng.rho_max))
+        if self.hetero:
+            res = solve_batched_hetero(
+                self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
+                self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
+                **kw)
+        else:
+            runner = pallas_batched_chunk_runner if self._use_pallas else None
+            done0 = None
+            if self.B_pad != self.B_n:
+                done0 = jnp.arange(self.B_pad) >= self.B_n
+            res = solve_batched_shared(
+                self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
+                self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
+                done0, rho_mode=self.rho_mode, chunk_runner=runner, **kw)
+        res = jax.block_until_ready(res)
+        run_time = time.perf_counter() - t0
+        self._fill_results(res, run_time)
+        if not stng.warm_starting:
+            self.clear_primal_dual()
+        return self.results
+
+    def _fill_results(self, res: BatchSolveResult, run_time: float):
+        self.Y = res.Y
+        self.rho_ind = res.rho_ind
+        nx, nc, Bn = self.nx, self.nc, self.B_n
+        x = res.Y[:Bn, :nx]
+        host = jax.device_get((res.iters, res.converged, res.pri_res,
+                               res.dua_res, res.rho_estimate,
+                               res.n_iter_total))
+        iters, conv, pri, dua, rho_est, n_tot = host
+        info = self.info
+        info.iter = np.asarray(iters)[:Bn]
+        info.status = np.asarray(conv)[:Bn]
+        info.pri_res = np.asarray(pri)[:Bn]
+        info.dua_res = np.asarray(dua)[:Bn]
+        info.rho_estimate = np.asarray(rho_est)[:Bn]
+        info.n_iter_total = int(n_tot)
+        info.obj_val = None  # computed lazily via objective()
+        info.run_time = run_time
+        info.solve_time = info.update_time + run_time
+        self.results.x = x
+        self.results.z = res.Y[:Bn, nx:nx + nc]
+        self.results.lam = res.Y[:Bn, nx + nc:nx + 2 * nc]
+        self.results.info = info
+
+    def objective(self) -> np.ndarray:
+        """Per-problem objective ½xᵀHx + gᵀx (one batched contraction)."""
+        x = self.results.x
+        G = self.G[:self.B_n]
+        if self.hetero:
+            Hx = jnp.einsum("bxy,by->bx", self.H_dev, x)
+        else:
+            Hx = x @ self.H_dev.T
+        return np.asarray(jax.device_get(
+            0.5 * jnp.sum(x * Hx, axis=-1) + jnp.sum(G * x, axis=-1)))
+
+    # ------------------------------------------------------------------ #
+    def warm_start(self, x=None, z=None, lam=None):
+        self._check_ready()
+        dtype = self.settings.precision_dtype
+        Y = self.Y
+        Bn = self.B_n
+        if x is not None:
+            Y = Y.at[:Bn, :self.nx].set(jnp.asarray(x, dtype=dtype))
+        if z is not None:
+            Y = Y.at[:Bn, self.nx:self.nx + self.nc].set(
+                jnp.asarray(z, dtype=dtype))
+        if lam is not None:
+            Y = Y.at[:Bn, self.nx + self.nc:self.nx + 2 * self.nc].set(
+                jnp.asarray(lam, dtype=dtype))
+        self.Y = self._put(Y)
+
+    def clear_primal_dual(self):
+        self._check_ready()
+        dtype = self.settings.precision_dtype
+        self.Y = self._put(jnp.zeros((self.B_pad, self.Dp), dtype=dtype))
+        r0 = initial_rho_index(self.rhos_np, self.settings.rho)
+        if self.rho_mode == "shared":
+            self.rho_ind = jnp.asarray(r0, jnp.int32)
+        else:
+            self.rho_ind = self._put(
+                jnp.full((self.B_n,), r0, dtype=jnp.int32))
+
+    def _check_ready(self):
+        if not self._ready:
+            raise RuntimeError("call setup() first")
+
+
+@jax.jit
+def _bias_all_shared(B_bank, G):
+    """(N,D,nx) × (B,nx) → (N,B,D) per-rung per-problem biases."""
+    return jnp.einsum("ndx,bx->nbd", B_bank, G,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _bias_all_hetero(B_bank, G):
+    """(B,N,D,nx) × (B,nx) → (B,N,D)."""
+    return jnp.einsum("bndx,bx->bnd", B_bank, G,
+                      precision=jax.lax.Precision.HIGHEST)

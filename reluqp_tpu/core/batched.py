@@ -1,0 +1,388 @@
+"""Batched on-device solve: many QPs per chip, one compiled loop.
+
+The reference can only batch QPs as sequential Python loops
+(``ReLU-QP-py/benchmarks/random_qps.py:57-72``, ``reluqp.cu:1855-1895``).
+Here batching is a first-class compiled construct designed for the MXU:
+
+- **Shared-(H,A) batches** (scenario MPC, perturbed right-hand sides): all
+  problems share one weight bank; the iteration is a single
+  ``(B, D) @ (D, D)`` GEMM per step — dense MXU work, no per-problem weight
+  gathers. Two ρ-adaptation modes:
+
+  * ``rho_mode="shared"`` — one ladder index for the whole batch, walked by
+    the geometric mean of the per-problem OSQP ρ estimates. One GEMM per
+    iteration; the throughput mode.
+  * ``rho_mode="per_problem"`` — every problem walks its own ladder index.
+    The step computes all-rung GEMMs ``(B,D)@(D,D)`` per rung and one-hot
+    selects (N_rho× FLOPs but still dense GEMMs) when the batch is large,
+    or gathers per-problem ``W`` and runs a batched matvec when the batch
+    is small; the crossover is FLOP-vs-HBM-traffic balance.
+
+- **Heterogeneous batches** (per-problem H, A): per-problem banks from the
+  vmapped on-device builder (``core.bank.build_bank_jnp``); the step gathers
+  each problem's current-rung ``Wᵀ`` and runs a batched matvec.
+
+Each problem carries its own ``done`` flag and first-convergence iteration
+count; the single ``lax.while_loop`` exits when every problem has converged
+(under sharding, the ``jnp.all`` reduction becomes the cross-chip collective
+exit — see ``reluqp_tpu.parallel``). Converged problems keep iterating
+(shape-static, and a converged ADMM iterate is a fixed point up to noise)
+but their ρ index and recorded stats are frozen.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "BatchSolveResult",
+    "batched_residuals",
+    "solve_batched_shared",
+    "solve_batched_hetero",
+]
+
+_TINY = 1e-30
+# Below this batch size the per-problem-W gather (B·D² HBM reads/chunk) is
+# cheaper than N_rho× rung-GEMM FLOPs.
+_GATHER_BATCH_MAX = 32
+
+
+class BatchSolveResult(NamedTuple):
+    Y: jax.Array          # (B, Dp) final stacked states
+    iters: jax.Array      # (B,) int32 first-convergence iteration (or max_iter)
+    pri_res: jax.Array    # (B,) primal residuals at exit
+    dua_res: jax.Array    # (B,) dual residuals at exit
+    rho_estimate: jax.Array  # (B,) last ρ estimates
+    rho_ind: jax.Array    # (B,) or () int32 final ladder indices
+    converged: jax.Array  # (B,) bool
+    n_iter_total: jax.Array  # () int32 chunks·interval actually run
+
+
+def batched_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
+    """Per-problem residuals + ρ estimates for a shared-(H,A) batch.
+
+    Batched analogue of the reference ``compute_residuals``
+    (``ReLU-QP-py/reluqp/reluqpth.py:307-318``); all contractions are GEMMs
+    against the shared ``H``/``A``.
+
+    Args: X (B,nx), Z (B,nc), Lam (B,nc), g (B,nx) or (nx,), rho (B,).
+    Returns (pri, dua, rho_new), each (B,).
+    """
+    # Precision.HIGHEST: fast-bf16 MXU passes pollute residuals ~1e-2 and
+    # stall convergence below eps_abs (observed on TPU v5e).
+    hp = lax.Precision.HIGHEST
+    AX = jnp.matmul(X, A.T, precision=hp)      # (B, nc)
+    HX = jnp.matmul(X, H.T, precision=hp)      # (B, nx)
+    AtL = jnp.matmul(Lam, A, precision=hp)     # (B, nx)
+    g = jnp.broadcast_to(g, HX.shape)
+    pri = jnp.max(jnp.abs(AX - Z), axis=-1)
+    dua = jnp.max(jnp.abs(HX + AtL + g), axis=-1)
+    scale_p = jnp.maximum(jnp.max(jnp.abs(AX), axis=-1),
+                          jnp.max(jnp.abs(Z), axis=-1))
+    scale_d = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(HX), axis=-1),
+                    jnp.max(jnp.abs(AtL), axis=-1)),
+        jnp.max(jnp.abs(g), axis=-1))
+    num = pri / jnp.maximum(scale_p, _TINY)
+    den = dua / jnp.maximum(scale_d, _TINY)
+    ratio = jnp.sqrt(num / jnp.maximum(den, _TINY))
+    return pri, dua, jnp.clip(rho * ratio, rho_min, rho_max)
+
+
+def _hetero_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
+    """Per-problem residuals when every problem has its own (H, A, g)."""
+    hp = lax.Precision.HIGHEST
+    AX = jnp.einsum("bcx,bx->bc", A, X, precision=hp)
+    HX = jnp.einsum("bxy,by->bx", H, X, precision=hp)
+    AtL = jnp.einsum("bcx,bc->bx", A, Lam, precision=hp)
+    pri = jnp.max(jnp.abs(AX - Z), axis=-1)
+    dua = jnp.max(jnp.abs(HX + AtL + g), axis=-1)
+    scale_p = jnp.maximum(jnp.max(jnp.abs(AX), axis=-1),
+                          jnp.max(jnp.abs(Z), axis=-1))
+    scale_d = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(HX), axis=-1),
+                    jnp.max(jnp.abs(AtL), axis=-1)),
+        jnp.max(jnp.abs(g), axis=-1))
+    num = pri / jnp.maximum(scale_p, _TINY)
+    den = dua / jnp.maximum(scale_d, _TINY)
+    ratio = jnp.sqrt(num / jnp.maximum(den, _TINY))
+    return pri, dua, jnp.clip(rho * ratio, rho_min, rho_max)
+
+
+# --------------------------------------------------------------------- #
+# chunk runners                                                         #
+# --------------------------------------------------------------------- #
+
+def _chunk_shared_rho(Wt_bank, bias_all, rho_ind, lo, hi, Y, n_steps: int):
+    """One shared ladder index: ``Y ← clip(Y @ Wᵀ + b)`` as one GEMM/step.
+
+    bias_all: (N_rho, B, Dp) per-rung per-problem biases.
+    """
+    Wt = lax.dynamic_index_in_dim(Wt_bank, rho_ind, 0, keepdims=False)
+    b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
+
+    def body(_, Y):
+        YW = jnp.dot(Y, Wt, precision=lax.Precision.HIGHEST)
+        return jnp.clip(YW + b, lo, hi)
+
+    return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
+
+
+def _chunk_rung_gemm(Wt_bank, bias_all, rho_inds, lo, hi, Y, n_steps: int):
+    """Per-problem ρ via all-rung GEMMs + one-hot select (large batches)."""
+    n_rho = Wt_bank.shape[0]
+    onehot = jax.nn.one_hot(rho_inds, n_rho, dtype=Y.dtype)      # (B, N)
+    b = jnp.einsum("nbd,bn->bd", bias_all, onehot)
+
+    def body(_, Y):
+        Zall = jnp.einsum("bd,ndk->nbk", Y, Wt_bank,
+                          precision=lax.Precision.HIGHEST)
+        YW = jnp.einsum("nbk,bn->bk", Zall, onehot)
+        return jnp.clip(YW + b, lo, hi)
+
+    return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
+
+
+def _chunk_gathered(Wt_bank, bias_all, rho_inds, lo, hi, Y, n_steps: int):
+    """Per-problem ρ via per-problem W gather + batched matvec (small B)."""
+    Wt = Wt_bank[rho_inds]                                       # (B, Dp, Dp)
+    b = jnp.take_along_axis(
+        jnp.swapaxes(bias_all, 0, 1), rho_inds[:, None, None], axis=1
+    )[:, 0, :]                                                   # (B, Dp)
+
+    def body(_, Y):
+        YW = jnp.einsum("bd,bdk->bk", Y, Wt,
+                        precision=lax.Precision.HIGHEST)
+        return jnp.clip(YW + b, lo, hi)
+
+    return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
+
+
+def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int):
+    """Per-problem banks: gather current rung per problem, batched matvec.
+
+    Wt_bank: (B, N_rho, Dp, Dp); bias_bank: (B, N_rho, Dp).
+    """
+    B = Y.shape[0]
+    rows = jnp.arange(B)
+    Wt = Wt_bank[rows, rho_inds]                                 # (B, Dp, Dp)
+    b = bias_bank[rows, rho_inds]                                # (B, Dp)
+
+    def body(_, Y):
+        YW = jnp.einsum("bd,bdk->bk", Y, Wt,
+                        precision=lax.Precision.HIGHEST)
+        return jnp.clip(YW + b, lo, hi)
+
+    return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
+
+
+# --------------------------------------------------------------------- #
+# shared-(H, A) batch                                                   #
+# --------------------------------------------------------------------- #
+
+@partial(
+    jax.jit,
+    static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
+                     "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
+                     "rho_mode", "chunk_runner", "axis_name"),
+)
+def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
+                         rho_ind0, done0=None, *, nx: int, nc: int,
+                         max_iter: int, check_interval: int,
+                         adaptive_rho: bool, adaptive_rho_tolerance: float,
+                         eps_abs: float, rho_min: float, rho_max: float,
+                         rho_mode: str = "shared",
+                         chunk_runner=None,
+                         axis_name=None) -> BatchSolveResult:
+    """Solve a batch of QPs sharing (H, A) fully on device.
+
+    Args:
+      Wt_bank: (N_rho, Dp, Dp) shared transposed padded bank.
+      bias_all: (N_rho, B, Dp) per-rung biases ``b_k = B_k g_i`` (padded).
+      rhos: (N_rho,) ladder values.
+      H, A: shared problem matrices (unpadded), for residuals.
+      G: (B, nx) per-problem linear terms.
+      lo, hi: (B, Dp) per-problem clamp bounds in padded layout.
+      Y0: (B, Dp) initial stacked states.
+      rho_ind0: () int32 (rho_mode="shared") or (B,) int32 (per_problem).
+      chunk_runner: optional override with the ``_chunk_*`` signature — the
+        Pallas batched kernel plugs in here (shared mode only).
+      axis_name: when run per-shard inside ``shard_map``, the mesh axis
+        name over which convergence (and, in shared mode, the ρ walk) is
+        aggregated with ``lax.psum`` so every chip exits the loop together.
+      done0: optional (B,) bool mask of rows to treat as pre-converged
+        (inert batch-padding rows), excluded from the ρ walk statistics.
+    """
+    B = Y0.shape[0]
+    dtype = Y0.dtype
+    eps = jnp.asarray(eps_abs, dtype=dtype)
+    eps_pri = eps * jnp.sqrt(jnp.asarray(nc, dtype=dtype))
+    eps_dua = eps * jnp.sqrt(jnp.asarray(nx, dtype=dtype))
+    tol = jnp.asarray(adaptive_rho_tolerance, dtype=dtype)
+    n_rho = rhos.shape[0]
+    n_chunks = max(max_iter // check_interval, 1)
+
+    shared = rho_mode == "shared"
+    if chunk_runner is None:
+        if shared:
+            chunk_runner = _chunk_shared_rho
+        else:
+            chunk_runner = (_chunk_gathered if B <= _GATHER_BATCH_MAX
+                            else _chunk_rung_gemm)
+
+    rhos_t = jnp.asarray(rhos, dtype=dtype)
+
+    def split(Y):
+        return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
+
+    def check(Y, rho):
+        X, Z, Lam = split(Y)
+        return batched_residuals(H, A, G, X, Z, Lam, rho, rho_min, rho_max)
+
+    def body(state):
+        Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
+        Y = chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
+                         check_interval)
+        pri_n, dua_n, rho_new = check(Y, rho)
+        # Freeze stats for already-converged problems.
+        pri = jnp.where(done, pri, pri_n)
+        dua = jnp.where(done, dua, dua_n)
+        rho = jnp.where(done, rho, rho_new)
+        if adaptive_rho:
+            if shared:
+                rho_k = rhos_t[rho_ind]
+                # Geometric mean of active problems' estimates drives the
+                # single shared ladder index (psum'd across shards so the
+                # index stays in lockstep on every chip).
+                logr = jnp.sum(jnp.where(done, 0.0, jnp.log(rho_new)))
+                n_act = jnp.sum(~done)
+                if axis_name is not None:
+                    logr = lax.psum(logr, axis_name)
+                    n_act = lax.psum(n_act, axis_name)
+                rho_gm = jnp.exp(logr / jnp.maximum(n_act, 1))
+                rho_gm = jnp.where(n_act > 0, rho_gm, rho_k)
+                up = jnp.logical_and(rho_gm > rho_k * tol, rho_ind < n_rho - 1)
+                dn = jnp.logical_and(
+                    jnp.logical_and(rho_gm < rho_k / tol, rho_ind > 0), ~up)
+                rho_ind = rho_ind + up.astype(jnp.int32) - dn.astype(jnp.int32)
+            else:
+                rho_k = rhos_t[rho_ind]
+                up = jnp.logical_and(rho_new > rho_k * tol, rho_ind < n_rho - 1)
+                dn = jnp.logical_and(
+                    jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
+                step = up.astype(jnp.int32) - dn.astype(jnp.int32)
+                rho_ind = jnp.where(done, rho_ind, rho_ind + step)
+        newly = jnp.logical_and(~done,
+                                jnp.logical_and(pri < eps_pri, dua < eps_dua))
+        k = k + check_interval
+        iters = jnp.where(newly, k, iters)
+        done = jnp.logical_or(done, newly)
+        n_open = jnp.sum(~done)
+        if axis_name is not None:
+            n_open = lax.psum(n_open, axis_name)
+        return (Y, rho_ind, rho, k, pri, dua, done, iters, n_open == 0)
+
+    def cond(state):
+        k, all_done = state[3], state[8]
+        return jnp.logical_and(~all_done, k < n_chunks * check_interval)
+
+    rho_ind0 = jnp.asarray(rho_ind0, dtype=jnp.int32)
+    rho0 = rhos_t[rho_ind0] * jnp.ones((B,), dtype=dtype)
+    zeros = jnp.zeros((B,), dtype=dtype)
+    done_init = (jnp.zeros((B,), bool) if done0 is None
+                 else jnp.asarray(done0, bool))
+    iters_init = jnp.where(done_init, 0,
+                           max_iter).astype(jnp.int32)
+    state0 = (Y0, rho_ind0, rho0, jnp.asarray(0, jnp.int32), zeros, zeros,
+              done_init, iters_init, jnp.asarray(False))
+    Y, rho_ind, rho, k, pri, dua, done, iters, _ = lax.while_loop(
+        cond, body, state0)
+    return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
+                            rho_estimate=rho, rho_ind=rho_ind,
+                            converged=done, n_iter_total=k)
+
+
+# --------------------------------------------------------------------- #
+# heterogeneous batch                                                   #
+# --------------------------------------------------------------------- #
+
+@partial(
+    jax.jit,
+    static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
+                     "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                     "rho_max", "axis_name"),
+)
+def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
+                         rho_ind0, *, nx: int, nc: int, max_iter: int,
+                         check_interval: int, adaptive_rho: bool,
+                         adaptive_rho_tolerance: float, eps_abs: float,
+                         rho_min: float, rho_max: float,
+                         axis_name=None) -> BatchSolveResult:
+    """Solve a batch of QPs with per-problem (H, A) fully on device.
+
+    Args:
+      Wt_bank: (B, N_rho, Dp, Dp) per-problem transposed padded banks.
+      bias_bank: (B, N_rho, Dp) per-problem per-rung biases.
+      H: (B, nx, nx); A: (B, nc, nx); G: (B, nx).
+      lo, hi, Y0: (B, Dp). rho_ind0: (B,) int32.
+    """
+    B = Y0.shape[0]
+    dtype = Y0.dtype
+    eps = jnp.asarray(eps_abs, dtype=dtype)
+    eps_pri = eps * jnp.sqrt(jnp.asarray(nc, dtype=dtype))
+    eps_dua = eps * jnp.sqrt(jnp.asarray(nx, dtype=dtype))
+    tol = jnp.asarray(adaptive_rho_tolerance, dtype=dtype)
+    n_rho = rhos.shape[0]
+    n_chunks = max(max_iter // check_interval, 1)
+    rhos_t = jnp.asarray(rhos, dtype=dtype)
+
+    def split(Y):
+        return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
+
+    def body(state):
+        Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
+        Y = _chunk_hetero(Wt_bank, bias_bank, rho_ind, lo, hi, Y,
+                          check_interval)
+        X, Z, Lam = split(Y)
+        pri_n, dua_n, rho_new = _hetero_residuals(
+            H, A, G, X, Z, Lam, rho, rho_min, rho_max)
+        pri = jnp.where(done, pri, pri_n)
+        dua = jnp.where(done, dua, dua_n)
+        rho = jnp.where(done, rho, rho_new)
+        if adaptive_rho:
+            rho_k = rhos_t[rho_ind]
+            up = jnp.logical_and(rho_new > rho_k * tol, rho_ind < n_rho - 1)
+            dn = jnp.logical_and(
+                jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
+            step = up.astype(jnp.int32) - dn.astype(jnp.int32)
+            rho_ind = jnp.where(done, rho_ind, rho_ind + step)
+        newly = jnp.logical_and(~done,
+                                jnp.logical_and(pri < eps_pri, dua < eps_dua))
+        k = k + check_interval
+        iters = jnp.where(newly, k, iters)
+        done = jnp.logical_or(done, newly)
+        n_open = jnp.sum(~done)
+        if axis_name is not None:
+            n_open = lax.psum(n_open, axis_name)
+        return (Y, rho_ind, rho, k, pri, dua, done, iters, n_open == 0)
+
+    def cond(state):
+        k, all_done = state[3], state[8]
+        return jnp.logical_and(~all_done, k < n_chunks * check_interval)
+
+    rho_ind0 = jnp.asarray(rho_ind0, dtype=jnp.int32)
+    rho0 = rhos_t[rho_ind0]
+    zeros = jnp.zeros((B,), dtype=dtype)
+    state0 = (Y0, rho_ind0, rho0, jnp.asarray(0, jnp.int32), zeros, zeros,
+              jnp.zeros((B,), bool),
+              jnp.full((B,), max_iter, dtype=jnp.int32),
+              jnp.asarray(False))
+    Y, rho_ind, rho, k, pri, dua, done, iters, _ = lax.while_loop(
+        cond, body, state0)
+    return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
+                            rho_estimate=rho, rho_ind=rho_ind,
+                            converged=done, n_iter_total=k)

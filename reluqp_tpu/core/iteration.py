@@ -54,6 +54,8 @@ class SolveResult(NamedTuple):
     rho_estimate: jax.Array  # () last OSQP-style ρ estimate
     rho_ind: jax.Array    # () int32 final ladder index
     converged: jax.Array  # () bool
+    obj_val: jax.Array    # () ½xᵀHx + gᵀx at exit (computed in-loop so the
+                          #    host needs no second dispatch for Info)
 
 
 def xla_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int):
@@ -69,7 +71,8 @@ def xla_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int):
     b = lax.dynamic_index_in_dim(b_bank, rho_ind, 0, keepdims=False)
 
     def body(_, y):
-        return jnp.clip(y @ W + b, lo, hi)
+        yw = jnp.matmul(y, W, precision=lax.Precision.HIGHEST)
+        return jnp.clip(yw + b, lo, hi)
 
     return lax.fori_loop(0, n_steps, body, y, unroll=min(n_steps, 4))
 
@@ -81,9 +84,12 @@ def compute_residuals(H, A, g, x, z, lam, rho, rho_min: float, rho_max: float):
     with tiny-guarded denominators so an all-zero iterate cannot poison the
     estimate with NaNs.
     """
-    t1 = A @ x
-    t2 = H @ x
-    t3 = A.T @ lam
+    # Precision.HIGHEST: fast-bf16 MXU passes pollute residuals ~1e-2 and
+    # stall convergence below eps_abs (observed on TPU v5e).
+    hp = lax.Precision.HIGHEST
+    t1 = jnp.matmul(A, x, precision=hp)
+    t2 = jnp.matmul(H, x, precision=hp)
+    t3 = jnp.matmul(A.T, lam, precision=hp)
     pri = jnp.max(jnp.abs(t1 - z))
     dua = jnp.max(jnp.abs(t2 + t3 + g))
     scale_p = jnp.maximum(jnp.max(jnp.abs(t1)), jnp.max(jnp.abs(z)))
@@ -189,5 +195,7 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
             done, lambda a: a, tail, (y, rho_ind, rho, k, pri, dua, done))
 
     iters = jnp.where(done, k, jnp.asarray(max_iter, jnp.int32))
+    obj = compute_objective(qp.H, qp.g, y[:nx])
     return SolveResult(y=y, iters=iters, pri_res=pri, dua_res=dua,
-                       rho_estimate=rho, rho_ind=rho_ind, converged=done)
+                       rho_estimate=rho, rho_ind=rho_ind, converged=done,
+                       obj_val=obj)

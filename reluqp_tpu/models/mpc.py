@@ -1,0 +1,385 @@
+"""Linear MPC model family: LQR, MPC→QP generators, receding-horizon control.
+
+Re-design of the reference's scratch MPC drafts
+(``ReLU-QP-py/loose_code/RandomLinMPC.py``) as a correct, tested layer:
+
+- ``ihlqr`` — infinite-horizon discrete LQR via Riccati iteration
+  (reference ``:6-19``);
+- ``gen_sparse_mpc_qp`` — stage-stacked sparse MPC QP with dynamics as
+  equality rows (reference ``:54-73``; the reference's ``H`` assembly is a
+  broken ``np.block`` horizontal stack — here it is the correct
+  block-diagonal ``diag(R, Q, …, R, Qf)``);
+- ``gen_condensed_mpc_qp`` — state-eliminated dense MPC QP with a
+  prestabilizing gain, plus the receding-horizon update maps ``g_x0`` /
+  ``lu_x0`` (reference ``:76-90``; the reference draft unpacks 5 returns
+  into 3 and crashes, and mixes up the ``I_nu``/``I_nx`` blocks — both
+  fixed here from a clean derivation, documented below);
+- ``MPC`` — a receding-horizon controller over ``ReLU_QP`` using
+  ``update(g,l,u)`` + warm starting per step (the reference's intended MPC
+  cycle, SURVEY.md §3.3);
+- ``mpc_rollout_scan`` — the TPU-native extension: the entire closed loop
+  (state feedback → QP vector updates → warm-started solve → plant step)
+  as one ``lax.scan``, so kHz-rate control runs without any host
+  round-trip per step.
+
+Condensed-form derivation (prestabilized with ``u_k = -K x_k + v_k``,
+``Ā = Ad - Bd K``): stacking stage vectors ``s_k = [u_{k-1}; x_k]`` for
+``k = 1..N`` gives ``s = F v + G x0`` with
+
+    G_k = [ -K Ā^{k-1} ;  Ā^k ]
+    F_{k,j} = [ I_nu ; Bd ]                       for j = k-1
+              [ -K Ā^{k-2-j} Bd ; Ā^{k-1-j} Bd ]  for j < k-1
+
+so the sparse cost ``½ sᵀ H_sp s + g_spᵀ s`` condenses to ``H = Fᵀ H_sp F``,
+``g = g_x0 x0 + Fᵀ g_sp`` with ``g_x0 = Fᵀ H_sp G``, and row constraints
+``l ≤ A_add s ≤ u`` become ``l + lu_x0 x0 ≤ (A_add F) v ≤ u + lu_x0 x0``
+with ``lu_x0 = -A_add G``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+__all__ = [
+    "ihlqr",
+    "gen_sparse_mpc_qp",
+    "gen_condensed_mpc_qp",
+    "CondensedMPC",
+    "double_integrator",
+    "random_linear_system",
+    "MPC",
+    "mpc_rollout_scan",
+]
+
+
+def ihlqr(Ad, Bd, Q, R, Qf=None, max_iters: int = 1000, tol: float = 1e-8):
+    """Infinite-horizon discrete-time LQR gain by Riccati iteration.
+
+    Returns ``(K, P)`` with ``u = -K x`` optimal and ``P`` the value matrix.
+    Reference: ``loose_code/RandomLinMPC.py:6-19``.
+    """
+    Ad = np.asarray(Ad, dtype=np.float64)
+    Bd = np.asarray(Bd, dtype=np.float64)
+    Q = np.asarray(Q, dtype=np.float64)
+    R = np.asarray(R, dtype=np.float64)
+    P = Q.copy() if Qf is None else np.asarray(Qf, dtype=np.float64).copy()
+    for _ in range(max_iters):
+        BtP = Bd.T @ P
+        K = np.linalg.solve(R + BtP @ Bd, BtP @ Ad)
+        P_next = Q + Ad.T @ P @ (Ad - Bd @ K)
+        if np.linalg.norm(P_next - P, 2) < tol:
+            return K, P_next
+        P = P_next
+    raise RuntimeError("ihlqr did not converge")
+
+
+def _stage_cost_blockdiag(Q, R, Qf, horizon: int) -> np.ndarray:
+    """H_sp = blockdiag(R, Q, R, Q, …, R, Qf) over [u_0, x_1, …, u_{N-1}, x_N]."""
+    nx, nu = Q.shape[0], R.shape[0]
+    ns = nu + nx
+    H = np.zeros((horizon * ns, horizon * ns))
+    for k in range(horizon):
+        H[k * ns:k * ns + nu, k * ns:k * ns + nu] = R
+        Qk = Qf if k == horizon - 1 else Q
+        H[k * ns + nu:(k + 1) * ns, k * ns + nu:(k + 1) * ns] = Qk
+    return H
+
+
+def gen_sparse_mpc_qp(Ad, Bd, Q, R, Qf, horizon: int,
+                      A_add=None, l_add=None, u_add=None):
+    """Stage-stacked sparse MPC QP over ``s = [u_0, x_1, …, u_{N-1}, x_N]``.
+
+    Dynamics are the first ``horizon·nx`` rows, as equality rows (l = u):
+    ``Bd u_k + Ad x_k − x_{k+1} = 0`` for k ≥ 1 and
+    ``Bd u_0 − x_1 = −Ad x_0`` (the x0-dependent right-hand side is zero
+    here; shift ``l[:nx] = u[:nx] = −Ad x0`` per step). Extra row
+    constraints ``l_add ≤ A_add s ≤ u_add`` are stacked below.
+    Reference: ``loose_code/RandomLinMPC.py:54-73`` (with its broken H
+    assembly corrected to a true block diagonal).
+    """
+    Ad = np.asarray(Ad, dtype=np.float64)
+    Bd = np.asarray(Bd, dtype=np.float64)
+    nx, nu = Ad.shape[0], Bd.shape[1]
+    ns = nu + nx
+    H = _stage_cost_blockdiag(np.asarray(Q, float), np.asarray(R, float),
+                              np.asarray(Qf, float), horizon)
+    g = np.zeros(H.shape[0])
+    # Row block k (k = 0..N-1): Bd u_k − x_{k+1} (+ Ad x_k for k ≥ 1) = 0.
+    A = np.kron(np.eye(horizon), np.hstack([Bd, -np.eye(nx)]))
+    if horizon > 1:
+        # Ad acts on x_k (columns (k-1)·ns + nu …) for row blocks k ≥ 1.
+        A[nx:, nu:nu + (horizon - 1) * ns] += np.kron(
+            np.eye(horizon - 1), np.hstack([Ad, np.zeros((nx, nu))]))
+    l = np.zeros(A.shape[0])
+    u = np.zeros(A.shape[0])
+    if A_add is not None:
+        A = np.vstack([A, np.asarray(A_add, float)])
+        l = np.concatenate([l, np.asarray(l_add, float)])
+        u = np.concatenate([u, np.asarray(u_add, float)])
+    return H, g, A, l, u
+
+
+class CondensedMPC(NamedTuple):
+    """Condensed MPC QP + the receding-horizon update maps.
+
+    The per-step cycle is ``g = g0 + g_x0 @ x0``,
+    ``l = l0 + lu_x0 @ x0``, ``u = u0 + lu_x0 @ x0`` — exactly the
+    ``update(g,l,u)`` + warm-started ``solve`` path of the solver.
+    """
+
+    H: np.ndarray        # (N·nu, N·nu)
+    g0: np.ndarray       # (N·nu,)  x0-independent linear term  Fᵀ g_sp
+    A: np.ndarray        # (m, N·nu)
+    l0: np.ndarray       # (m,)
+    u0: np.ndarray       # (m,)
+    g_x0: np.ndarray     # (N·nu, nx)
+    lu_x0: np.ndarray    # (m, nx)
+    K: np.ndarray        # (nu, nx) prestabilizing gain (u = -Kx + v)
+    F: np.ndarray        # (N·(nu+nx), N·nu) stage map  s = F v + G x0
+    G: np.ndarray        # (N·(nu+nx), nx)
+
+
+def gen_condensed_mpc_qp(Ad, Bd, Q, R, Qf, horizon: int,
+                         A_add, l_add, u_add, K=None) -> CondensedMPC:
+    """Condensed (state-eliminated) MPC QP with prestabilizing gain K.
+
+    See the module docstring for the derivation. With ``K=0`` this reduces
+    to the standard condensed MPC form. Reference (draft):
+    ``loose_code/RandomLinMPC.py:76-90``.
+    """
+    Ad = np.asarray(Ad, dtype=np.float64)
+    Bd = np.asarray(Bd, dtype=np.float64)
+    nx, nu = Ad.shape[0], Bd.shape[1]
+    ns = nu + nx
+    if K is None:
+        K = np.zeros((nu, nx))
+    K = np.asarray(K, dtype=np.float64)
+    Abar = Ad - Bd @ K
+
+    # Powers of Ā up to N.
+    pows = [np.eye(nx)]
+    for _ in range(horizon):
+        pows.append(Abar @ pows[-1])
+
+    F = np.zeros((horizon * ns, horizon * nu))
+    G = np.zeros((horizon * ns, nx))
+    for k in range(1, horizon + 1):
+        r = (k - 1) * ns
+        G[r:r + nu] = -K @ pows[k - 1]
+        G[r + nu:r + ns] = pows[k]
+        for j in range(k):
+            c = j * nu
+            if j == k - 1:
+                F[r:r + nu, c:c + nu] = np.eye(nu)
+                F[r + nu:r + ns, c:c + nu] = Bd
+            else:
+                F[r:r + nu, c:c + nu] = -K @ pows[k - 2 - j] @ Bd
+                F[r + nu:r + ns, c:c + nu] = pows[k - 1 - j] @ Bd
+
+    H_sp, g_sp, _, _, _ = gen_sparse_mpc_qp(Ad, Bd, Q, R, Qf, horizon)
+    H = F.T @ H_sp @ F
+    H = 0.5 * (H + H.T)
+    g_x0 = F.T @ H_sp @ G
+    g0 = F.T @ g_sp
+    A_add = np.asarray(A_add, dtype=np.float64)
+    A = A_add @ F
+    lu_x0 = -A_add @ G
+    return CondensedMPC(H=H, g0=g0, A=A,
+                        l0=np.asarray(l_add, float),
+                        u0=np.asarray(u_add, float),
+                        g_x0=g_x0, lu_x0=lu_x0, K=K, F=F, G=G)
+
+
+# --------------------------------------------------------------------- #
+# example systems                                                       #
+# --------------------------------------------------------------------- #
+
+def double_integrator(dt: float = 0.05, n_masses: int = 1):
+    """Chain of ``n_masses`` decoupled double integrators (2·n states)."""
+    A1 = np.array([[1.0, dt], [0.0, 1.0]])
+    B1 = np.array([[0.5 * dt * dt], [dt]])
+    Ad = np.kron(np.eye(n_masses), A1)
+    Bd = np.kron(np.eye(n_masses), B1)
+    return Ad, Bd
+
+
+def random_linear_system(nx: int, nu: int, seed: int = 0,
+                         spectral_radius: float = 1.05):
+    """Random (slightly unstable) controllable linear system."""
+    rng = np.random.RandomState(seed)
+    Ad = rng.randn(nx, nx)
+    Ad *= spectral_radius / np.max(np.abs(np.linalg.eigvals(Ad)))
+    Bd = rng.randn(nx, nu) / np.sqrt(nx)
+    return Ad, Bd
+
+
+# --------------------------------------------------------------------- #
+# receding-horizon controller (host-driven)                             #
+# --------------------------------------------------------------------- #
+
+class MPC:
+    """Receding-horizon linear MPC over the ReLU-QP solver.
+
+    Host-driven variant: each ``step(x0)`` runs the reference's intended
+    MPC cycle (SURVEY.md §3.3) — ``update(g, l, u)`` from the measured
+    state, warm-started ``solve``, return ``u_0``. For on-device
+    closed-loop rollouts at kHz rates use ``mpc_rollout_scan``.
+    """
+
+    def __init__(self, Ad, Bd, Q, R, Qf=None, horizon: int = 10,
+                 x_min=None, x_max=None, u_min=None, u_max=None,
+                 prestabilize: bool = True, **solver_settings):
+        Ad = np.asarray(Ad, dtype=np.float64)
+        Bd = np.asarray(Bd, dtype=np.float64)
+        self.nx, self.nu = Ad.shape[0], Bd.shape[1]
+        self.Ad, self.Bd = Ad, Bd
+        self.horizon = horizon
+        if Qf is None:
+            _, Qf = ihlqr(Ad, Bd, Q, R)
+        K = ihlqr(Ad, Bd, Q, R, Qf)[0] if prestabilize \
+            else np.zeros((self.nu, self.nx))
+
+        A_add, l_add, u_add = _box_rows(self.nx, self.nu, horizon,
+                                        x_min, x_max, u_min, u_max)
+        self.prob = gen_condensed_mpc_qp(Ad, Bd, Q, R, Qf, horizon,
+                                         A_add, l_add, u_add, K=K)
+        from ..solver import ReLU_QP
+        self.solver = ReLU_QP()
+        self.solver.setup(self.prob.H, self.prob.g0, self.prob.A,
+                          self.prob.l0, self.prob.u0,
+                          warm_starting=True, **solver_settings)
+
+    def step(self, x0):
+        """One receding-horizon step: returns the control ``u_0``."""
+        x0 = np.asarray(x0, dtype=np.float64).reshape(self.nx)
+        g = self.prob.g0 + self.prob.g_x0 @ x0
+        shift = self.prob.lu_x0 @ x0
+        self.solver.update(g=g, l=self.prob.l0 + shift,
+                           u=self.prob.u0 + shift)
+        res = self.solver.solve()
+        v0 = np.asarray(res.x[:self.nu], dtype=np.float64)
+        return -self.prob.K @ x0 + v0, res
+
+
+def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
+    """Box constraints on every stage's u and x as extra rows over s."""
+    ns = nu + nx
+    A = np.eye(horizon * ns)
+    lo = np.empty(horizon * ns)
+    hi = np.empty(horizon * ns)
+    u_lo = -np.inf if u_min is None else np.asarray(u_min, float)
+    u_hi = np.inf if u_max is None else np.asarray(u_max, float)
+    x_lo = -np.inf if x_min is None else np.asarray(x_min, float)
+    x_hi = np.inf if x_max is None else np.asarray(x_max, float)
+    for k in range(horizon):
+        lo[k * ns:k * ns + nu] = u_lo
+        hi[k * ns:k * ns + nu] = u_hi
+        lo[k * ns + nu:(k + 1) * ns] = x_lo
+        hi[k * ns + nu:(k + 1) * ns] = x_hi
+    return A, lo, hi
+
+
+# --------------------------------------------------------------------- #
+# fully on-device closed loop                                           #
+# --------------------------------------------------------------------- #
+
+def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
+                     solve_max_iter: Optional[int] = None):
+    """Closed-loop MPC rollout as ONE compiled ``lax.scan`` on device.
+
+    Per control step, entirely on device: refresh ``g``/``l``/``u`` from
+    the current plant state, refresh the bias bank (one batched GEMV
+    ``b_k = B_k g`` over all rungs), run the warm-started solve loop,
+    apply ``u_0 = -K x + v_0`` to the plant, carry the solver state to the
+    next step. Returns ``(states (T+1, nx), controls (T, nu),
+    iters (T,))``. This is the path that turns the per-step host
+    round-trip of the reference's MPC cycle into zero round-trips.
+
+    Args:
+      solver: a set-up ``ReLU_QP`` on ``prob``'s condensed QP.
+      prob: the ``CondensedMPC`` maps.
+      x_init: (nx,) initial plant state.
+      n_steps: number of control steps (static).
+      solve_max_iter: per-step iteration cap (defaults to settings).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..core.iteration import solve_loop
+
+    stng = solver.settings
+    dtype = stng.precision_dtype
+    nu = prob.K.shape[0]
+    nxp = prob.K.shape[1]
+    nx_qp, nc = solver.nx, solver.nc
+    Dp, D = solver.Dp, solver.D
+    max_iter = solve_max_iter or stng.max_iter
+
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
+    g0 = cst(prob.g0)
+    g_x0 = cst(prob.g_x0)
+    l0 = cst(prob.l0)
+    u0_ = cst(prob.u0)
+    lu_x0 = cst(prob.lu_x0)
+    Kg = cst(prob.K)
+    Ad = cst(solver_plant_A(prob))
+    Bd = cst(solver_plant_B(prob))
+    B_bank = solver.bank.B          # (N_rho, Dp, nx_qp)
+    W_bank = solver.bank.W
+
+    pad_lo = jnp.full((Dp,), -jnp.inf, dtype=dtype)
+    pad_hi = jnp.full((Dp,), jnp.inf, dtype=dtype)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def ctrl_step(carry, _):
+        y, rho_ind, x = carry
+        g = g0 + jnp.matmul(g_x0, x, precision=hp)
+        shift = jnp.matmul(lu_x0, x, precision=hp)
+        lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
+        hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
+        b_bank = jnp.einsum("kdx,x->kd", B_bank, g, precision=hp)
+        bank = solver.bank._replace(b=b_bank)
+        qp = solver.qp_dev._replace(g=g, lo=lo, hi=hi)
+        res = solve_loop(
+            bank, qp, y, rho_ind, bank.rhos[rho_ind],
+            nx=nx_qp, nc=nc, max_iter=max_iter,
+            check_interval=stng.check_interval,
+            adaptive_rho=stng.adaptive_rho,
+            adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+            eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+            rho_max=float(stng.rho_max), chunk_runner=solver._chunk_runner)
+        v0 = res.y[:nu]
+        u = -jnp.matmul(Kg, x, precision=hp) + v0
+        x_next = (jnp.matmul(Ad, x, precision=hp)
+                  + jnp.matmul(Bd, u, precision=hp))
+        return (res.y, res.rho_ind, x_next), (x_next, u, res.iters)
+
+    @jax.jit
+    def rollout(y0, rho_ind0, x0):
+        carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
+        _, (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
+                                        length=n_steps)
+        return jnp.concatenate([x0[None], xs], axis=0), us, its
+
+    x0 = cst(np.asarray(x_init, np.float64).reshape(nxp))
+    return rollout(solver.y, solver.rho_ind, x0)
+
+
+def solver_plant_A(prob: CondensedMPC) -> np.ndarray:
+    """Recover the plant ``Ad`` from the condensed maps.
+
+    The first stage-block of ``G`` is ``[-K; Ā]`` and of ``F``'s first
+    column ``[I; Bd]``, so ``Ad = Ā + Bd K``.
+    """
+    nx = prob.K.shape[1]
+    nu = prob.K.shape[0]
+    Bd = prob.F[nu:nu + nx, :nu]
+    Abar = prob.G[nu:nu + nx, :]
+    return Abar + Bd @ prob.K
+
+
+def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
+    nx = prob.K.shape[1]
+    nu = prob.K.shape[0]
+    return prob.F[nu:nu + nx, :nu]

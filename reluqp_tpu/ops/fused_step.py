@@ -28,8 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "LANE", "round_up", "pad_dim", "fused_chunk",
-    "pallas_chunk_runner", "vmem_bytes_needed",
+    "LANE", "round_up", "pad_dim", "fused_chunk", "fused_chunk_batched",
+    "pallas_chunk_runner", "pallas_batched_chunk_runner",
+    "vmem_bytes_needed", "batch_tile_rows",
 ]
 
 LANE = 128
@@ -113,6 +114,84 @@ def fused_chunk(wt_bank, b, lo, hi, y, rho_ind, n_steps: int):
             transcendentals=0,
         ),
     )(jnp.asarray(rho_ind, jnp.int32).reshape(1), wt_bank, b, lo, hi, y)
+
+
+def batch_tile_rows(dp: int, dtype, budget: int = 8 * 1024 * 1024) -> int:
+    """Rows per grid tile so W + 6 row-tiles (double-buffered) fit VMEM."""
+    bs = jnp.dtype(dtype).itemsize
+    sub = _SUBLANE.get(jnp.dtype(dtype), 8)
+    avail = budget - dp * dp * bs
+    rows = max(avail // (6 * dp * bs), sub)
+    return int(round_up(min(rows, 1024), sub))
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "rows_tile"))
+def fused_chunk_batched(wt_bank, b, lo, hi, Y, rho_ind, n_steps: int,
+                        rows_tile: int):
+    """Grid-tiled batched variant: (B, Dp) states, one shared bank row.
+
+    The grid walks row tiles of the batch; the selected Wᵀ block's index map
+    is constant, so Mosaic keeps it in VMEM across the whole grid — W is
+    DMA'd from the HBM bank once per chunk regardless of batch size, and
+    every tile runs all ``n_steps`` iterations out of VMEM.
+
+    Row count must be a multiple of ``rows_tile`` (pad with inert rows:
+    b=0, lo=−inf, hi=+inf keeps padding exactly 0).
+    """
+    n_rho, dp, _ = wt_bank.shape
+    rows = Y.shape[0]
+    assert rows % rows_tile == 0, (rows, rows_tile)
+    dtype = Y.dtype
+    acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+    n_tiles = rows // rows_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, dp, dp), lambda i, s: (s[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, dp), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_steps * rows * dp * dp,
+            bytes_accessed=(dp * dp + 5 * rows * dp)
+            * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(rho_ind, jnp.int32).reshape(1), wt_bank, b, lo, hi, Y)
+
+
+def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
+                                n_steps: int):
+    """Shared-ρ batched ``ChunkRunner`` for ``solve_batched_shared``.
+
+    Expects pallas layout: ``Wt_bank`` (N, Dp, Dp) transposed padded,
+    ``bias_all`` (N, B, Dp), ``lo``/``hi``/``Y`` (B, Dp), B a multiple of
+    the tile size chosen at setup (inert-row padding).
+    """
+    b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
+    rows_tile = batch_tile_rows(Y.shape[1], Y.dtype)
+    rows_tile = min(rows_tile, Y.shape[0])
+    while Y.shape[0] % rows_tile:
+        rows_tile //= 2
+    return fused_chunk_batched(Wt_bank, b, lo, hi, Y, rho_ind, n_steps,
+                               max(rows_tile, 1))
 
 
 def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int):

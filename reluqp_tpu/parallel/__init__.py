@@ -1,0 +1,8 @@
+"""Multi-chip / multi-host sharded solving (mesh, shard_map, collectives)."""
+from .sharded import (init_distributed, make_mesh, process_local_batch,
+                      replicate, shard_batch, solve_sharded_shared)
+
+__all__ = [
+    "make_mesh", "shard_batch", "replicate", "solve_sharded_shared",
+    "init_distributed", "process_local_batch",
+]

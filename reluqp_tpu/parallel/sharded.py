@@ -1,0 +1,127 @@
+"""Multi-chip / multi-host sharded solving.
+
+The reference has no distributed code at all (SURVEY.md §2, "Parallelism &
+distributed-communication inventory"); this module is the new-build
+component mandated by the north-star targets: batch-shard a large QP batch
+over a ``jax.sharding.Mesh`` so each chip runs the dense batched iteration
+on its shard while the convergence exit is a collective — every chip leaves
+the ``lax.while_loop`` together.
+
+Two ways to run sharded, both over the same ``core.batched`` loop:
+
+- **Auto-SPMD** (default inside ``BatchedReLU_QP`` when a mesh is passed):
+  inputs carry ``NamedSharding(P(axis))``; XLA partitions the GEMMs along
+  the batch and turns the loop-condition reduction into an all-reduce.
+- **Explicit ``shard_map``** (``solve_sharded_shared``): per-shard bodies
+  with a hand-placed ``lax.psum`` of the not-done count (and of the
+  shared-ρ walk statistics) — deterministic collective placement over ICI,
+  and required when plugging per-shard Pallas kernels into the chunk.
+
+Multi-host: call ``init_distributed()`` (a thin wrapper over
+``jax.distributed.initialize``) on every host, build the mesh over
+``jax.devices()`` (all hosts' chips), and hand each host its local batch
+shard via ``jax.make_array_from_process_local_data``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.batched import BatchSolveResult, solve_batched_shared
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "solve_sharded_shared",
+    "init_distributed",
+    "process_local_batch",
+]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "qp") -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_batch(arr, mesh: Mesh, axis_name: str = "qp"):
+    """Place ``arr`` with its leading (batch) axis sharded over the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P(axis_name)))
+
+
+def replicate(arr, mesh: Mesh):
+    """Place ``arr`` fully replicated on every device of the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
+                         lo, hi, Y0, rho_ind0, *, axis_name: str = "qp",
+                         rho_mode: str = "shared",
+                         **solve_kw) -> BatchSolveResult:
+    """Explicit ``shard_map`` batched solve with psum convergence exit.
+
+    Shardings: the bank, ``rhos``, ``H``, ``A`` are replicated; ``G``,
+    ``lo``, ``hi``, ``Y0`` (and ``rho_ind0`` in per-problem mode) are
+    sharded on the batch axis. ``bias_all`` is (N_rho, B, D): batch axis 1.
+    The global batch size must divide by the mesh axis size.
+
+    ``solve_kw`` are the static solver parameters of
+    ``core.batched.solve_batched_shared`` (nx, nc, max_iter, …).
+    """
+    n_shards = mesh.shape[axis_name]
+    B_n = Y0.shape[0]
+    if B_n % n_shards != 0:
+        raise ValueError(f"batch {B_n} not divisible by mesh axis {n_shards}"
+                         " — pad the batch (inert rows: lo=-inf, hi=+inf)")
+
+    shared = rho_mode == "shared"
+    rep = P()
+    bat = P(axis_name)
+    bias_spec = P(None, axis_name)          # (N_rho, B, D) sharded on B
+    rho_spec = rep if shared else bat
+    out_specs = BatchSolveResult(
+        Y=bat, iters=bat, pri_res=bat, dua_res=bat, rho_estimate=bat,
+        rho_ind=rho_spec, converged=bat, n_iter_total=rep)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(rep, bias_spec, rep, rep, rep, bat, bat, bat, bat,
+                       rho_spec),
+             out_specs=out_specs, check_vma=False)
+    def run(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0, rho_ind0):
+        return solve_batched_shared(
+            Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0, rho_ind0,
+            rho_mode=rho_mode, axis_name=axis_name, **solve_kw)
+
+    return run(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
+               jnp.asarray(rho_ind0, jnp.int32))
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Initialize multi-host JAX (no-op when single-process).
+
+    Call once per host before any device use; afterwards ``jax.devices()``
+    spans the pod slice and meshes built from it ride ICI/DCN collectives.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_local_batch(global_shape, mesh: Mesh, local_np,
+                        axis_name: str = "qp"):
+    """Assemble a globally-sharded batch array from per-host local data."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.make_array_from_process_local_data(sharding, local_np,
+                                                  global_shape)

@@ -33,7 +33,7 @@ import numpy as np
 from .classes import QP, Info, Results, Settings
 from .core.bank import (Bank, DeviceQP, build_bank_np, clamp_bounds,
                         equality_mask, stacked_dim)
-from .core.iteration import (compute_objective, solve_loop, xla_chunk_runner)
+from .core.iteration import solve_loop, xla_chunk_runner
 from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import pad_dim, pallas_chunk_runner, vmem_bytes_needed
 
@@ -271,18 +271,23 @@ class ReLU_QP:
         run_time = time.perf_counter() - t0
 
         self.y = res.y
-        self.rho_ind = int(res.rho_ind)
+        # ONE bulk D2H for all scalar stats (per-field float()/int() costs a
+        # tunnel round-trip each — ~7× dispatch latency on remote TPU).
+        iters, conv, pri, dua, rho_est, rho_ind, obj = jax.device_get(
+            (res.iters, res.converged, res.pri_res, res.dua_res,
+             res.rho_estimate, res.rho_ind, res.obj_val))
+        self.rho_ind = int(rho_ind)
         x = res.y[:self.nx]
         z = res.y[self.nx:self.nx + self.nc]
         lam = res.y[self.nx + self.nc:self.nx + 2 * self.nc]
 
         info = self.info
-        info.iter = int(res.iters)
-        info.status = "solved" if bool(res.converged) else "max_iters_reached"
-        info.obj_val = float(compute_objective(self.qp_dev.H, self.qp_dev.g, x))
-        info.pri_res = float(res.pri_res)
-        info.dua_res = float(res.dua_res)
-        info.rho_estimate = float(res.rho_estimate)
+        info.iter = int(iters)
+        info.status = "solved" if bool(conv) else "max_iters_reached"
+        info.obj_val = float(obj)
+        info.pri_res = float(pri)
+        info.dua_res = float(dua)
+        info.rho_estimate = float(rho_est)
         info.run_time = run_time
         info.solve_time = info.update_time + run_time
 
@@ -334,4 +339,5 @@ class ReLU_QP:
 @jax.jit
 def _update_bias(B_bank, g):
     """All-ρ bias refresh in one batched GEMV: b_k = B_k g."""
-    return jnp.einsum("kdx,x->kd", B_bank, g)
+    return jnp.einsum("kdx,x->kd", B_bank, g,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -1,0 +1,136 @@
+"""MPC layer tests: LQR, QP generation, receding-horizon control, rollouts."""
+import numpy as np
+import pytest
+
+from reluqp_tpu.models.mpc import (MPC, double_integrator, gen_condensed_mpc_qp,
+                                   gen_sparse_mpc_qp, ihlqr, mpc_rollout_scan,
+                                   solver_plant_A, solver_plant_B)
+
+
+def _di():
+    Ad, Bd = double_integrator(dt=0.1)
+    Q = np.diag([10.0, 1.0])
+    R = np.array([[0.1]])
+    return Ad, Bd, Q, R
+
+
+def test_ihlqr_stabilizes():
+    Ad, Bd, Q, R = _di()
+    K, P = ihlqr(Ad, Bd, Q, R)
+    eig = np.abs(np.linalg.eigvals(Ad - Bd @ K))
+    assert np.max(eig) < 1.0
+    # P solves the discrete algebraic Riccati equation
+    BtP = Bd.T @ P
+    K2 = np.linalg.solve(R + BtP @ Bd, BtP @ Ad)
+    P2 = Q + Ad.T @ P @ (Ad - Bd @ K2)
+    assert np.max(np.abs(P2 - P)) < 1e-6
+
+
+def test_sparse_mpc_qp_dynamics_rows():
+    """A feasible trajectory satisfies the dynamics equality rows exactly."""
+    Ad, Bd, Q, R = _di()
+    N = 5
+    H, g, A, l, u = gen_sparse_mpc_qp(Ad, Bd, Q, R, Q, N)
+    nx, nu = 2, 1
+    rng = np.random.RandomState(0)
+    x0 = np.zeros(nx)  # x0-dependent rhs is zero in the generated l/u
+    us = rng.randn(N, nu)
+    xs = [x0]
+    for k in range(N):
+        xs.append(Ad @ xs[-1] + Bd @ us[k])
+    s = np.concatenate([np.concatenate([us[k], xs[k + 1]]) for k in range(N)])
+    r = A[:N * nx] @ s
+    assert np.max(np.abs(r - l[:N * nx])) < 1e-12
+    # H is the block-diagonal stage cost: quadratic form equals summed costs
+    J_qp = 0.5 * s @ H @ s
+    J_sum = 0.5 * sum(us[k] @ R @ us[k] + xs[k + 1] @ Q @ xs[k + 1]
+                      for k in range(N))
+    assert abs(J_qp - J_sum) < 1e-10
+
+
+def test_condensed_matches_sparse_cost():
+    """Condensed H/g reproduce the sparse cost on the induced trajectory."""
+    Ad, Bd, Q, R = _di()
+    N = 4
+    K, _ = ihlqr(Ad, Bd, Q, R)
+    ns = 3
+    A_add = np.eye(N * ns)
+    l_add = -np.ones(N * ns)
+    u_add = np.ones(N * ns)
+    prob = gen_condensed_mpc_qp(Ad, Bd, Q, R, Q, N, A_add, l_add, u_add, K=K)
+    rng = np.random.RandomState(1)
+    v = rng.randn(N * 1) * 0.1
+    x0 = rng.randn(2) * 0.1
+    s = prob.F @ v + prob.G @ x0
+    H_sp, g_sp, _, _, _ = gen_sparse_mpc_qp(Ad, Bd, Q, R, Q, N)
+    J_sp = 0.5 * s @ H_sp @ s
+    J_cond = (0.5 * v @ prob.H @ v + (prob.g0 + prob.g_x0 @ x0) @ v
+              + 0.5 * x0 @ prob.G.T @ H_sp @ prob.G @ x0)
+    assert abs(J_sp - J_cond) < 1e-9
+    # the trajectory induced by F/G obeys the plant dynamics
+    Ar = solver_plant_A(prob)
+    Br = solver_plant_B(prob)
+    assert np.max(np.abs(Ar - Ad)) < 1e-12
+    assert np.max(np.abs(Br - Bd)) < 1e-12
+    u0 = -K @ x0 + v[0:1]
+    x1 = Ad @ x0 + Bd @ u0
+    assert np.max(np.abs(s[1:3] - x1)) < 1e-12
+
+
+def test_mpc_controller_regulates():
+    """Closed-loop MPC drives the double integrator to the origin."""
+    Ad, Bd, Q, R = _di()
+    ctrl = MPC(Ad, Bd, Q, R, horizon=10,
+               u_min=-1.0, u_max=1.0,
+               x_min=np.array([-5.0, -2.0]), x_max=np.array([5.0, 2.0]),
+               eps_abs=1e-4, backend="xla")
+    x = np.array([2.0, 0.0])
+    for _ in range(60):
+        u, res = ctrl.step(x)
+        assert res.info.status == "solved"
+        assert u[0] <= 1.0 + 1e-3 and u[0] >= -1.0 - 1e-3
+        x = Ad @ x + Bd @ u
+    assert np.linalg.norm(x) < 1e-2
+
+
+def test_mpc_rollout_scan_matches_host_loop():
+    """On-device scan rollout ≈ the host-driven update/solve loop."""
+    Ad, Bd, Q, R = _di()
+    kw = dict(horizon=8, u_min=-1.0, u_max=1.0, eps_abs=1e-4, backend="xla")
+    T = 20
+    x_init = np.array([1.0, 0.0])
+
+    ctrl = MPC(Ad, Bd, Q, R, **kw)
+    xs_host = [x_init.copy()]
+    x = x_init.copy()
+    for _ in range(T):
+        u, _ = ctrl.step(x)
+        x = Ad @ x + Bd @ u
+        xs_host.append(x.copy())
+
+    ctrl2 = MPC(Ad, Bd, Q, R, **kw)
+    xs_dev, us_dev, iters = mpc_rollout_scan(ctrl2.solver, ctrl2.prob,
+                                             x_init, T)
+    xs_dev = np.asarray(xs_dev, dtype=np.float64)
+    assert xs_dev.shape == (T + 1, 2)
+    assert us_dev.shape == (T, 1)
+    assert int(np.max(iters)) <= ctrl2.solver.settings.max_iter
+    # Same closed-loop trajectory within iteration-tolerance noise.
+    assert np.max(np.abs(xs_dev - np.stack(xs_host))) < 5e-2
+    # and the loop regulates
+    assert np.linalg.norm(xs_dev[-1]) < np.linalg.norm(x_init)
+
+
+def test_mpc_respects_state_constraints():
+    Ad, Bd, Q, R = _di()
+    ctrl = MPC(Ad, Bd, Q, R, horizon=15, u_min=-2.0, u_max=2.0,
+               x_min=np.array([-10.0, -0.5]), x_max=np.array([10.0, 0.5]),
+               eps_abs=1e-5, backend="xla")
+    x = np.array([3.0, 0.0])
+    vmax = 0.0
+    for _ in range(80):
+        u, _ = ctrl.step(x)
+        x = Ad @ x + Bd @ u
+        vmax = max(vmax, abs(x[1]))
+    assert np.linalg.norm(x) < 5e-2
+    assert vmax <= 0.5 + 5e-2  # velocity cap honored (soft ADMM tolerance)

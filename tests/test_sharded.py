@@ -1,0 +1,86 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reluqp_tpu.batch import BatchedReLU_QP
+from reluqp_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                 solve_sharded_shared)
+from tests.test_batched import _shared_batch
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("rho_mode", ["shared", "per_problem"])
+def test_batched_api_with_mesh(rho_mode):
+    """Auto-SPMD path: BatchedReLU_QP with a mesh shards and still solves."""
+    H, G, A, L, U, sols = _shared_batch(B=8)
+    mesh = make_mesh()
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, rho_mode=rho_mode, mesh=mesh, eps_abs=1e-4)
+    # batch-led arrays are actually sharded over the mesh
+    assert len(m.Y.sharding.device_set) == 8
+    res = m.solve()
+    assert res.info.status.all()
+    assert np.max(np.abs(np.asarray(res.x, np.float64) - sols)) < 1e-2
+
+
+@pytest.mark.parametrize("rho_mode", ["shared", "per_problem"])
+def test_shard_map_solve_matches_unsharded(rho_mode):
+    """Explicit shard_map solve gives the same answer as single-device."""
+    H, G, A, L, U, sols = _shared_batch(B=8)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, rho_mode=rho_mode, eps_abs=1e-4)
+    base = m.solve()
+    x_base = np.asarray(base.x, np.float64)
+
+    mesh = make_mesh()
+    kw = dict(nx=m.nx, nc=m.nc, max_iter=m.settings.max_iter,
+              check_interval=m.settings.check_interval,
+              adaptive_rho=True, adaptive_rho_tolerance=5.0,
+              eps_abs=1e-4, rho_min=1e-6, rho_max=1e6)
+    B_n = 8
+    Y0 = jnp.zeros((B_n, m.Dp), dtype=m.settings.precision_dtype)
+    rho_ind0 = m.rho_ind * 0 if rho_mode == "per_problem" else jnp.asarray(
+        int(np.argmin(np.abs(m.rhos_np - 0.1))), jnp.int32)
+    if rho_mode == "per_problem":
+        rho_ind0 = jnp.full((B_n,),
+                            int(np.argmin(np.abs(m.rhos_np - 0.1))),
+                            jnp.int32)
+        rho_ind0 = shard_batch(rho_ind0, mesh)
+    res = solve_sharded_shared(
+        mesh, replicate(m.Wt_bank, mesh),
+        jax.device_put(m.bias_all,
+                       jax.sharding.NamedSharding(
+                           mesh, jax.sharding.PartitionSpec(None, "qp"))),
+        replicate(m.rhos, mesh), replicate(m.H_dev, mesh),
+        replicate(m.A_dev, mesh), shard_batch(m.G, mesh),
+        shard_batch(m.lo, mesh), shard_batch(m.hi, mesh),
+        shard_batch(Y0, mesh), rho_ind0,
+        rho_mode=rho_mode, **kw)
+    res = jax.block_until_ready(res)
+    conv = np.asarray(jax.device_get(res.converged))
+    assert conv.all()
+    x = np.asarray(jax.device_get(res.Y))[:, :m.nx]
+    assert np.max(np.abs(x - sols)) < 1e-2
+    # lockstep with the unsharded solve (identical arithmetic path for
+    # per-problem mode; shared mode may differ only by reduction order)
+    assert np.max(np.abs(x - x_base)) < 1e-3
+
+
+def test_sharded_batch_not_divisible_raises():
+    H, G, A, L, U, _ = _shared_batch(B=6)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, eps_abs=1e-4)
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="not divisible"):
+        solve_sharded_shared(
+            mesh, m.Wt_bank, m.bias_all, m.rhos, m.H_dev, m.A_dev,
+            m.G, m.lo, m.hi, m.Y, m.rho_ind,
+            nx=m.nx, nc=m.nc, max_iter=100, check_interval=25,
+            adaptive_rho=True, adaptive_rho_tolerance=5.0,
+            eps_abs=1e-4, rho_min=1e-6, rho_max=1e6)
