@@ -113,7 +113,12 @@ class Settings:
 
     verbose: bool = False
     warm_starting: bool = True
-    scaling: bool = False  # parity placeholder (reference: todo as well)
+    # Modified Ruiz equilibration (utils/scaling.py). The reference's flag
+    # is an unimplemented placeholder; here True scales the problem at
+    # setup, solves with scaled termination (OSQP scaled_termination
+    # semantics — Info residuals are in scaled space), and unscales
+    # x/z/λ/objective in Results.
+    scaling: bool = False
     rho: float = 0.1
     rho_min: float = 1e-6
     rho_max: float = 1e6

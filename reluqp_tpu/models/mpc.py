@@ -263,7 +263,11 @@ class MPC:
 
 
 def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
-    """Box constraints on every stage's u and x as extra rows over s."""
+    """Box constraints on every stage's u and x as extra rows over s.
+
+    Rows whose bounds are both infinite are dropped — they can never be
+    active, and every row costs 2 lanes of the stacked state D = nx + 2 nc.
+    """
     ns = nu + nx
     A = np.eye(horizon * ns)
     lo = np.empty(horizon * ns)
@@ -277,12 +281,65 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
         hi[k * ns:k * ns + nu] = u_hi
         lo[k * ns + nu:(k + 1) * ns] = x_lo
         hi[k * ns + nu:(k + 1) * ns] = x_hi
-    return A, lo, hi
+    keep = np.isfinite(lo) | np.isfinite(hi)
+    if not keep.any():
+        keep[0] = True  # fully unconstrained: keep one inert row (nc ≥ 1)
+    return A[keep], lo[keep], hi[keep]
 
 
 # --------------------------------------------------------------------- #
 # fully on-device closed loop                                           #
 # --------------------------------------------------------------------- #
+
+def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
+                  Kg, Ad, Bd, y0, rho_ind0, x0, *, nx_qp: int, nc: int,
+                  nu: int, Dp: int, n_steps: int, max_iter: int,
+                  check_interval: int, adaptive_rho: bool,
+                  adaptive_rho_tolerance: float, eps_abs: float,
+                  rho_min: float, rho_max: float, chunk_runner):
+    """Jitted body of ``mpc_rollout_scan``.
+
+    All arrays are ARGUMENTS (not closure captures) so the weight bank is
+    not constant-folded into the HLO and repeated calls hit the jit cache.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..core.bank import Bank, DeviceQP
+    from ..core.iteration import solve_loop
+
+    dtype = y0.dtype
+    pad_lo = jnp.full((Dp,), -jnp.inf, dtype=dtype)
+    pad_hi = jnp.full((Dp,), jnp.inf, dtype=dtype)
+    hp = jax.lax.Precision.HIGHEST
+
+    def ctrl_step(carry, _):
+        y, rho_ind, x = carry
+        g = g0 + jnp.matmul(g_x0, x, precision=hp)
+        shift = jnp.matmul(lu_x0, x, precision=hp)
+        lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
+        hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
+        b_bank = jnp.einsum("kdx,x->kd", B_bank, g, precision=hp)
+        bank = Bank(W=W_bank, B=B_bank, b=b_bank, rhos=rhos)
+        qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi)
+        res = solve_loop(
+            bank, qp, y, rho_ind, rhos[rho_ind],
+            nx=nx_qp, nc=nc, max_iter=max_iter,
+            check_interval=check_interval, adaptive_rho=adaptive_rho,
+            adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
+            rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner)
+        v0 = res.y[:nu]
+        u = -jnp.matmul(Kg, x, precision=hp) + v0
+        x_next = (jnp.matmul(Ad, x, precision=hp)
+                  + jnp.matmul(Bd, u, precision=hp))
+        return (res.y, res.rho_ind, x_next), (x_next, u, res.iters)
+
+    carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
+    _, (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None, length=n_steps)
+    return jnp.concatenate([x0[None], xs], axis=0), us, its
+
+
+_rollout_jit = None
+
 
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
                      solve_max_iter: Optional[int] = None):
@@ -303,67 +360,39 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
       n_steps: number of control steps (static).
       solve_max_iter: per-step iteration cap (defaults to settings).
     """
+    import functools
     import jax
     import jax.numpy as jnp
-    from ..core.iteration import solve_loop
+
+    global _rollout_jit
+    if _rollout_jit is None:
+        _rollout_jit = jax.jit(
+            _rollout_impl,
+            static_argnames=("nx_qp", "nc", "nu", "Dp", "n_steps",
+                             "max_iter", "check_interval", "adaptive_rho",
+                             "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                             "rho_max", "chunk_runner"))
 
     stng = solver.settings
     dtype = stng.precision_dtype
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
     nu = prob.K.shape[0]
     nxp = prob.K.shape[1]
-    nx_qp, nc = solver.nx, solver.nc
-    Dp, D = solver.Dp, solver.D
-    max_iter = solve_max_iter or stng.max_iter
-
-    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
-    g0 = cst(prob.g0)
-    g_x0 = cst(prob.g_x0)
-    l0 = cst(prob.l0)
-    u0_ = cst(prob.u0)
-    lu_x0 = cst(prob.lu_x0)
-    Kg = cst(prob.K)
-    Ad = cst(solver_plant_A(prob))
-    Bd = cst(solver_plant_B(prob))
-    B_bank = solver.bank.B          # (N_rho, Dp, nx_qp)
-    W_bank = solver.bank.W
-
-    pad_lo = jnp.full((Dp,), -jnp.inf, dtype=dtype)
-    pad_hi = jnp.full((Dp,), jnp.inf, dtype=dtype)
-
-    hp = jax.lax.Precision.HIGHEST
-
-    def ctrl_step(carry, _):
-        y, rho_ind, x = carry
-        g = g0 + jnp.matmul(g_x0, x, precision=hp)
-        shift = jnp.matmul(lu_x0, x, precision=hp)
-        lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
-        hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
-        b_bank = jnp.einsum("kdx,x->kd", B_bank, g, precision=hp)
-        bank = solver.bank._replace(b=b_bank)
-        qp = solver.qp_dev._replace(g=g, lo=lo, hi=hi)
-        res = solve_loop(
-            bank, qp, y, rho_ind, bank.rhos[rho_ind],
-            nx=nx_qp, nc=nc, max_iter=max_iter,
-            check_interval=stng.check_interval,
-            adaptive_rho=stng.adaptive_rho,
-            adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
-            eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-            rho_max=float(stng.rho_max), chunk_runner=solver._chunk_runner)
-        v0 = res.y[:nu]
-        u = -jnp.matmul(Kg, x, precision=hp) + v0
-        x_next = (jnp.matmul(Ad, x, precision=hp)
-                  + jnp.matmul(Bd, u, precision=hp))
-        return (res.y, res.rho_ind, x_next), (x_next, u, res.iters)
-
-    @jax.jit
-    def rollout(y0, rho_ind0, x0):
-        carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
-        _, (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
-                                        length=n_steps)
-        return jnp.concatenate([x0[None], xs], axis=0), us, its
-
-    x0 = cst(np.asarray(x_init, np.float64).reshape(nxp))
-    return rollout(solver.y, solver.rho_ind, x0)
+    return _rollout_jit(
+        solver.bank.W, solver.bank.B, solver.bank.rhos,
+        solver.qp_dev.H, solver.qp_dev.A,
+        cst(prob.g0), cst(prob.g_x0), cst(prob.l0), cst(prob.u0),
+        cst(prob.lu_x0), cst(prob.K), cst(solver_plant_A(prob)),
+        cst(solver_plant_B(prob)),
+        solver.y, solver.rho_ind,
+        cst(np.asarray(x_init, np.float64).reshape(nxp)),
+        nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
+        n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
+        check_interval=stng.check_interval,
+        adaptive_rho=stng.adaptive_rho,
+        adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+        eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+        rho_max=float(stng.rho_max), chunk_runner=solver._chunk_runner)
 
 
 def solver_plant_A(prob: CondensedMPC) -> np.ndarray:

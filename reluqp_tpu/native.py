@@ -59,12 +59,21 @@ def ensure_built(rebuild: bool = False) -> str:
     return _LIB_PATH
 
 
+_load_failed = False
+
+
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    ensure_built()
-    lib = ctypes.CDLL(_LIB_PATH)
+    if _load_failed:
+        raise NativeUnavailable("native build failed earlier this process")
+    try:
+        ensure_built()
+        lib = ctypes.CDLL(_LIB_PATH)
+    except (NativeUnavailable, OSError) as e:
+        _load_failed = True
+        raise NativeUnavailable(str(e)) from e
     lib.rq_version.restype = ctypes.c_int
     lib.rq_build_bank.restype = ctypes.c_int
     lib.rq_solve.restype = ctypes.c_int

@@ -36,6 +36,7 @@ from .core.bank import (Bank, DeviceQP, build_bank_np, clamp_bounds,
 from .core.iteration import solve_loop, xla_chunk_runner
 from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import pad_dim, pallas_chunk_runner, vmem_bytes_needed
+from .utils.scaling import identity_scaling, ruiz_equilibrate
 
 __all__ = ["ReLU_QP", "prepare_bank"]
 
@@ -102,7 +103,8 @@ class ReLU_QP:
               check_interval=25,
               device=None,
               precision="float32",
-              backend="auto"):
+              backend="auto",
+              bank_backend="auto"):
         """Setup the ReLU-QP solver for
 
             minimize     1/2 x' H x + g' x
@@ -130,6 +132,22 @@ class ReLU_QP:
         self.nx, self.nc = nx, nc
         self.D = stacked_dim(nx, nc)
 
+        # Equality detection on the UNSCALED problem (row scaling changes
+        # u−l gaps), then optional Ruiz equilibration; everything after
+        # this point operates on the scaled copies.
+        self.eq_mask = equality_mask(self.QP.l_np, self.QP.u_np, stng.eq_tol)
+        if stng.scaling:
+            self.scal = ruiz_equilibrate(self.QP.H_np, self.QP.A_np,
+                                         self.QP.g_np)
+        else:
+            self.scal = identity_scaling(nx, nc)
+        sc = self.scal
+        self._H_s = sc.c * (self.QP.H_np * sc.D[:, None] * sc.D[None, :])
+        self._A_s = self.QP.A_np * sc.E[:, None] * sc.D[None, :]
+        self._g_s = sc.c * sc.D * self.QP.g_np
+        self._l_s = sc.E * self.QP.l_np
+        self._u_s = sc.E * self.QP.u_np
+
         # ρ ladder (host, shape-static).
         self.rhos_np = setup_rhos(stng.rho, stng.rho_min, stng.rho_max,
                                   stng.adaptive_rho,
@@ -141,19 +159,37 @@ class ReLU_QP:
         self.Dp = pad_dim(self.D) if self._chunk_runner is pallas_chunk_runner \
             else self.D
 
-        # fp64 host bank build, then device runtime layout.
-        self.eq_mask = equality_mask(self.QP.l_np, self.QP.u_np, stng.eq_tol)
-        W_np, B_np, b_np = build_bank_np(
-            self.QP.H_np, self.QP.g_np, self.QP.A_np, self.eq_mask,
-            self.rhos_np, stng.sigma)
+        # fp64 host bank build (on the scaled problem), then device layout.
+        # "auto": the OpenMP C++ builder when available (~10x faster than
+        # the numpy ladder loop — rungs factorize in parallel), else numpy.
+        use_native = bank_backend == "native"
+        if bank_backend == "auto":
+            from . import native as _native
+            use_native = _native.available()
+        if use_native:
+            from . import native as _native
+            W_np, B_np, b_np = _native.build_bank(
+                self._H_s, self._A_s, self._g_s, self.eq_mask,
+                self.rhos_np, stng.sigma)
+        else:
+            W_np, B_np, b_np = build_bank_np(
+                self._H_s, self._g_s, self._A_s, self.eq_mask,
+                self.rhos_np, stng.sigma)
         self.bank = prepare_bank(W_np, B_np, b_np, self.rhos_np, dtype,
                                  self.Dp, stng.device)
 
         # Device problem data (clamp bounds in padded layout).
-        lo, hi = self._padded_bounds(self.QP.l_np, self.QP.u_np, dtype)
+        lo, hi = self._padded_bounds(self._l_s, self._u_s, dtype)
         put = lambda a: jax.device_put(a, stng.device)
-        self.qp_dev = DeviceQP(H=put(self.QP.H), g=put(self.QP.g),
-                               A=put(self.QP.A), lo=put(lo), hi=put(hi))
+        self.qp_dev = DeviceQP(H=put(jnp.asarray(self._H_s, dtype=dtype)),
+                               g=put(jnp.asarray(self._g_s, dtype=dtype)),
+                               A=put(jnp.asarray(self._A_s, dtype=dtype)),
+                               lo=put(lo), hi=put(hi))
+        # Unscaling vectors on device (identity when scaling is off).
+        self._unscale_x = put(jnp.asarray(self.scal.D, dtype=dtype))
+        self._unscale_z = put(jnp.asarray(self.scal.Einv, dtype=dtype))
+        self._unscale_lam = put(jnp.asarray(self.scal.E * self.scal.cinv,
+                                            dtype=dtype))
 
         # Stacked state y = [x; z; λ; pad].
         self.y = put(jnp.zeros((self.Dp,), dtype=dtype))
@@ -210,7 +246,9 @@ class ReLU_QP:
             if g_np.shape != (self.nx,):
                 raise ValueError(f"g must have shape ({self.nx},)")
             self.QP.g_np = g_np
-            g_dev = jax.device_put(jnp.asarray(g_np, dtype=dtype), stng.device)
+            self._g_s = self.scal.c * self.scal.D * g_np
+            g_dev = jax.device_put(jnp.asarray(self._g_s, dtype=dtype),
+                                   stng.device)
             new_b = _update_bias(self.bank.B, g_dev)
             self.bank = self.bank._replace(b=new_b)
             self.qp_dev = self.qp_dev._replace(g=g_dev)
@@ -221,14 +259,16 @@ class ReLU_QP:
                 if l_np.shape != (self.nc,):
                     raise ValueError(f"l must have shape ({self.nc},)")
                 self.QP.l_np = l_np
+                self._l_s = self.scal.E * l_np
                 self.QP.l = jnp.asarray(l_np, dtype=dtype)
             if u is not None:
                 u_np = np.asarray(u, dtype=np.float64).reshape(-1)
                 if u_np.shape != (self.nc,):
                     raise ValueError(f"u must have shape ({self.nc},)")
                 self.QP.u_np = u_np
+                self._u_s = self.scal.E * u_np
                 self.QP.u = jnp.asarray(u_np, dtype=dtype)
-            lo, hi = self._padded_bounds(self.QP.l_np, self.QP.u_np, dtype)
+            lo, hi = self._padded_bounds(self._l_s, self._u_s, dtype)
             put = lambda a: jax.device_put(a, stng.device)
             self.qp_dev = self.qp_dev._replace(lo=put(lo), hi=put(hi))
         jax.block_until_ready((self.bank.b, self.qp_dev))
@@ -277,14 +317,16 @@ class ReLU_QP:
             (res.iters, res.converged, res.pri_res, res.dua_res,
              res.rho_estimate, res.rho_ind, res.obj_val))
         self.rho_ind = int(rho_ind)
-        x = res.y[:self.nx]
-        z = res.y[self.nx:self.nx + self.nc]
-        lam = res.y[self.nx + self.nc:self.nx + 2 * self.nc]
+        # Unscale the iterate (identity vectors when scaling is off).
+        x = res.y[:self.nx] * self._unscale_x
+        z = res.y[self.nx:self.nx + self.nc] * self._unscale_z
+        lam = res.y[self.nx + self.nc:self.nx + 2 * self.nc] \
+            * self._unscale_lam
 
         info = self.info
         info.iter = int(iters)
         info.status = "solved" if bool(conv) else "max_iters_reached"
-        info.obj_val = float(obj)
+        info.obj_val = float(obj) * self.scal.cinv
         info.pri_res = float(pri)
         info.dua_res = float(dua)
         info.rho_estimate = float(rho_est)
@@ -308,15 +350,20 @@ class ReLU_QP:
         ``reluqpth.py:251-276``; fixed to re-pack the stacked state)."""
         self._check_ready()
         dtype = self.settings.precision_dtype
+        sc = self.scal
         y = self.y
         if x is not None:
-            x = jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+            x = jnp.asarray(sc.Dinv * np.asarray(x, dtype=np.float64),
+                            dtype=dtype)
             y = y.at[:self.nx].set(x)
         if z is not None:
-            z = jnp.asarray(np.asarray(z, dtype=np.float64), dtype=dtype)
+            z = jnp.asarray(sc.E * np.asarray(z, dtype=np.float64),
+                            dtype=dtype)
             y = y.at[self.nx:self.nx + self.nc].set(z)
         if lam is not None:
-            lam = jnp.asarray(np.asarray(lam, dtype=np.float64), dtype=dtype)
+            lam = jnp.asarray(sc.c * sc.Einv
+                              * np.asarray(lam, dtype=np.float64),
+                              dtype=dtype)
             y = y.at[self.nx + self.nc:self.nx + 2 * self.nc].set(lam)
         self.y = jax.device_put(y, self.settings.device)
         if rho is not None:
