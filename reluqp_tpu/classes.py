@@ -130,6 +130,12 @@ class Settings:
     eps_abs: float = 1e-3
     eq_tol: float = 1e-6
     check_interval: int = 25
+    # OSQP-style infeasibility certificates (TPU-native extension — the
+    # reference cannot detect infeasibility). Off by default: the checks
+    # add two matvecs per check window to the compiled loop.
+    check_infeasibility: bool = False
+    eps_prim_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
     device: Optional[Any] = None
     precision: Any = "float32"
     # TPU-native extension: which iteration backend to use.

@@ -36,8 +36,11 @@ __all__ = [
     "xla_chunk_runner",
     "compute_residuals",
     "compute_objective",
+    "infeasibility_certificates",
     "solve_loop",
     "ChunkRunner",
+    "STATUS_MAX_ITER", "STATUS_SOLVED", "STATUS_PRIMAL_INFEASIBLE",
+    "STATUS_DUAL_INFEASIBLE", "STATUS_STRINGS",
 ]
 
 # chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps_static) -> y
@@ -56,6 +59,58 @@ class SolveResult(NamedTuple):
     converged: jax.Array  # () bool
     obj_val: jax.Array    # () ½xᵀHx + gᵀx at exit (computed in-loop so the
                           #    host needs no second dispatch for Info)
+    status_code: jax.Array  # () int32: 0 max_iter, 1 solved,
+                            #    2 primal_infeasible, 3 dual_infeasible
+
+
+STATUS_MAX_ITER = 0
+STATUS_SOLVED = 1
+STATUS_PRIMAL_INFEASIBLE = 2
+STATUS_DUAL_INFEASIBLE = 3
+STATUS_STRINGS = {
+    STATUS_MAX_ITER: "max_iters_reached",
+    STATUS_SOLVED: "solved",
+    STATUS_PRIMAL_INFEASIBLE: "primal_infeasible",
+    STATUS_DUAL_INFEASIBLE: "dual_infeasible",
+}
+
+
+def infeasibility_certificates(H, A, g, l, u, dx, dlam, eps_pinf: float,
+                               eps_dinf: float):
+    """OSQP-style primal/dual infeasibility tests on iterate deltas.
+
+    The reference has no infeasibility detection at all (SURVEY.md §5);
+    these are the standard ADMM certificates (OSQP §3.4): δλ certifies
+    primal infeasibility when Aᵀδλ ≈ 0 and the support function
+    uᵀ(δλ)₊ + lᵀ(δλ)₋ is negative; δx certifies dual infeasibility when
+    Hδx ≈ 0, gᵀδx < 0, and Aδx is a feasible ray direction.
+    Returns (pinf, dinf) booleans.
+    """
+    hp = lax.Precision.HIGHEST
+    norm_dlam = jnp.max(jnp.abs(dlam))
+    norm_dx = jnp.max(jnp.abs(dx))
+    eps_p = eps_pinf * norm_dlam
+    eps_d = eps_dinf * norm_dx
+
+    At_dlam = jnp.matmul(A.T, dlam, precision=hp)
+    support = jnp.sum(jnp.where(dlam > 0, u * dlam,
+                                jnp.where(dlam < 0, l * dlam, 0.0)))
+    pinf = jnp.logical_and(
+        norm_dlam > 0,
+        jnp.logical_and(jnp.max(jnp.abs(At_dlam)) <= eps_p,
+                        support <= -eps_p))
+
+    H_dx = jnp.matmul(H, dx, precision=hp)
+    A_dx = jnp.matmul(A, dx, precision=hp)
+    ray_ok = jnp.all(jnp.logical_and(
+        jnp.where(jnp.isfinite(u), A_dx <= eps_d, True),
+        jnp.where(jnp.isfinite(l), A_dx >= -eps_d, True)))
+    dinf = jnp.logical_and(
+        norm_dx > 0,
+        jnp.logical_and(
+            jnp.max(jnp.abs(H_dx)) <= eps_d,
+            jnp.logical_and(jnp.dot(g, dx) <= -eps_d, ray_ok)))
+    return pinf, dinf
 
 
 def xla_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int):
@@ -114,7 +169,8 @@ def compute_objective(H, g, x):
     static_argnames=(
         "nx", "nc", "max_iter", "check_interval", "adaptive_rho",
         "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
-        "chunk_runner", "verbose",
+        "chunk_runner", "verbose", "check_infeasibility", "eps_prim_inf",
+        "eps_dual_inf",
     ),
 )
 def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
@@ -122,7 +178,10 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
                chunk_runner: ChunkRunner = xla_chunk_runner,
-               verbose: bool = False) -> SolveResult:
+               verbose: bool = False,
+               check_infeasibility: bool = False,
+               eps_prim_inf: float = 1e-4,
+               eps_dual_inf: float = 1e-4) -> SolveResult:
     """Run the solver to convergence or ``max_iter`` fully on device.
 
     Semantics match the reference loop (``reluqpth.py:214-248``): iterations
@@ -134,7 +193,10 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
 
     - convergence is still checked when ``adaptive_rho=False`` (the reference
       then never exits early and returns a stale iterate, ``:218-219``);
-    - the returned state always reflects the final iterate.
+    - the returned state always reflects the final iterate;
+    - ``check_infeasibility=True`` additionally tests OSQP-style
+      primal/dual infeasibility certificates on iterate deltas at every
+      check (the reference cannot detect infeasibility at all).
     """
     dtype = y0.dtype
     eps = jnp.asarray(eps_abs, dtype=dtype)
@@ -153,12 +215,17 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
         return compute_residuals(qp.H, qp.A, qp.g, x, z, lam, rho,
                                  rho_min, rho_max)
 
+    RUNNING = jnp.asarray(-1, jnp.int32)
+
     def cond(state):
-        y, rho_ind, rho, k, pri, dua, done = state
-        return jnp.logical_and(~done, k < n_chunks * check_interval)
+        k, status = state[3], state[6]
+        return jnp.logical_and(status < 0, k < n_chunks * check_interval)
 
     def body(state):
-        y, rho_ind, rho, k, pri, dua, done = state
+        if check_infeasibility:
+            y, rho_ind, rho, k, pri, dua, status, x_prev, lam_prev = state
+        else:
+            y, rho_ind, rho, k, pri, dua, status = state
         y = chunk_runner(bank.W, bank.b, rho_ind, qp.lo, qp.hi, y,
                          check_interval)
         pri, dua, rho_new = check(y, rho)
@@ -172,30 +239,52 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
             jax.debug.print(
                 "Iter: {k}, rho: {r:.2e}, res_p: {p:.2e}, res_d: {d:.2e}",
                 k=k + check_interval, r=rho_new, p=pri, d=dua)
-        done = jnp.logical_and(pri < eps_pri, dua < eps_dua)
-        return (y, rho_ind, rho_new, k + check_interval, pri, dua, done)
+        solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
+        status = jnp.where(solved, STATUS_SOLVED, RUNNING)
+        if check_infeasibility:
+            x, z, lam = split(y)
+            l_v = qp.lo[nx:nx + nc]
+            u_v = qp.hi[nx:nx + nc]
+            pinf, dinf = infeasibility_certificates(
+                qp.H, qp.A, qp.g, l_v, u_v, x - x_prev, lam - lam_prev,
+                eps_prim_inf, eps_dual_inf)
+            status = jnp.where(jnp.logical_and(status < 0, pinf),
+                               STATUS_PRIMAL_INFEASIBLE, status)
+            status = jnp.where(jnp.logical_and(status < 0, dinf),
+                               STATUS_DUAL_INFEASIBLE, status)
+            return (y, rho_ind, rho_new, k + check_interval, pri, dua,
+                    status, x, lam)
+        return (y, rho_ind, rho_new, k + check_interval, pri, dua, status)
 
     zero = jnp.asarray(0, dtype=dtype)
     state0 = (y0, jnp.asarray(rho_ind0, dtype=jnp.int32),
               jnp.asarray(rho0, dtype=dtype), jnp.asarray(0, jnp.int32),
-              zero, zero, jnp.asarray(False))
-    y, rho_ind, rho, k, pri, dua, done = lax.while_loop(cond, body, state0)
+              zero, zero, RUNNING)
+    if check_infeasibility:
+        state0 = state0 + (y0[:nx], y0[nx + nc:nx + 2 * nc])
+    out = lax.while_loop(cond, body, state0)
+    y, rho_ind, rho, k, pri, dua, status = out[:7]
 
     if rem > 0:
         # Tail iterations when max_iter % check_interval != 0, then one final
         # residual evaluation (reference fallthrough, ``reluqpth.py:243-248``).
         def tail(args):
-            y, rho_ind, rho, k, pri, dua, done = args
+            y, rho_ind, rho, k, pri, dua, status = args
             y = chunk_runner(bank.W, bank.b, rho_ind, qp.lo, qp.hi, y, rem)
             pri, dua, rho = check(y, rho)
-            done = jnp.logical_and(pri < eps_pri, dua < eps_dua)
-            return (y, rho_ind, rho, k + rem, pri, dua, done)
+            solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
+            status = jnp.where(solved, STATUS_SOLVED, status)
+            return (y, rho_ind, rho, k + rem, pri, dua, status)
 
-        y, rho_ind, rho, k, pri, dua, done = lax.cond(
-            done, lambda a: a, tail, (y, rho_ind, rho, k, pri, dua, done))
+        y, rho_ind, rho, k, pri, dua, status = lax.cond(
+            status >= 0, lambda a: a, tail,
+            (y, rho_ind, rho, k, pri, dua, status))
 
-    iters = jnp.where(done, k, jnp.asarray(max_iter, jnp.int32))
+    done = status == STATUS_SOLVED
+    status = jnp.where(status < 0, STATUS_MAX_ITER, status)
+    iters = jnp.where(status != STATUS_MAX_ITER, k,
+                      jnp.asarray(max_iter, jnp.int32))
     obj = compute_objective(qp.H, qp.g, y[:nx])
     return SolveResult(y=y, iters=iters, pri_res=pri, dua_res=dua,
                        rho_estimate=rho, rho_ind=rho_ind, converged=done,
-                       obj_val=obj)
+                       obj_val=obj, status_code=status)

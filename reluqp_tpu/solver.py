@@ -101,6 +101,9 @@ class ReLU_QP:
               eps_abs=1e-3,
               eq_tol=1e-6,
               check_interval=25,
+              check_infeasibility=False,
+              eps_prim_inf=1e-4,
+              eps_dual_inf=1e-4,
               device=None,
               precision="float32",
               backend="auto",
@@ -122,8 +125,10 @@ class ReLU_QP:
             adaptive_rho_interval=adaptive_rho_interval,
             adaptive_rho_tolerance=adaptive_rho_tolerance,
             max_iter=max_iter, eps_abs=eps_abs, eq_tol=eq_tol,
-            check_interval=check_interval, device=device,
-            precision=precision, backend=backend)
+            check_interval=check_interval,
+            check_infeasibility=check_infeasibility,
+            eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf,
+            device=device, precision=precision, backend=backend)
         stng = self.settings
         dtype = stng.precision_dtype
 
@@ -306,16 +311,19 @@ class ReLU_QP:
             adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
             eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
             rho_max=float(stng.rho_max), chunk_runner=self._chunk_runner,
-            verbose=bool(stng.verbose))
+            verbose=bool(stng.verbose),
+            check_infeasibility=bool(stng.check_infeasibility),
+            eps_prim_inf=float(stng.eps_prim_inf),
+            eps_dual_inf=float(stng.eps_dual_inf))
         res = jax.block_until_ready(res)
         run_time = time.perf_counter() - t0
 
         self.y = res.y
         # ONE bulk D2H for all scalar stats (per-field float()/int() costs a
         # tunnel round-trip each — ~7× dispatch latency on remote TPU).
-        iters, conv, pri, dua, rho_est, rho_ind, obj = jax.device_get(
+        iters, conv, pri, dua, rho_est, rho_ind, obj, scode = jax.device_get(
             (res.iters, res.converged, res.pri_res, res.dua_res,
-             res.rho_estimate, res.rho_ind, res.obj_val))
+             res.rho_estimate, res.rho_ind, res.obj_val, res.status_code))
         self.rho_ind = int(rho_ind)
         # Unscale the iterate (identity vectors when scaling is off).
         x = res.y[:self.nx] * self._unscale_x
@@ -323,9 +331,10 @@ class ReLU_QP:
         lam = res.y[self.nx + self.nc:self.nx + 2 * self.nc] \
             * self._unscale_lam
 
+        from .core.iteration import STATUS_STRINGS
         info = self.info
         info.iter = int(iters)
-        info.status = "solved" if bool(conv) else "max_iters_reached"
+        info.status = STATUS_STRINGS[int(scode)]
         info.obj_val = float(obj) * self.scal.cinv
         info.pri_res = float(pri)
         info.dua_res = float(dua)
