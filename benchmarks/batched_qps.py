@@ -114,12 +114,19 @@ def main(argv=None):
     p.add_argument("--out", default="results/batched_qps.json")
     args = p.parse_args(argv)
 
+    import jax
     res = {"throughput": run_throughput(args)}
     if args.weak_scaling:
         res["weak_scaling"] = run_weak_scaling(args)
+    plat = jax.devices()[0].platform
+    note = ""
+    if args.weak_scaling and plat == "cpu":
+        note = ("virtual CPU devices share physical cores: efficiency "
+                "numbers validate the sharded code path only, not scaling")
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump({"config": vars(args), "results": res}, f, indent=1)
+        json.dump({"config": vars(args), "platform": plat, "note": note,
+                   "results": res}, f, indent=1)
     print("wrote", args.out)
 
 

@@ -38,6 +38,44 @@ def reluqp_solve(H, g, A, l, u, tol, backend="auto", warm=None):
     return m, res, setup_t
 
 
+def device_loop_us(m, reps: int = 20) -> float:
+    """Honest per-solve latency: `reps` cold solves in ONE device dispatch.
+
+    Each scan step resets y to zero (cold start) and runs the full solve
+    loop; per-solve time excludes host dispatch, which dominates through
+    remote tunnels (~10-30 ms/round-trip) and would otherwise flatten the
+    size sweep.
+    """
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+    from reluqp_tpu.core.iteration import solve_loop
+
+    s = m.settings
+
+    def k_solves(bank, qp_dev, y_zero):
+        def body(carry, _):
+            res = solve_loop(
+                bank, qp_dev, y_zero, 0, bank.rhos[0],
+                nx=m.nx, nc=m.nc, max_iter=s.max_iter,
+                check_interval=s.check_interval,
+                adaptive_rho=s.adaptive_rho,
+                adaptive_rho_tolerance=float(s.adaptive_rho_tolerance),
+                eps_abs=float(s.eps_abs), rho_min=float(s.rho_min),
+                rho_max=float(s.rho_max), chunk_runner=m._chunk_runner)
+            # carry a result-dependent scalar so XLA cannot elide solves
+            return carry + res.pri_res, res.iters
+        return jax.lax.scan(body, jnp.asarray(0.0, y_zero.dtype), None,
+                            length=reps)
+
+    fn = jax.jit(k_solves)
+    y_zero = jnp.zeros_like(m.y)
+    jax.block_until_ready(fn(m.bank, m.qp_dev, y_zero))
+    t0 = _t.perf_counter()
+    jax.block_until_ready(fn(m.bank, m.qp_dev, y_zero))
+    return (_t.perf_counter() - t0) / reps * 1e6
+
+
 def osqp_solve(H, g, A, l, u, tol):  # pragma: no cover - optional dep
     import osqp
     from scipy import sparse
@@ -69,6 +107,9 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-4)
     p.add_argument("--backend", default="auto")
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--device-loop", action="store_true",
+                   help="also record per-solve latency from an on-device "
+                        "K-solve scan (excludes host dispatch)")
     p.add_argument("--oracle", action="store_true",
                    help="check against the fp64 scipy oracle (slow)")
     p.add_argument("--out", default="results/random_qp_benchmark.json")
@@ -122,6 +163,8 @@ def main(argv=None):
             _, pri_feas, _ = kkt_error(inst.H, inst.g, inst.A, inst.l,
                                        inst.u, x)
             rec["primal_violation"] = float(pri_feas)
+            if args.device_loop and seed == 0:
+                rec["solve_device_us"] = device_loop_us(m)
             if args.oracle and inst.x_sol is not None:
                 rec["err_vs_oracle"] = float(np.max(np.abs(x - inst.x_sol)))
                 assert rec["err_vs_oracle"] < 50 * args.tol, rec

@@ -223,12 +223,21 @@ class BatchedReLU_QP:
     def _setup_hetero(self, H, g, A, l, u, dtype, bank_build):
         N = len(self.rhos_np)
         if bank_build == "host":
+            from . import native as _native
+            use_native = _native.available()
+            zero_g = np.zeros(self.nx)
             Wt = np.empty((self.B_n, N, self.D, self.D))
             Bb = np.empty((self.B_n, N, self.D, self.nx))
             for i in range(self.B_n):
                 eq = equality_mask(l[i], u[i], self.settings.eq_tol)
-                W, Bm, _ = build_bank_np(H[i], np.zeros(self.nx), A[i], eq,
-                                         self.rhos_np, self.settings.sigma)
+                if use_native:
+                    W, Bm, _ = _native.build_bank(H[i], A[i], zero_g, eq,
+                                                  self.rhos_np,
+                                                  self.settings.sigma)
+                else:
+                    W, Bm, _ = build_bank_np(H[i], zero_g, A[i], eq,
+                                             self.rhos_np,
+                                             self.settings.sigma)
                 Wt[i] = np.swapaxes(W, 1, 2)
                 Bb[i] = Bm
             self.Wt_bank = self._put(jnp.asarray(Wt, dtype=dtype))
@@ -287,6 +296,19 @@ class BatchedReLU_QP:
             self._set_bounds(l_np, u_np, dtype)
         jax.block_until_ready((self.bias_all, self.lo))
         self.info.update_time = time.perf_counter() - t0
+
+    def update_settings(self, **kwargs):
+        """Runtime-mutable settings, same rules as ``ReLU_QP`` (reference
+        ``reluqpth.py:185-199``): the ρ/σ family is bank-invalidating."""
+        for key, value in kwargs.items():
+            if key in ("max_iter", "eps_abs", "verbose", "check_interval"):
+                setattr(self.settings, key, value)
+            elif key in ("rho", "rho_min", "rho_max", "sigma",
+                         "adaptive_rho", "adaptive_rho_interval",
+                         "adaptive_rho_tolerance"):
+                raise ValueError(f"Cannot change {key} after setup")
+            else:
+                raise ValueError(f"Invalid setting: {key}")
 
     # ------------------------------------------------------------------ #
     def solve(self) -> BatchResults:

@@ -43,6 +43,7 @@ import numpy as np
 
 __all__ = [
     "ihlqr",
+    "constrained_ihlqr",
     "gen_sparse_mpc_qp",
     "gen_condensed_mpc_qp",
     "CondensedMPC",
@@ -72,6 +73,48 @@ def ihlqr(Ad, Bd, Q, R, Qf=None, max_iters: int = 1000, tol: float = 1e-8):
             return K, P_next
         P = P_next
     raise RuntimeError("ihlqr did not converge")
+
+
+def constrained_ihlqr(A, B_u, B_lam, C, Q, R, F, Qf=None,
+                      max_iters: int = 1000, tol: float = 1e-8):
+    """Equality-constrained infinite-horizon LQR via KKT Riccati iteration.
+
+    Dynamics ``x⁺ = A x + B_u u + B_λ λ`` with constraint forces λ chosen
+    so that ``C x⁺ = 0`` (e.g. contact constraints in whole-body control);
+    stage cost ``xᵀQx + uᵀRu + λᵀFλ``. Returns gains ``(K, L, P)`` with
+    ``u = -K x``, ``λ = -L x``. Reference (draft):
+    ``loose_code/RandomLinMPC.py:22-48``, with its hard-coded 12-dim zero
+    block generalized to ``C``'s row count.
+    """
+    A = np.asarray(A, dtype=np.float64)
+    B_u = np.asarray(B_u, dtype=np.float64)
+    B_lam = np.asarray(B_lam, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    Q = np.asarray(Q, dtype=np.float64)
+    R = np.asarray(R, dtype=np.float64)
+    F = np.asarray(F, dtype=np.float64)
+    nu, nlam, ncon = B_u.shape[1], B_lam.shape[1], C.shape[0]
+    P = Q.copy() if Qf is None else np.asarray(Qf, dtype=np.float64).copy()
+    for _ in range(max_iters):
+        BuP = B_u.T @ P
+        BlP = B_lam.T @ P
+        kkt_lhs = np.block([
+            [R + BuP @ B_u, BuP @ B_lam, B_u.T @ C.T],
+            [BlP @ B_u, F + BlP @ B_lam, B_lam.T @ C.T],
+            [C @ B_u, C @ B_lam, np.zeros((ncon, ncon))],
+        ])
+        kkt_rhs = np.vstack([BuP @ A, BlP @ A, C @ A])
+        gains = np.linalg.solve(kkt_lhs, kkt_rhs)
+        K = gains[:nu]
+        L = gains[nu:nu + nlam]
+        N = gains[nu + nlam:]
+        Abar = A - B_u @ K - B_lam @ L
+        P_next = Q + A.T @ P @ Abar - A.T @ C.T @ N
+        P_next = 0.5 * (P_next + P_next.T)
+        if np.linalg.norm(P_next - P, 2) < tol:
+            return K, L, P_next
+        P = P_next
+    raise RuntimeError("constrained_ihlqr did not converge")
 
 
 def _stage_cost_blockdiag(Q, R, Qf, horizon: int) -> np.ndarray:

@@ -47,9 +47,15 @@ def pad_dim(d: int) -> int:
 
 
 def vmem_bytes_needed(dp: int, rows: int, dtype) -> int:
-    """Rough VMEM footprint of the fused kernel (W tile + vectors)."""
+    """Estimated VMEM footprint of the fused kernel.
+
+    Mosaic holds the W block double-buffered plus gather/copy temporaries
+    — empirically ~3 W-sized buffers on the scoped stack (a Dp=1024 f32
+    bank with full unroll OOM'd at 21 MB ≈ 5 tiles; with bounded unroll
+    the multiplier is ~3).
+    """
     bs = jnp.dtype(dtype).itemsize
-    return dp * dp * bs + 4 * rows * dp * bs + 4 * dp * bs
+    return 3 * dp * dp * bs + 6 * rows * dp * bs + 4 * dp * bs
 
 
 def _kernel(n_steps, acc_dtype, rho_ref, wt_ref, b_ref, lo_ref, hi_ref,
@@ -68,7 +74,10 @@ def _kernel(n_steps, acc_dtype, rho_ref, wt_ref, b_ref, lo_ref, hi_ref,
                      precision=lax.Precision.HIGHEST)
         return jnp.clip(yw.astype(y.dtype) + b, lo, hi)
 
-    out_ref[:] = lax.fori_loop(0, n_steps, body, y_ref[:], unroll=True)
+    # Bounded unroll: full unroll keeps one live temporary per step on the
+    # Mosaic VMEM stack and OOMs for large Dp (21 MB at Dp=1024).
+    out_ref[:] = lax.fori_loop(0, n_steps, body, y_ref[:],
+                               unroll=min(n_steps, 2))
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))

@@ -134,3 +134,29 @@ def test_mpc_respects_state_constraints():
         vmax = max(vmax, abs(x[1]))
     assert np.linalg.norm(x) < 5e-2
     assert vmax <= 0.5 + 5e-2  # velocity cap honored (soft ADMM tolerance)
+
+
+def test_constrained_ihlqr():
+    """Point mass on a frictionless line: constraint force keeps y = 0."""
+    from reluqp_tpu.models.mpc import constrained_ihlqr
+    dt = 0.1
+    # planar double integrator: state [px, py, vx, vy], controls [fx, fy]
+    A = np.eye(4)
+    A[0, 2] = A[1, 3] = dt
+    B = np.zeros((4, 2))
+    B[2, 0] = B[3, 1] = dt
+    B_u = B[:, :1]            # actuated in x only
+    B_lam = B[:, 1:]          # constraint force acts in y
+    C = np.array([[0.0, 1.0, 0.0, dt]])   # enforce y-position of x+ = 0
+    Q = np.eye(4)
+    R = np.array([[0.1]])
+    F = np.array([[1e-8]])
+    K, L, P = constrained_ihlqr(A, B_u, B_lam, C, Q, R, F)
+    Abar = A - B_u @ K - B_lam @ L
+    # constraint-consistent closed loop: C maps closed-loop states to ~0
+    x = np.array([1.0, 0.0, -0.5, 0.0])   # on the constraint manifold
+    for _ in range(50):
+        x = Abar @ x
+        assert abs(x[1]) < 1e-6
+    # and it stabilizes the actuated subspace
+    assert np.linalg.norm(x) < 1e-2
