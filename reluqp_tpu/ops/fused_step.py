@@ -49,17 +49,18 @@ def pad_dim(d: int) -> int:
 def vmem_bytes_needed(dp: int, rows: int, dtype) -> int:
     """Estimated VMEM footprint of the fused kernel.
 
-    Mosaic holds the W block double-buffered plus gather/copy temporaries
-    — empirically ~3 W-sized buffers on the scoped stack (a Dp=1024 f32
-    bank with full unroll OOM'd at 21 MB ≈ 5 tiles; with bounded unroll
-    the multiplier is ~3).
+    Mosaic's scoped stack holds ~5 W-sized buffers for the fully-unrolled
+    single-row kernel (measured: 21.26 MB at Dp=1024 f32, i.e. 5.2 tiles
+    of 4 MB — double-buffered block + gather/copy temporaries). With the
+    12 MB budget this admits Pallas up to Dp=768 (~12.3 MB real usage
+    under the 16 MB hardware limit); larger banks stream through XLA.
     """
     bs = jnp.dtype(dtype).itemsize
-    return 3 * dp * dp * bs + 6 * rows * dp * bs + 4 * dp * bs
+    return 5 * dp * dp * bs + 6 * rows * dp * bs + 4 * dp * bs
 
 
-def _kernel(n_steps, acc_dtype, rho_ref, wt_ref, b_ref, lo_ref, hi_ref,
-            y_ref, out_ref):
+def _kernel(n_steps, acc_dtype, unroll, rho_ref, wt_ref, b_ref, lo_ref,
+            hi_ref, y_ref, out_ref):
     del rho_ref  # consumed by the index_map (scalar prefetch)
     wt = wt_ref[0]
     b = b_ref[:]
@@ -74,10 +75,10 @@ def _kernel(n_steps, acc_dtype, rho_ref, wt_ref, b_ref, lo_ref, hi_ref,
                      precision=lax.Precision.HIGHEST)
         return jnp.clip(yw.astype(y.dtype) + b, lo, hi)
 
-    # Bounded unroll: full unroll keeps one live temporary per step on the
-    # Mosaic VMEM stack and OOMs for large Dp (21 MB at Dp=1024).
-    out_ref[:] = lax.fori_loop(0, n_steps, body, y_ref[:],
-                               unroll=min(n_steps, 2))
+    # Mosaic lowers fori only with unroll=1 or full unroll. Single-row
+    # kernels unroll fully (temporaries are (1, Dp) rows — tiny); the
+    # batched grid kernel uses unroll=1 (temporaries are whole row tiles).
+    out_ref[:] = lax.fori_loop(0, n_steps, body, y_ref[:], unroll=unroll)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -112,7 +113,8 @@ def fused_chunk(wt_bank, b, lo, hi, y, rho_ind, n_steps: int):
         out_specs=pl.BlockSpec((rows, dp), lambda i, s: (0, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc)
+    kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc,
+                               min(n_steps, 1 << 30))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -172,7 +174,7 @@ def fused_chunk_batched(wt_bank, b, lo, hi, Y, rho_ind, n_steps: int,
         out_specs=pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc)
+    kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc, 1)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
