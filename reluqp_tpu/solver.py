@@ -237,11 +237,11 @@ class ReLU_QP:
 
         g-updates recompute the whole bias bank on device as one batched
         GEMV ``b_k = B_k g`` (the reference loops over ρ in Python,
-        ``:168-169``). Matrix updates require a full re-``setup`` (same
-        restriction as the reference ``:177``).
+        ``:168-169``). Matrix updates go through ``update_matrices`` (the
+        reference asserts them unsupported, ``:177``).
         """
-        assert Hx is None and Ax is None, \
-            "updating Hx and Ax is not supported yet"
+        if Hx is not None or Ax is not None:
+            self.update_matrices(H=Hx, A=Ax)
         self._check_ready()
         t0 = time.perf_counter()
         stng = self.settings
@@ -278,6 +278,42 @@ class ReLU_QP:
             self.qp_dev = self.qp_dev._replace(lo=put(lo), hi=put(hi))
         jax.block_until_ready((self.bank.b, self.qp_dev))
         self.info.update_time = time.perf_counter() - t0
+
+    def update_matrices(self, H=None, A=None):
+        """Replace H and/or A: re-factorizes the bank (one ``setup``-cost
+        operation) while PRESERVING the warm-start state and settings.
+
+        The reference cannot do this at all (``reluqpth.py:177`` asserts);
+        here it is a convenience for slowly-varying MPC linearizations —
+        the stacked state ``y`` survives, so the next ``solve`` is still
+        warm.
+        """
+        self._check_ready()
+        if H is None and A is None:
+            return
+        # Carry the warm state across in UNSCALED units (the new setup may
+        # compute a different equilibration).
+        old = self.scal
+        y_np = np.asarray(jax.device_get(self.y), dtype=np.float64)
+        x_u = y_np[:self.nx] * old.D
+        z_u = y_np[self.nx:self.nx + self.nc] * old.Einv
+        lam_u = y_np[self.nx + self.nc:self.nx + 2 * self.nc] \
+            * old.E * old.cinv
+        rho_ind_keep = self.rho_ind
+        stng = self.settings
+        self.setup(self.QP.H_np if H is None else H,
+                   self.QP.g_np,
+                   self.QP.A_np if A is None else A,
+                   self.QP.l_np, self.QP.u_np,
+                   **{k: getattr(stng, k) for k in (
+                       "verbose", "warm_starting", "scaling", "rho",
+                       "rho_min", "rho_max", "sigma", "adaptive_rho",
+                       "adaptive_rho_interval", "adaptive_rho_tolerance",
+                       "max_iter", "eps_abs", "eq_tol", "check_interval",
+                       "check_infeasibility", "eps_prim_inf",
+                       "eps_dual_inf", "device", "precision", "backend")})
+        self.warm_start(x=x_u, z=z_u, lam=lam_u)
+        self.rho_ind = rho_ind_keep
 
     def update_settings(self, **kwargs):
         """Update runtime-mutable settings (reference ``reluqpth.py:185-199``).

@@ -181,3 +181,47 @@ def test_check_interval_tail():
 def test_solve_before_setup_raises():
     with pytest.raises(RuntimeError):
         ReLU_QP().solve()
+
+
+def test_update_matrices_preserves_warm_state():
+    """H/A replacement re-factorizes but keeps the warm iterate (the
+    reference asserts matrix updates unsupported, reluqpth.py:177)."""
+    import numpy as np
+    from reluqp_tpu import ReLU_QP
+    from reluqp_tpu.utils.problems import rand_qp
+
+    inst = rand_qp(nx=10, n_eq=2, n_ineq=3, seed=4, compute_sol=False)
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-5,
+            backend="xla")
+    r1 = m.solve()
+    assert r1.info.status == "solved"
+    # small perturbation of H: warm state should carry over
+    H2 = inst.H + 1e-3 * np.eye(10)
+    m.update_matrices(H=H2)
+    r2 = m.solve()
+    assert r2.info.status == "solved"
+    assert r2.info.iter <= r1.info.iter
+    # update() routes Hx/Ax through update_matrices now
+    m.update(Hx=inst.H)
+    r3 = m.solve()
+    assert r3.info.status == "solved"
+
+
+def test_update_matrices_with_scaling():
+    import numpy as np
+    from reluqp_tpu import ReLU_QP
+    from reluqp_tpu.utils.problems import rand_qp
+
+    inst = rand_qp(nx=8, n_eq=2, n_ineq=2, seed=6, compute_sol=True)
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-5,
+            scaling=True, backend="xla")
+    m.solve()
+    m.update_matrices(H=inst.H * 1.5)
+    r = m.solve()
+    assert r.info.status == "solved"
+    # solution of the 1.5-scaled-H problem differs; verify against oracle
+    from reluqp_tpu.utils.problems import solve_qp_oracle
+    x_star = solve_qp_oracle(inst.H * 1.5, inst.g, inst.A, inst.l, inst.u)
+    assert np.max(np.abs(np.asarray(r.x, np.float64) - x_star)) < 1e-2
