@@ -40,6 +40,7 @@ from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import (batch_tile_rows, pad_dim,
                              pallas_batched_chunk_runner, round_up,
                              vmem_bytes_needed)
+from .utils.scaling import identity_scaling, ruiz_equilibrate
 
 __all__ = ["BatchedReLU_QP", "BatchResults", "BatchInfo"]
 
@@ -119,6 +120,9 @@ class BatchedReLU_QP:
             nc = A.shape[0]
         if l.shape != (B_n, nc) or u.shape != (B_n, nc):
             raise ValueError(f"l/u must be (B, nc) = ({B_n}, {nc})")
+        if self.settings.scaling and self.hetero:
+            raise NotImplementedError(
+                "scaling=True is only implemented for shared-(H,A) batches")
         self.B_n, self.nx, self.nc = B_n, nx, nc
         self.D = stacked_dim(nx, nc)
         self.rho_mode = "per_problem" if self.hetero else rho_mode
@@ -176,6 +180,11 @@ class BatchedReLU_QP:
             if not fits:
                 raise ValueError(f"bank too large for VMEM at D={self.D}; "
                                  "use backend='xla'")
+            if self.mesh is not None:
+                raise ValueError(
+                    "backend='pallas' cannot be combined with a mesh — the "
+                    "batched kernel is per-chip; use the shard_map path "
+                    "(reluqp_tpu.parallel) or backend='xla'")
             return True
         return _is_tpu(stng.device) and fits and self.mesh is None
 
@@ -191,6 +200,8 @@ class BatchedReLU_QP:
         return jax.device_put(arr, s) if s is not None else arr
 
     def _setup_shared(self, H, g, A, l, u, dtype):
+        # Equality detection on UNSCALED bounds; pattern must be batch-wide
+        # consistent because it shapes the shared bank.
         eq = equality_mask(l[0], u[0], self.settings.eq_tol)
         if not all(np.array_equal(equality_mask(l[i], u[i],
                                                 self.settings.eq_tol), eq)
@@ -198,6 +209,26 @@ class BatchedReLU_QP:
             raise ValueError(
                 "equality-row pattern differs across the batch; the shared "
                 "bank would be wrong — pass batched H/A (hetero mode)")
+        self._eq_pattern = eq
+        self._l_np, self._u_np = l.copy(), u.copy()
+
+        # Optional Ruiz equilibration (shared matrices; cost normalized by
+        # the batch-mean |g|). Everything below operates on scaled copies;
+        # results unscale in _fill_results.
+        if self.settings.scaling:
+            self.scal = ruiz_equilibrate(H, A, np.mean(np.abs(g), axis=0))
+        else:
+            self.scal = identity_scaling(self.nx, self.nc)
+        sc = self.scal
+        H = sc.c * (H * sc.D[:, None] * sc.D[None, :])
+        A = A * sc.E[:, None] * sc.D[None, :]
+        g = sc.c * (g * sc.D[None, :])
+        l = l * sc.E[None, :]
+        u = u * sc.E[None, :]
+        self._unx = jnp.asarray(sc.D, dtype=dtype)
+        self._unz = jnp.asarray(sc.Einv, dtype=dtype)
+        self._unlam = jnp.asarray(sc.E * sc.cinv, dtype=dtype)
+
         W, Bm, _ = build_bank_np(H, np.zeros(self.nx), A, eq, self.rhos_np,
                                  self.settings.sigma)
         # Runtime layout: Wᵀ per rung, lane-padded to Dp for pallas.
@@ -221,6 +252,11 @@ class BatchedReLU_QP:
         self._set_bounds(l, u, dtype)
 
     def _setup_hetero(self, H, g, A, l, u, dtype, bank_build):
+        self.scal = identity_scaling(self.nx, self.nc)
+        self._eq_pattern = None
+        self._l_np, self._u_np = l.copy(), u.copy()
+        one = jnp.ones((1,), dtype=dtype)
+        self._unx = self._unz = self._unlam = one
         N = len(self.rhos_np)
         if bank_build == "host":
             from . import native as _native
@@ -279,21 +315,38 @@ class BatchedReLU_QP:
         self._check_ready()
         t0 = time.perf_counter()
         dtype = self.settings.precision_dtype
+        sc = self.scal
         if g is not None:
             g = np.asarray(g, dtype=np.float64)
             if g.shape != (self.B_n, self.nx):
                 raise ValueError(f"g must be ({self.B_n}, {self.nx})")
             g_pad = np.zeros((self.B_pad, self.nx))
-            g_pad[:self.B_n] = g
+            g_pad[:self.B_n] = sc.c * (g * sc.D[None, :])
             self.G = self._put(jnp.asarray(g_pad, dtype=dtype))
             self.bias_all = (_bias_all_hetero if self.hetero
                              else _bias_all_shared)(self.B_bank, self.G)
         if l is not None or u is not None:
-            l_np = np.asarray(jax.device_get(self.lo))[:, self.nx:self.nx + self.nc] \
-                if l is None else np.asarray(l, dtype=np.float64)
-            u_np = np.asarray(jax.device_get(self.hi))[:, self.nx:self.nx + self.nc] \
-                if u is None else np.asarray(u, dtype=np.float64)
-            self._set_bounds(l_np, u_np, dtype)
+            # fp64 masters avoid round-tripping bounds through the
+            # iteration dtype; bounds arrive in UNSCALED units.
+            l_np = self._l_np if l is None \
+                else np.asarray(l, dtype=np.float64)
+            u_np = self._u_np if u is None \
+                else np.asarray(u, dtype=np.float64)
+            if l_np.shape != (self.B_n, self.nc) \
+                    or u_np.shape != (self.B_n, self.nc):
+                raise ValueError(f"l/u must be ({self.B_n}, {self.nc})")
+            if self._eq_pattern is not None:
+                for i in range(self.B_n):
+                    if not np.array_equal(
+                            equality_mask(l_np[i], u_np[i],
+                                          self.settings.eq_tol),
+                            self._eq_pattern):
+                        raise ValueError(
+                            "bound update changes the equality-row pattern "
+                            "baked into the shared bank — re-run setup()")
+            self._l_np, self._u_np = l_np.copy(), u_np.copy()
+            self._set_bounds(l_np * sc.E[None, :], u_np * sc.E[None, :],
+                             dtype)
         jax.block_until_ready((self.bias_all, self.lo))
         self.info.update_time = time.perf_counter() - t0
 
@@ -347,7 +400,8 @@ class BatchedReLU_QP:
         self.Y = res.Y
         self.rho_ind = res.rho_ind
         nx, nc, Bn = self.nx, self.nc, self.B_n
-        x = res.Y[:Bn, :nx]
+        # Unscale the iterate (identity vectors when scaling is off).
+        x = res.Y[:Bn, :nx] * self._unx
         host = jax.device_get((res.iters, res.converged, res.pri_res,
                                res.dua_res, res.rho_estimate,
                                res.n_iter_total))
@@ -363,20 +417,24 @@ class BatchedReLU_QP:
         info.run_time = run_time
         info.solve_time = info.update_time + run_time
         self.results.x = x
-        self.results.z = res.Y[:Bn, nx:nx + nc]
-        self.results.lam = res.Y[:Bn, nx + nc:nx + 2 * nc]
+        self.results.z = res.Y[:Bn, nx:nx + nc] * self._unz
+        self.results.lam = res.Y[:Bn, nx + nc:nx + 2 * nc] * self._unlam
         self.results.info = info
 
     def objective(self) -> np.ndarray:
-        """Per-problem objective ½xᵀHx + gᵀx (one batched contraction)."""
-        x = self.results.x
+        """Per-problem objective ½xᵀHx + gᵀx in UNSCALED units.
+
+        Computed from the scaled internals (H_dev/G/Y are in the
+        equilibrated space) and mapped back with 1/c.
+        """
+        x = self.Y[:self.B_n, :self.nx]   # scaled iterate
         G = self.G[:self.B_n]
         if self.hetero:
             Hx = jnp.einsum("bxy,by->bx", self.H_dev, x)
         else:
             Hx = x @ self.H_dev.T
-        return np.asarray(jax.device_get(
-            0.5 * jnp.sum(x * Hx, axis=-1) + jnp.sum(G * x, axis=-1)))
+        obj_s = 0.5 * jnp.sum(x * Hx, axis=-1) + jnp.sum(G * x, axis=-1)
+        return np.asarray(jax.device_get(obj_s)) * self.scal.cinv
 
     # ------------------------------------------------------------------ #
     def warm_start(self, x=None, z=None, lam=None):
@@ -384,12 +442,17 @@ class BatchedReLU_QP:
         dtype = self.settings.precision_dtype
         Y = self.Y
         Bn = self.B_n
+        sc = self.scal
         if x is not None:
+            x = np.asarray(x, dtype=np.float64) * sc.Dinv[None, :]
             Y = Y.at[:Bn, :self.nx].set(jnp.asarray(x, dtype=dtype))
         if z is not None:
+            z = np.asarray(z, dtype=np.float64) * sc.E[None, :]
             Y = Y.at[:Bn, self.nx:self.nx + self.nc].set(
                 jnp.asarray(z, dtype=dtype))
         if lam is not None:
+            lam = np.asarray(lam, dtype=np.float64) \
+                * (sc.c * sc.Einv)[None, :]
             Y = Y.at[:Bn, self.nx + self.nc:self.nx + 2 * self.nc].set(
                 jnp.asarray(lam, dtype=dtype))
         self.Y = self._put(Y)

@@ -224,7 +224,8 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     eps_dua = eps * jnp.sqrt(jnp.asarray(nx, dtype=dtype))
     tol = jnp.asarray(adaptive_rho_tolerance, dtype=dtype)
     n_rho = rhos.shape[0]
-    n_chunks = max(max_iter // check_interval, 1)
+    n_chunks = max_iter // check_interval
+    rem = max_iter - n_chunks * check_interval
 
     shared = rho_mode == "shared"
     if chunk_runner is None:
@@ -243,10 +244,9 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         X, Z, Lam = split(Y)
         return batched_residuals(H, A, G, X, Z, Lam, rho, rho_min, rho_max)
 
-    def body(state):
+    def step(state, n_steps: int):
         Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
-        Y = chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
-                         check_interval)
+        Y = chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y, n_steps)
         pri_n, dua_n, rho_new = check(Y, rho)
         # Freeze stats for already-converged problems.
         pri = jnp.where(done, pri, pri_n)
@@ -278,13 +278,16 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                 rho_ind = jnp.where(done, rho_ind, rho_ind + step)
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
-        k = k + check_interval
+        k = k + n_steps
         iters = jnp.where(newly, k, iters)
         done = jnp.logical_or(done, newly)
         n_open = jnp.sum(~done)
         if axis_name is not None:
             n_open = lax.psum(n_open, axis_name)
         return (Y, rho_ind, rho, k, pri, dua, done, iters, n_open == 0)
+
+    def body(state):
+        return step(state, check_interval)
 
     def cond(state):
         k, all_done = state[3], state[8]
@@ -299,8 +302,12 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                            max_iter).astype(jnp.int32)
     state0 = (Y0, rho_ind0, rho0, jnp.asarray(0, jnp.int32), zeros, zeros,
               done_init, iters_init, jnp.asarray(False))
-    Y, rho_ind, rho, k, pri, dua, done, iters, _ = lax.while_loop(
-        cond, body, state0)
+    state = lax.while_loop(cond, body, state0)
+    if rem > 0:
+        # max_iter % check_interval tail, like solve_loop's rem path.
+        state = lax.cond(state[8], lambda s: s, lambda s: step(s, rem),
+                         state)
+    Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
                             converged=done, n_iter_total=k)
@@ -337,16 +344,16 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     eps_dua = eps * jnp.sqrt(jnp.asarray(nx, dtype=dtype))
     tol = jnp.asarray(adaptive_rho_tolerance, dtype=dtype)
     n_rho = rhos.shape[0]
-    n_chunks = max(max_iter // check_interval, 1)
+    n_chunks = max_iter // check_interval
+    rem = max_iter - n_chunks * check_interval
     rhos_t = jnp.asarray(rhos, dtype=dtype)
 
     def split(Y):
         return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
 
-    def body(state):
+    def step(state, n_steps: int):
         Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
-        Y = _chunk_hetero(Wt_bank, bias_bank, rho_ind, lo, hi, Y,
-                          check_interval)
+        Y = _chunk_hetero(Wt_bank, bias_bank, rho_ind, lo, hi, Y, n_steps)
         X, Z, Lam = split(Y)
         pri_n, dua_n, rho_new = _hetero_residuals(
             H, A, G, X, Z, Lam, rho, rho_min, rho_max)
@@ -362,13 +369,16 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
             rho_ind = jnp.where(done, rho_ind, rho_ind + step)
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
-        k = k + check_interval
+        k = k + n_steps
         iters = jnp.where(newly, k, iters)
         done = jnp.logical_or(done, newly)
         n_open = jnp.sum(~done)
         if axis_name is not None:
             n_open = lax.psum(n_open, axis_name)
         return (Y, rho_ind, rho, k, pri, dua, done, iters, n_open == 0)
+
+    def body(state):
+        return step(state, check_interval)
 
     def cond(state):
         k, all_done = state[3], state[8]
@@ -381,8 +391,11 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
               jnp.zeros((B,), bool),
               jnp.full((B,), max_iter, dtype=jnp.int32),
               jnp.asarray(False))
-    Y, rho_ind, rho, k, pri, dua, done, iters, _ = lax.while_loop(
-        cond, body, state0)
+    state = lax.while_loop(cond, body, state0)
+    if rem > 0:
+        state = lax.cond(state[8], lambda s: s, lambda s: step(s, rem),
+                         state)
+    Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
                             converged=done, n_iter_total=k)

@@ -279,9 +279,10 @@ class MPC:
         self.Ad, self.Bd = Ad, Bd
         self.horizon = horizon
         if Qf is None:
-            _, Qf = ihlqr(Ad, Bd, Q, R)
-        K = ihlqr(Ad, Bd, Q, R, Qf)[0] if prestabilize \
-            else np.zeros((self.nu, self.nx))
+            K_inf, Qf = ihlqr(Ad, Bd, Q, R)
+        elif prestabilize:
+            K_inf = ihlqr(Ad, Bd, Q, R, Qf)[0]
+        K = K_inf if prestabilize else np.zeros((self.nu, self.nx))
 
         A_add, l_add, u_add = _box_rows(self.nx, self.nu, horizon,
                                         x_min, x_max, u_min, u_max)
@@ -335,8 +336,8 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 # --------------------------------------------------------------------- #
 
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
-                  Kg, Ad, Bd, y0, rho_ind0, x0, *, nx_qp: int, nc: int,
-                  nu: int, Dp: int, n_steps: int, max_iter: int,
+                  Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, *, nx_qp: int,
+                  nc: int, nu: int, Dp: int, n_steps: int, max_iter: int,
                   check_interval: int, adaptive_rho: bool,
                   adaptive_rho_tolerance: float, eps_abs: float,
                   rho_min: float, rho_max: float, chunk_runner):
@@ -344,6 +345,9 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
 
     All arrays are ARGUMENTS (not closure captures) so the weight bank is
     not constant-folded into the HLO and repeated calls hit the jit cache.
+    The g/l/u maps arrive PRE-SCALED into the solver's (possibly
+    Ruiz-equilibrated) space; ``v0_scale`` maps the solved first-stage
+    variable back to plant units (identity when scaling is off).
     """
     import jax
     import jax.numpy as jnp
@@ -370,7 +374,7 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner)
-        v0 = res.y[:nu]
+        v0 = res.y[:nu] * v0_scale
         u = -jnp.matmul(Kg, x, precision=hp) + v0
         x_next = (jnp.matmul(Ad, x, precision=hp)
                   + jnp.matmul(Bd, u, precision=hp))
@@ -421,12 +425,19 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
     cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
     nu = prob.K.shape[0]
     nxp = prob.K.shape[1]
+    # Map the receding-horizon update maps into the solver's (possibly
+    # Ruiz-equilibrated) space: ḡ = c·D·g, l̄/ū = E·(l/u); the solved
+    # first-stage variable unscales as v = D[:nu]·v̄.
+    sc = solver.scal
+    gD = sc.c * sc.D
     return _rollout_jit(
         solver.bank.W, solver.bank.B, solver.bank.rhos,
         solver.qp_dev.H, solver.qp_dev.A,
-        cst(prob.g0), cst(prob.g_x0), cst(prob.l0), cst(prob.u0),
-        cst(prob.lu_x0), cst(prob.K), cst(solver_plant_A(prob)),
-        cst(solver_plant_B(prob)),
+        cst(gD * prob.g0), cst(gD[:, None] * prob.g_x0),
+        cst(sc.E * prob.l0), cst(sc.E * prob.u0),
+        cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
+        cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
+        cst(sc.D[:nu]),
         solver.y, solver.rho_ind,
         cst(np.asarray(x_init, np.float64).reshape(nxp)),
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,

@@ -117,7 +117,7 @@ def build_bank(H, A, g, eq_mask, rhos, sigma
 def solve(H, A, g, l, u, W_bank, b_bank, rhos, *, max_iter=4000,
           check_interval=25, eps_abs=1e-3, adaptive_rho=True,
           adaptive_rho_tolerance=5.0, rho_min=1e-6, rho_max=1e6,
-          rho_ind0: Optional[int] = None, y0=None):
+          rho=0.1, rho_ind0: Optional[int] = None, y0=None):
     """Native CPU solve; returns ``(y, info)`` with reference semantics."""
     lib = _load()
     H = np.ascontiguousarray(H, dtype=np.float64)
@@ -131,7 +131,8 @@ def solve(H, A, g, l, u, W_bank, b_bank, rhos, *, max_iter=4000,
     nx, nc = H.shape[0], A.shape[0]
     D = nx + 2 * nc
     if rho_ind0 is None:
-        rho_ind0 = int(np.argmin(np.abs(rhos - 0.1)))
+        from .core.ladder import initial_rho_index
+        rho_ind0 = initial_rho_index(rhos, rho)
     y = (np.zeros(D) if y0 is None
          else np.ascontiguousarray(y0, dtype=np.float64).copy())
     info = NativeInfo()

@@ -257,7 +257,8 @@ class ReLU_QP:
             new_b = _update_bias(self.bank.B, g_dev)
             self.bank = self.bank._replace(b=new_b)
             self.qp_dev = self.qp_dev._replace(g=g_dev)
-            self.QP.g = g_dev
+            # QP.g stays the UNSCALED device copy (as after setup).
+            self.QP.g = jnp.asarray(g_np, dtype=dtype)
         if l is not None or u is not None:
             if l is not None:
                 l_np = np.asarray(l, dtype=np.float64).reshape(-1)

@@ -22,7 +22,8 @@ _SETTINGS_KEYS = [
     "verbose", "warm_starting", "scaling", "rho", "rho_min", "rho_max",
     "sigma", "adaptive_rho", "adaptive_rho_interval",
     "adaptive_rho_tolerance", "max_iter", "eps_abs", "eq_tol",
-    "check_interval", "precision", "backend",
+    "check_interval", "check_infeasibility", "eps_prim_inf",
+    "eps_dual_inf", "precision", "backend",
 ]
 
 
@@ -52,10 +53,11 @@ def load_solver(path: str, device=None):
     """Restore a ``ReLU_QP`` from ``save_solver`` output WITHOUT
     re-factorizing: the runtime-layout bank is device_put directly."""
     from ..classes import QP, Info, Results, Settings
-    from ..core.bank import Bank, DeviceQP
+    from ..core.bank import Bank, DeviceQP, equality_mask
     from ..core.iteration import xla_chunk_runner
-    from ..ops.fused_step import pad_dim, pallas_chunk_runner
-    from ..solver import ReLU_QP, _is_tpu
+    from ..ops.fused_step import pad_dim, pallas_chunk_runner, \
+        vmem_bytes_needed
+    from ..solver import _PALLAS_VMEM_BUDGET, ReLU_QP, _is_tpu
     from .scaling import Scaling
 
     t0 = time.perf_counter()
@@ -77,7 +79,8 @@ def load_solver(path: str, device=None):
     solver.Dp = int(data["Dp"])
     solver.rhos_np = np.asarray(data["rhos"], dtype=np.float64)
     solver.rho_ind = int(data["rho_ind"])
-    solver.eq_mask = (solver.QP.u_np - solver.QP.l_np) <= stng.eq_tol
+    solver.eq_mask = equality_mask(solver.QP.l_np, solver.QP.u_np,
+                                   stng.eq_tol)
     D_s = np.asarray(data["scal_D"])
     E_s = np.asarray(data["scal_E"])
     c_s = float(data["scal_c"])
@@ -89,10 +92,12 @@ def load_solver(path: str, device=None):
     solver._l_s = E_s * solver.QP.l_np
     solver._u_s = E_s * solver.QP.u_np
 
-    # The saved layout fixes Dp; pallas needs the lane-padded layout AND a
-    # TPU — otherwise the XLA runner handles either layout transparently.
+    # The saved layout fixes Dp; pallas needs the lane-padded layout, a
+    # TPU, AND a bank that fits VMEM (same gate as setup's _select_runner)
+    # — otherwise the XLA runner handles either layout transparently.
+    fits = vmem_bytes_needed(solver.Dp, 1, dtype) <= _PALLAS_VMEM_BUDGET
     if solver.Dp == pad_dim(solver.D) and _is_tpu(device) \
-            and stng.backend != "xla":
+            and stng.backend != "xla" and fits:
         solver._chunk_runner = pallas_chunk_runner
     else:
         solver._chunk_runner = xla_chunk_runner

@@ -119,3 +119,57 @@ def test_inconsistent_eq_mask_raises():
     m = BatchedReLU_QP()
     with pytest.raises(ValueError, match="equality-row pattern"):
         m.setup(qp.H, np.tile(qp.g, (2, 1)), qp.A, L, U)
+
+
+def test_shared_batch_with_scaling():
+    """Ruiz-equilibrated shared batch recovers unscaled solutions."""
+    H, G, A, L, U, sols = _shared_batch(B=4)
+    # badly condition the problem by rescaling variables
+    s = 10.0 ** np.linspace(-2, 2, H.shape[0])
+    Hs = H * s[:, None] * s[None, :]
+    As = A * s[None, :]
+    Gs = G * s[None, :]
+    sols_s = sols / s[None, :]
+    m = BatchedReLU_QP()
+    m.setup(Hs, Gs, As, L, U, scaling=True, eps_abs=1e-5,
+            precision="float64")
+    res = m.solve()
+    assert res.info.status.all()
+    x = np.asarray(res.x, np.float64)
+    assert np.max(np.abs(x - sols_s) / np.maximum(np.abs(sols_s), 1)) < 1e-2
+    # objective() reports unscaled units: compare against direct eval
+    obj = m.objective()
+    for i in range(4):
+        direct = 0.5 * x[i] @ Hs @ x[i] + Gs[i] @ x[i]
+        assert abs(obj[i] - direct) < 1e-4 * max(abs(direct), 1)
+    # update with unscaled units still works (same shift keeps equalities)
+    m.update(g=Gs * 1.05, l=L - 0.1, u=U - 0.1)
+    r2 = m.solve()
+    assert r2.info.status.all()
+
+
+def test_batch_update_eq_pattern_change_raises():
+    from reluqp_tpu.utils.problems import canonical_qp
+    qp = canonical_qp()
+    B = 2
+    m = BatchedReLU_QP()
+    m.setup(qp.H, np.tile(qp.g, (B, 1)), qp.A, np.tile(qp.l, (B, 1)),
+            np.tile(qp.u, (B, 1)), eps_abs=1e-4)
+    m.solve()
+    U2 = np.tile(qp.u, (B, 1))
+    U2[0, 0] = qp.l[0] + 7.0   # equality row becomes an inequality
+    with pytest.raises(ValueError, match="equality-row pattern"):
+        m.update(u=U2)
+
+
+def test_batch_max_iter_honored():
+    """max_iter not divisible by check_interval runs exactly max_iter."""
+    H, G, A, L, U, _ = _shared_batch(B=3)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, eps_abs=1e-12, max_iter=60, check_interval=25)
+    res = m.solve()
+    assert res.info.n_iter_total == 60  # 25 + 25 + 10 tail
+    m2 = BatchedReLU_QP()
+    m2.setup(H, G, A, L, U, eps_abs=1e-12, max_iter=10, check_interval=25)
+    r2 = m2.solve()
+    assert r2.info.n_iter_total == 10
