@@ -136,6 +136,9 @@ class Settings:
     check_infeasibility: bool = False
     eps_prim_inf: float = 1e-4
     eps_dual_inf: float = 1e-4
+    # TPU extension (opt-in): jump straight to the ladder rung nearest the
+    # ρ estimate instead of the reference's ±1 walk per check window.
+    rho_jump: bool = False
     device: Optional[Any] = None
     precision: Any = "float32"
     # TPU-native extension: which iteration backend to use.

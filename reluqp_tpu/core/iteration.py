@@ -170,7 +170,7 @@ def compute_objective(H, g, x):
         "nx", "nc", "max_iter", "check_interval", "adaptive_rho",
         "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
         "chunk_runner", "verbose", "check_infeasibility", "eps_prim_inf",
-        "eps_dual_inf",
+        "eps_dual_inf", "rho_jump",
     ),
 )
 def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
@@ -181,7 +181,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
                verbose: bool = False,
                check_infeasibility: bool = False,
                eps_prim_inf: float = 1e-4,
-               eps_dual_inf: float = 1e-4) -> SolveResult:
+               eps_dual_inf: float = 1e-4,
+               rho_jump: bool = False) -> SolveResult:
     """Run the solver to convergence or ``max_iter`` fully on device.
 
     Semantics match the reference loop (``reluqpth.py:214-248``): iterations
@@ -231,10 +232,23 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
         pri, dua, rho_new = check(y, rho)
         if adaptive_rho:
             rho_k = bank.rhos[rho_ind]
-            up = jnp.logical_and(rho_new > rho_k * tol, rho_ind < n_rhos - 1)
-            down = jnp.logical_and(
-                jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
-            rho_ind = rho_ind + up.astype(jnp.int32) - down.astype(jnp.int32)
+            if rho_jump:
+                # TPU extension (opt-in): jump straight to the rung nearest
+                # the estimate instead of the reference's ±1 walk — crosses
+                # the ladder in one check window instead of several.
+                moved = jnp.logical_or(rho_new > rho_k * tol,
+                                       rho_new < rho_k / tol)
+                nearest = jnp.argmin(
+                    jnp.abs(jnp.log(bank.rhos) - jnp.log(rho_new))
+                ).astype(jnp.int32)
+                rho_ind = jnp.where(moved, nearest, rho_ind)
+            else:
+                up = jnp.logical_and(rho_new > rho_k * tol,
+                                     rho_ind < n_rhos - 1)
+                down = jnp.logical_and(
+                    jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
+                rho_ind = rho_ind + up.astype(jnp.int32) \
+                    - down.astype(jnp.int32)
         if verbose:
             jax.debug.print(
                 "Iter: {k}, rho: {r:.2e}, res_p: {p:.2e}, res_d: {d:.2e}",

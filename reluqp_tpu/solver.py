@@ -104,6 +104,7 @@ class ReLU_QP:
               check_infeasibility=False,
               eps_prim_inf=1e-4,
               eps_dual_inf=1e-4,
+              rho_jump=False,
               device=None,
               precision="float32",
               backend="auto",
@@ -128,6 +129,7 @@ class ReLU_QP:
             check_interval=check_interval,
             check_infeasibility=check_infeasibility,
             eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf,
+            rho_jump=rho_jump,
             device=device, precision=precision, backend=backend)
         stng = self.settings
         dtype = stng.precision_dtype
@@ -312,7 +314,8 @@ class ReLU_QP:
                        "adaptive_rho_interval", "adaptive_rho_tolerance",
                        "max_iter", "eps_abs", "eq_tol", "check_interval",
                        "check_infeasibility", "eps_prim_inf",
-                       "eps_dual_inf", "device", "precision", "backend")})
+                       "eps_dual_inf", "rho_jump", "device", "precision",
+                       "backend")})
         self.warm_start(x=x_u, z=z_u, lam=lam_u)
         self.rho_ind = rho_ind_keep
 
@@ -351,7 +354,8 @@ class ReLU_QP:
             verbose=bool(stng.verbose),
             check_infeasibility=bool(stng.check_infeasibility),
             eps_prim_inf=float(stng.eps_prim_inf),
-            eps_dual_inf=float(stng.eps_dual_inf))
+            eps_dual_inf=float(stng.eps_dual_inf),
+            rho_jump=bool(stng.rho_jump))
         res = jax.block_until_ready(res)
         run_time = time.perf_counter() - t0
 

@@ -23,7 +23,7 @@ _SETTINGS_KEYS = [
     "sigma", "adaptive_rho", "adaptive_rho_interval",
     "adaptive_rho_tolerance", "max_iter", "eps_abs", "eq_tol",
     "check_interval", "check_infeasibility", "eps_prim_inf",
-    "eps_dual_inf", "precision", "backend",
+    "eps_dual_inf", "rho_jump", "precision", "backend",
 ]
 
 

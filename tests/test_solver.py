@@ -225,3 +225,27 @@ def test_update_matrices_with_scaling():
     from reluqp_tpu.utils.problems import solve_qp_oracle
     x_star = solve_qp_oracle(inst.H * 1.5, inst.g, inst.A, inst.l, inst.u)
     assert np.max(np.abs(np.asarray(r.x, np.float64) - x_star)) < 1e-2
+
+
+def test_rho_jump_converges_no_slower():
+    """Opt-in rho_jump crosses the ladder in one check window; it must
+    converge (and typically in no more iterations than the ±1 walk)."""
+    import numpy as np
+    from reluqp_tpu import ReLU_QP
+    from reluqp_tpu.utils.problems import rand_qp
+
+    worse = 0
+    for seed in range(5):
+        inst = rand_qp(nx=20, n_eq=5, n_ineq=5, seed=seed, compute_sol=False)
+        iters = {}
+        for jump in (False, True):
+            m = ReLU_QP()
+            # start far from the right rung so adaptation must travel
+            m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-4,
+                    rho=1e-5, backend="xla", rho_jump=jump)
+            r = m.solve()
+            assert r.info.status == "solved", (seed, jump)
+            iters[jump] = r.info.iter
+        if iters[True] > iters[False]:
+            worse += 1
+    assert worse <= 2, f"rho_jump slower on {worse}/5 seeds"
