@@ -142,9 +142,12 @@ class Settings:
     device: Optional[Any] = None
     precision: Any = "float32"
     # TPU-native extension: which iteration backend to use.
-    #   "auto"   -> pallas on TPU when the bank fits VMEM, else XLA
+    #   "auto"   -> chunked pallas on TPU when the bank row fits VMEM,
+    #               else XLA
     #   "xla"    -> pure jnp/lax path
-    #   "pallas" -> force the fused Pallas multi-step kernel
+    #   "pallas" -> force the chunked Pallas multi-step kernel
+    #   "fused"  -> whole-solve-in-VMEM kernel (opt-in: ~15% faster per
+    #               solve than chunked on v5e but much slower to compile)
     backend: str = "auto"
 
     def __post_init__(self):
@@ -155,7 +158,7 @@ class Settings:
             raise ValueError("max_iter must be >= 1")
         if self.adaptive_rho_tolerance <= 1.0:
             raise ValueError("adaptive_rho_tolerance must be > 1")
-        if self.backend not in ("auto", "xla", "pallas"):
+        if self.backend not in ("auto", "xla", "pallas", "fused"):
             raise ValueError(f"Invalid backend {self.backend!r}")
 
 

@@ -24,6 +24,7 @@ immediately (reference ``:251-276`` writes x/z/λ but never re-packs);
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -36,6 +37,8 @@ from .core.bank import (Bank, DeviceQP, build_bank_np, clamp_bounds,
 from .core.iteration import solve_loop, xla_chunk_runner
 from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import pad_dim, pallas_chunk_runner, vmem_bytes_needed
+from .ops.solve_kernel import (FullSolveOperand, build_residual_operator,
+                               full_solve, full_solve_vmem_bytes)
 from .utils.scaling import identity_scaling, ruiz_equilibrate
 
 __all__ = ["ReLU_QP", "prepare_bank"]
@@ -161,10 +164,14 @@ class ReLU_QP:
                                   stng.adaptive_rho_tolerance)
         self.rho_ind = initial_rho_index(self.rhos_np, stng.rho)
 
-        # Backend pick + padded dimension.
+        # Backend pick + padded dimension. Tiers (auto, best first):
+        #   "fused"  — whole-solve Pallas kernel, entire bank in VMEM;
+        #   "pallas" — chunked kernel, one bank row in VMEM per window;
+        #   "xla"    — streaming jnp path (any size).
+        self._fused = self._select_fused(dtype)
         self._chunk_runner = self._select_runner(dtype)
-        self.Dp = pad_dim(self.D) if self._chunk_runner is pallas_chunk_runner \
-            else self.D
+        use_padded = self._fused or self._chunk_runner is pallas_chunk_runner
+        self.Dp = pad_dim(self.D) if use_padded else self.D
 
         # fp64 host bank build (on the scaled problem), then device layout.
         # "auto": the OpenMP C++ builder when available (~10x faster than
@@ -198,6 +205,14 @@ class ReLU_QP:
         self._unscale_lam = put(jnp.asarray(self.scal.E * self.scal.cinv,
                                             dtype=dtype))
 
+        # Whole-solve kernel operands (residual operator + padded g row).
+        if self._fused:
+            M_res, g_row, nxp, ncp = build_residual_operator(
+                self._H_s, self._A_s, self._g_s, self.Dp, dtype)
+            self._M_res = put(M_res)
+            self._g_row = put(g_row)
+            self._nxp, self._ncp = nxp, ncp
+
         # Stacked state y = [x; z; λ; pad].
         self.y = put(jnp.zeros((self.Dp,), dtype=dtype))
 
@@ -205,6 +220,35 @@ class ReLU_QP:
         self.info.setup_time = time.perf_counter() - t0
         self.info.update_time = 0.0
         self._ready = True
+
+    def _select_fused(self, dtype) -> bool:
+        stng = self.settings
+        if stng.backend in ("xla", "pallas"):
+            return False
+        # verbose prints and infeasibility certificates run at the XLA
+        # level; the in-kernel loop does not support them.
+        unsupported = stng.verbose or stng.check_infeasibility
+        dp = pad_dim(self.D)
+        from .ops.fused_step import LANE, round_up
+        nxp = round_up(max(self.nx, LANE), LANE)
+        ncp = round_up(max(self.nc, LANE), LANE)
+        n_rho = len(self.rhos_np)
+        fits = full_solve_vmem_bytes(n_rho, dp, nxp, ncp, dtype) \
+            <= _PALLAS_VMEM_BUDGET
+        if stng.backend == "fused":
+            if unsupported:
+                raise ValueError("backend='fused' does not support "
+                                 "verbose or check_infeasibility")
+            if not fits:
+                raise ValueError(
+                    f"whole bank does not fit VMEM at D={self.D} "
+                    f"(N_rho={n_rho}); use backend='pallas' or 'xla'")
+            return True
+        # Not part of "auto": measured on v5e the whole-solve kernel is
+        # only ~15% faster per solve than the chunked path (the solve is
+        # latency-bound on the sequential matvec chain, not on loop
+        # overhead) while costing several times the compile time.
+        return False
 
     def _select_runner(self, dtype):
         stng = self.settings
@@ -256,6 +300,11 @@ class ReLU_QP:
             self._g_s = self.scal.c * self.scal.D * g_np
             g_dev = jax.device_put(jnp.asarray(self._g_s, dtype=dtype),
                                    stng.device)
+            if self._fused:
+                g_row = np.zeros((1, self._nxp))
+                g_row[0, :self.nx] = self._g_s
+                self._g_row = jax.device_put(
+                    jnp.asarray(g_row, dtype=dtype), stng.device)
             new_b = _update_bias(self.bank.B, g_dev)
             self.bank = self.bank._replace(b=new_b)
             self.qp_dev = self.qp_dev._replace(g=g_dev)
@@ -342,6 +391,8 @@ class ReLU_QP:
         self._check_ready()
         t0 = time.perf_counter()
         stng = self.settings
+        if self._fused:
+            return self._solve_fused(t0)
         rho0 = self.rhos_np[self.rho_ind]
         res = solve_loop(
             self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
@@ -392,6 +443,47 @@ class ReLU_QP:
             self.clear_primal_dual()
         return self.results
 
+    def _solve_fused(self, t0: float) -> Results:
+        """Whole-solve-kernel path: one launch, stats from SMEM."""
+        stng = self.settings
+        y, stats, obj = _fused_solve(
+            self.bank.W, self.bank.b, self.bank.rhos, self._M_res,
+            self._g_row, self.qp_dev.lo, self.qp_dev.hi, self.qp_dev.H,
+            self.qp_dev.g, self.y, self.rho_ind,
+            nx=self.nx, nc=self.nc, nxp=self._nxp, ncp=self._ncp,
+            max_iter=stng.max_iter, check_interval=stng.check_interval,
+            adaptive_rho=stng.adaptive_rho,
+            adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+            eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+            rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump))
+        jax.block_until_ready(y)
+        run_time = time.perf_counter() - t0
+        stats_h, obj_h = jax.device_get((stats, obj))
+        self.y = y
+        self.rho_ind = int(stats_h[4])
+        conv = bool(stats_h[5] > 0.5)
+
+        x = y[:self.nx] * self._unscale_x
+        z = y[self.nx:self.nx + self.nc] * self._unscale_z
+        lam = y[self.nx + self.nc:self.nx + 2 * self.nc] * self._unscale_lam
+
+        info = self.info
+        info.iter = int(stats_h[0]) if conv else stng.max_iter
+        info.status = "solved" if conv else "max_iters_reached"
+        info.obj_val = float(obj_h) * self.scal.cinv
+        info.pri_res = float(stats_h[1])
+        info.dua_res = float(stats_h[2])
+        info.rho_estimate = float(stats_h[3])
+        info.run_time = run_time
+        info.solve_time = info.update_time + run_time
+        self.results.x = x
+        self.results.z = z
+        self.results.lam = lam
+        self.results.info = info
+        if not stng.warm_starting:
+            self.clear_primal_dual()
+        return self.results
+
     # ------------------------------------------------------------------ #
     # warm start / reset                                                 #
     # ------------------------------------------------------------------ #
@@ -431,6 +523,26 @@ class ReLU_QP:
     def _check_ready(self):
         if not self._ready:
             raise RuntimeError("call setup() first")
+
+
+@partial(jax.jit, static_argnames=(
+    "nx", "nc", "nxp", "ncp", "max_iter", "check_interval", "adaptive_rho",
+    "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max", "rho_jump"))
+def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
+                 rho_ind0, *, nx, nc, nxp, ncp, max_iter, check_interval,
+                 adaptive_rho, adaptive_rho_tolerance, eps_abs, rho_min,
+                 rho_max, rho_jump):
+    from .core.iteration import compute_objective
+    op = FullSolveOperand(Wt_bank=Wt_bank, b_bank=b_bank, rhos=rhos,
+                          M_res=M_res, g_row=g_row, lo=lo, hi=hi)
+    y, stats = full_solve(
+        op, y0, rho_ind0, nx=nx, nc=nc, nxp=nxp, ncp=ncp,
+        max_iter=max_iter, check_interval=check_interval,
+        adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
+        rho_min=rho_min, rho_max=rho_max, rho_jump=rho_jump)
+    obj = compute_objective(H, g, y[:nx])
+    return y, stats, obj
 
 
 @jax.jit

@@ -101,6 +101,9 @@ def load_solver(path: str, device=None):
         solver._chunk_runner = pallas_chunk_runner
     else:
         solver._chunk_runner = xla_chunk_runner
+    # Restored solvers run the chunked path; the whole-solve-kernel
+    # operands are rebuilt only by a fresh setup().
+    solver._fused = False
 
     put = lambda a: jax.device_put(jnp.asarray(a, dtype=dtype), device)
     solver.bank = Bank(W=put(data["bank_W"]), B=put(data["bank_B"]),
