@@ -374,7 +374,8 @@ class BatchedReLU_QP:
                   adaptive_rho=stng.adaptive_rho,
                   adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
                   eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-                  rho_max=float(stng.rho_max))
+                  rho_max=float(stng.rho_max),
+                  rho_jump=bool(stng.rho_jump))
         if self.hetero:
             res = solve_batched_hetero(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,

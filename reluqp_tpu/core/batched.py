@@ -188,7 +188,7 @@ def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int):
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
-                     "rho_mode", "chunk_runner", "axis_name"),
+                     "rho_mode", "chunk_runner", "axis_name", "rho_jump"),
 )
 def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          rho_ind0, done0=None, *, nx: int, nc: int,
@@ -197,7 +197,8 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          eps_abs: float, rho_min: float, rho_max: float,
                          rho_mode: str = "shared",
                          chunk_runner=None,
-                         axis_name=None) -> BatchSolveResult:
+                         axis_name=None,
+                         rho_jump: bool = False) -> BatchSolveResult:
     """Solve a batch of QPs sharing (H, A) fully on device.
 
     Args:
@@ -265,17 +266,39 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                     n_act = lax.psum(n_act, axis_name)
                 rho_gm = jnp.exp(logr / jnp.maximum(n_act, 1))
                 rho_gm = jnp.where(n_act > 0, rho_gm, rho_k)
-                up = jnp.logical_and(rho_gm > rho_k * tol, rho_ind < n_rho - 1)
-                dn = jnp.logical_and(
-                    jnp.logical_and(rho_gm < rho_k / tol, rho_ind > 0), ~up)
-                rho_ind = rho_ind + up.astype(jnp.int32) - dn.astype(jnp.int32)
+                if rho_jump:
+                    moved = jnp.logical_or(rho_gm > rho_k * tol,
+                                           rho_gm < rho_k / tol)
+                    nearest = jnp.argmin(jnp.abs(
+                        jnp.log(rhos_t) - jnp.log(rho_gm))).astype(jnp.int32)
+                    rho_ind = jnp.where(moved, nearest, rho_ind)
+                else:
+                    up = jnp.logical_and(rho_gm > rho_k * tol,
+                                         rho_ind < n_rho - 1)
+                    dn = jnp.logical_and(
+                        jnp.logical_and(rho_gm < rho_k / tol, rho_ind > 0),
+                        ~up)
+                    rho_ind = rho_ind + up.astype(jnp.int32) \
+                        - dn.astype(jnp.int32)
             else:
                 rho_k = rhos_t[rho_ind]
-                up = jnp.logical_and(rho_new > rho_k * tol, rho_ind < n_rho - 1)
-                dn = jnp.logical_and(
-                    jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
-                step = up.astype(jnp.int32) - dn.astype(jnp.int32)
-                rho_ind = jnp.where(done, rho_ind, rho_ind + step)
+                if rho_jump:
+                    moved = jnp.logical_or(rho_new > rho_k * tol,
+                                           rho_new < rho_k / tol)
+                    nearest = jnp.argmin(
+                        jnp.abs(jnp.log(rhos_t)[None, :]
+                                - jnp.log(rho_new)[:, None]),
+                        axis=1).astype(jnp.int32)
+                    rho_ind = jnp.where(jnp.logical_and(moved, ~done),
+                                        nearest, rho_ind)
+                else:
+                    up = jnp.logical_and(rho_new > rho_k * tol,
+                                         rho_ind < n_rho - 1)
+                    dn = jnp.logical_and(
+                        jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0),
+                        ~up)
+                    step = up.astype(jnp.int32) - dn.astype(jnp.int32)
+                    rho_ind = jnp.where(done, rho_ind, rho_ind + step)
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps
@@ -321,14 +344,15 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
-                     "rho_max", "axis_name"),
+                     "rho_max", "axis_name", "rho_jump"),
 )
 def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
                          rho_ind0, *, nx: int, nc: int, max_iter: int,
                          check_interval: int, adaptive_rho: bool,
                          adaptive_rho_tolerance: float, eps_abs: float,
                          rho_min: float, rho_max: float,
-                         axis_name=None) -> BatchSolveResult:
+                         axis_name=None,
+                         rho_jump: bool = False) -> BatchSolveResult:
     """Solve a batch of QPs with per-problem (H, A) fully on device.
 
     Args:
@@ -362,11 +386,22 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
         rho = jnp.where(done, rho, rho_new)
         if adaptive_rho:
             rho_k = rhos_t[rho_ind]
-            up = jnp.logical_and(rho_new > rho_k * tol, rho_ind < n_rho - 1)
-            dn = jnp.logical_and(
-                jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
-            step = up.astype(jnp.int32) - dn.astype(jnp.int32)
-            rho_ind = jnp.where(done, rho_ind, rho_ind + step)
+            if rho_jump:
+                moved = jnp.logical_or(rho_new > rho_k * tol,
+                                       rho_new < rho_k / tol)
+                nearest = jnp.argmin(
+                    jnp.abs(jnp.log(rhos_t)[None, :]
+                            - jnp.log(rho_new)[:, None]),
+                    axis=1).astype(jnp.int32)
+                rho_ind = jnp.where(jnp.logical_and(moved, ~done),
+                                    nearest, rho_ind)
+            else:
+                up = jnp.logical_and(rho_new > rho_k * tol,
+                                     rho_ind < n_rho - 1)
+                dn = jnp.logical_and(
+                    jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
+                delta = up.astype(jnp.int32) - dn.astype(jnp.int32)
+                rho_ind = jnp.where(done, rho_ind, rho_ind + delta)
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps

@@ -173,3 +173,14 @@ def test_batch_max_iter_honored():
     m2.setup(H, G, A, L, U, eps_abs=1e-12, max_iter=10, check_interval=25)
     r2 = m2.solve()
     assert r2.info.n_iter_total == 10
+
+
+@pytest.mark.parametrize("rho_mode", ["shared", "per_problem"])
+def test_batched_rho_jump(rho_mode):
+    H, G, A, L, U, sols = _shared_batch(B=4)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, rho_mode=rho_mode, eps_abs=1e-4, rho=1e-5,
+            rho_jump=True)
+    res = m.solve()
+    assert res.info.status.all()
+    assert np.max(np.abs(np.asarray(res.x, np.float64) - sols)) < 1e-2
