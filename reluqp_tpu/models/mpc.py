@@ -44,6 +44,7 @@ import numpy as np
 __all__ = [
     "ihlqr",
     "constrained_ihlqr",
+    "scenario_rollout_scan",
     "gen_sparse_mpc_qp",
     "gen_condensed_mpc_qp",
     "CondensedMPC",
@@ -466,3 +467,125 @@ def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
     nx = prob.K.shape[1]
     nu = prob.K.shape[0]
     return prob.F[nu:nu + nx, :nu]
+
+
+# --------------------------------------------------------------------- #
+# scenario MPC: a batch of plants under one controller, fully on device #
+# --------------------------------------------------------------------- #
+
+def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
+                           lu_x0, Kg, Ad, Bd, noise, Y0, rho_ind0, X0, *,
+                           nx_qp: int, nc: int, nu: int, n_steps: int,
+                           max_iter: int, check_interval: int,
+                           adaptive_rho: bool,
+                           adaptive_rho_tolerance: float, eps_abs: float,
+                           rho_min: float, rho_max: float, rho_jump: bool):
+    """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.batched import solve_batched_shared
+
+    B_n, Dp = Y0.shape
+    dtype = Y0.dtype
+    hp = jax.lax.Precision.HIGHEST
+    pad_lo = jnp.full((B_n, Dp), -jnp.inf, dtype=dtype)
+    pad_hi = jnp.full((B_n, Dp), jnp.inf, dtype=dtype)
+
+    def ctrl_step(carry, w):
+        Y, rho_ind, X = carry
+        G = g0[None, :] + jnp.matmul(X, g_x0.T, precision=hp)   # (B, nqp)
+        shift = jnp.matmul(X, lu_x0.T, precision=hp)            # (B, nc)
+        lo = pad_lo.at[:, nx_qp:nx_qp + nc].set(l0[None, :] + shift)
+        hi = pad_hi.at[:, nx_qp:nx_qp + nc].set(u0_[None, :] + shift)
+        bias_all = jnp.einsum("ndx,bx->nbd", B_bank, G, precision=hp)
+        res = solve_batched_shared(
+            Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y, rho_ind,
+            nx=nx_qp, nc=nc, max_iter=max_iter,
+            check_interval=check_interval, adaptive_rho=adaptive_rho,
+            adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
+            rho_min=rho_min, rho_max=rho_max, rho_mode="shared",
+            rho_jump=rho_jump)
+        V0 = res.Y[:, :nu]
+        U = -jnp.matmul(X, Kg.T, precision=hp) + V0
+        X_next = (jnp.matmul(X, Ad.T, precision=hp)
+                  + jnp.matmul(U, Bd.T, precision=hp) + w)
+        return (res.Y, res.rho_ind, X_next), (X_next, U, res.n_iter_total)
+
+    carry0 = (Y0, jnp.asarray(rho_ind0, jnp.int32), X0)
+    _, (Xs, Us, its) = jax.lax.scan(ctrl_step, carry0, noise,
+                                    length=n_steps)
+    return jnp.concatenate([X0[None], Xs], axis=0), Us, its
+
+
+_scenario_jit = None
+
+
+def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
+                          n_steps: int, noise=None,
+                          solve_max_iter: Optional[int] = None):
+    """Closed-loop SCENARIO MPC: B plants under one shared condensed
+    controller, the whole ensemble as ONE compiled ``lax.scan``.
+
+    The north-star "scenario-MPC" configuration (BASELINE.json): per step,
+    every scenario's (g, l, u) refreshes from its own plant state, the
+    batched shared-bank solver runs all scenarios as dense GEMMs with a
+    collective convergence exit, and each plant steps with its own control
+    (plus optional per-scenario disturbance ``noise (T, B, nx)``). With
+    the batch solver set up over a mesh, scenarios shard across chips.
+
+    Args:
+      batch_solver: a ``BatchedReLU_QP`` set up on ``prob``'s condensed QP
+        replicated B times (shared H/A; any per-scenario g/l/u — they are
+        refreshed per step). ``rho_mode`` must be "shared".
+      prob: the ``CondensedMPC`` maps (shared across scenarios).
+      X_init: (B, nx_plant) initial plant states.
+      n_steps: number of control steps (static).
+
+    Returns ``(states (T+1, B, nx), controls (T, B, nu), iters (T,))``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    global _scenario_jit
+    if _scenario_jit is None:
+        _scenario_jit = jax.jit(
+            _scenario_rollout_impl,
+            static_argnames=("nx_qp", "nc", "nu", "n_steps", "max_iter",
+                             "check_interval", "adaptive_rho",
+                             "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                             "rho_max", "rho_jump"))
+
+    m = batch_solver
+    if m.rho_mode != "shared":
+        raise ValueError("scenario_rollout_scan requires rho_mode='shared'")
+    if m.B_pad != m.B_n:
+        raise ValueError("scenario rollout requires an unpadded batch "
+                         "(use backend='xla' for the batch solver)")
+    stng = m.settings
+    dtype = stng.precision_dtype
+    sc = m.scal
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
+    nu = prob.K.shape[0]
+    X0 = cst(np.asarray(X_init, np.float64))
+    B_n = X0.shape[0]
+    if B_n != m.B_n:
+        raise ValueError(f"X_init batch {B_n} != solver batch {m.B_n}")
+    gD = sc.c * sc.D
+    if noise is None:
+        noise = jnp.zeros((n_steps, B_n, X0.shape[1]), dtype=dtype)
+    else:
+        noise = cst(noise)
+    return _scenario_jit(
+        m.Wt_bank, m.B_bank, m.rhos, m.H_dev, m.A_dev,
+        cst(gD * prob.g0), cst(gD[:, None] * prob.g_x0),
+        cst(sc.E * prob.l0), cst(sc.E * prob.u0),
+        cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
+        cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
+        noise, m.Y, m.rho_ind, X0,
+        nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
+        max_iter=solve_max_iter or stng.max_iter,
+        check_interval=stng.check_interval,
+        adaptive_rho=stng.adaptive_rho,
+        adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+        eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+        rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump))

@@ -160,3 +160,46 @@ def test_constrained_ihlqr():
         assert abs(x[1]) < 1e-6
     # and it stabilizes the actuated subspace
     assert np.linalg.norm(x) < 1e-2
+
+
+def test_scenario_rollout_scan():
+    """B scenarios under one shared controller, one compiled scan."""
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.models.mpc import (gen_condensed_mpc_qp, ihlqr,
+                                       scenario_rollout_scan)
+    Ad, Bd, Q, R = _di()
+    N = 8
+    K, Qf = ihlqr(Ad, Bd, Q, R)
+    ns = 3
+    rows, lo_r, hi_r = [], [], []
+    for k in range(N):
+        r = np.zeros((1, N * ns))
+        r[0, k * ns] = 1.0  # control entry of stage k
+        rows.append(r)
+    A_add = np.vstack(rows)
+    prob = gen_condensed_mpc_qp(Ad, Bd, Q, R, Qf, N, A_add,
+                                -np.ones(N), np.ones(N), K=K)
+    B = 5
+    rng = np.random.RandomState(0)
+    X0 = np.array([[1.0, 0.0]]) + 0.2 * rng.randn(B, 2)
+    m = BatchedReLU_QP()
+    m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
+            np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
+            eps_abs=1e-4, backend="xla")
+    T = 30
+    Xs, Us, iters = scenario_rollout_scan(m, prob, X0, T)
+    Xs = np.asarray(Xs, np.float64)
+    Us = np.asarray(Us, np.float64)
+    assert Xs.shape == (T + 1, B, 2)
+    assert Us.shape == (T, B, 1)
+    assert np.all(np.abs(Us) <= 1.0 + 1e-3)
+    # every scenario regulates toward the origin
+    assert np.all(np.linalg.norm(Xs[-1], axis=-1)
+                  < np.linalg.norm(Xs[0], axis=-1))
+    # per-scenario trajectories differ (different initial states)
+    assert np.std(Xs[-1, :, 0]) > 0 or np.std(Xs[5, :, 0]) > 1e-6
+
+    # with per-scenario disturbances
+    noise = 0.01 * rng.randn(T, B, 2)
+    Xs2, _, _ = scenario_rollout_scan(m, prob, X0, T, noise=noise)
+    assert np.all(np.isfinite(np.asarray(Xs2)))
