@@ -1,0 +1,88 @@
+"""Scenario-MPC benchmark: B plants under one controller, one compiled scan.
+
+North-star configuration #5 (BASELINE.json): scenario MPC over a batch of
+plants with the shared-bank batched solver and collective convergence
+exit. Records closed-loop steps/s and scenario-solves/s.
+
+Run:  python benchmarks/scenario_mpc.py [--nx 100] [--scenarios 64]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nx", type=int, default=100)
+    p.add_argument("--nu", type=int, default=20)
+    p.add_argument("--horizon", type=int, default=10)
+    p.add_argument("--scenarios", type=int, nargs="+", default=[16, 64, 256])
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--out", default="results/scenario_mpc.json")
+    args = p.parse_args(argv)
+
+    import jax
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.models.mpc import (gen_condensed_mpc_qp, ihlqr,
+                                       random_linear_system,
+                                       scenario_rollout_scan)
+
+    Ad, Bd = random_linear_system(args.nx, args.nu, seed=0,
+                                  spectral_radius=0.99)
+    Q = np.eye(args.nx)
+    R = 0.1 * np.eye(args.nu)
+    K, Qf = ihlqr(Ad, Bd, Q, R)
+    ns = args.nu + args.nx
+    rows = []
+    for k in range(args.horizon):
+        r = np.zeros((args.nu, args.horizon * ns))
+        r[:, k * ns:k * ns + args.nu] = np.eye(args.nu)
+        rows.append(r)
+    prob = gen_condensed_mpc_qp(Ad, Bd, Q, R, Qf, args.horizon,
+                                np.vstack(rows),
+                                -np.ones(args.horizon * args.nu),
+                                np.ones(args.horizon * args.nu), K=K)
+
+    records = []
+    rng = np.random.RandomState(1)
+    for B in args.scenarios:
+        X0 = 0.05 * rng.randn(B, args.nx)
+        m = BatchedReLU_QP()
+        m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
+                np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
+                eps_abs=args.tol, backend="xla")
+        T = args.steps
+        Xs, _, _ = scenario_rollout_scan(m, prob, X0, T)
+        Xs = np.asarray(jax.block_until_ready(Xs))
+        assert np.all(np.isfinite(Xs)), "rollout diverged"
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            Xs, _, _ = scenario_rollout_scan(m, prob, X0, T)
+            jax.block_until_ready(Xs)
+            best = min(best, time.perf_counter() - t0)
+        hz = T / best
+        rec = dict(scenarios=B, steps_per_s=hz, scenario_solves_per_s=hz * B)
+        records.append(rec)
+        print(f"B={B:5d}  {hz:8.0f} steps/s  "
+              f"{hz * B:12.0f} scenario-solves/s")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"config": vars(args),
+                   "platform": jax.devices()[0].platform,
+                   "records": records}, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
