@@ -69,7 +69,9 @@ def main():
     # setup() with the local arrays produces locally-correct shapes; then
     # (multi-host) re-place the batch-led arrays as one global sharded
     # array each. Single-process: shard directly over the local mesh.
-    m.setup(base.H, G, base.A, L, U, eps_abs=1e-4,
+    # backend='xla' keeps the batch unpadded and shardable (the per-chip
+    # Pallas batched kernel cannot run over globally-sharded arrays).
+    m.setup(base.H, G, base.A, L, U, eps_abs=1e-4, backend="xla",
             mesh=mesh if jax.process_count() == 1 else None)
     if jax.process_count() > 1:
         for name in ("G", "lo", "hi", "Y"):

@@ -165,6 +165,10 @@ class BatchedReLU_QP:
         self._ready = True
 
     def _pick_pallas(self, stng) -> bool:
+        if stng.backend == "fused":
+            raise ValueError("the batched solver has no whole-solve-in-VMEM"
+                             " kernel; use backend='auto', 'pallas' or "
+                             "'xla'")
         if self.hetero or self.rho_mode != "shared":
             if stng.backend == "pallas":
                 raise ValueError("the pallas batched backend requires a "

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .iteration import rho_ladder_step
+
 __all__ = [
     "BatchSolveResult",
     "batched_residuals",
@@ -266,39 +268,11 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                     n_act = lax.psum(n_act, axis_name)
                 rho_gm = jnp.exp(logr / jnp.maximum(n_act, 1))
                 rho_gm = jnp.where(n_act > 0, rho_gm, rho_k)
-                if rho_jump:
-                    moved = jnp.logical_or(rho_gm > rho_k * tol,
-                                           rho_gm < rho_k / tol)
-                    nearest = jnp.argmin(jnp.abs(
-                        jnp.log(rhos_t) - jnp.log(rho_gm))).astype(jnp.int32)
-                    rho_ind = jnp.where(moved, nearest, rho_ind)
-                else:
-                    up = jnp.logical_and(rho_gm > rho_k * tol,
-                                         rho_ind < n_rho - 1)
-                    dn = jnp.logical_and(
-                        jnp.logical_and(rho_gm < rho_k / tol, rho_ind > 0),
-                        ~up)
-                    rho_ind = rho_ind + up.astype(jnp.int32) \
-                        - dn.astype(jnp.int32)
+                rho_ind = rho_ladder_step(rhos_t, rho_ind, rho_gm, tol,
+                                          rho_jump)
             else:
-                rho_k = rhos_t[rho_ind]
-                if rho_jump:
-                    moved = jnp.logical_or(rho_new > rho_k * tol,
-                                           rho_new < rho_k / tol)
-                    nearest = jnp.argmin(
-                        jnp.abs(jnp.log(rhos_t)[None, :]
-                                - jnp.log(rho_new)[:, None]),
-                        axis=1).astype(jnp.int32)
-                    rho_ind = jnp.where(jnp.logical_and(moved, ~done),
-                                        nearest, rho_ind)
-                else:
-                    up = jnp.logical_and(rho_new > rho_k * tol,
-                                         rho_ind < n_rho - 1)
-                    dn = jnp.logical_and(
-                        jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0),
-                        ~up)
-                    step = up.astype(jnp.int32) - dn.astype(jnp.int32)
-                    rho_ind = jnp.where(done, rho_ind, rho_ind + step)
+                rho_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
+                                          rho_jump, done=done)
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps
@@ -385,23 +359,8 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
         dua = jnp.where(done, dua, dua_n)
         rho = jnp.where(done, rho, rho_new)
         if adaptive_rho:
-            rho_k = rhos_t[rho_ind]
-            if rho_jump:
-                moved = jnp.logical_or(rho_new > rho_k * tol,
-                                       rho_new < rho_k / tol)
-                nearest = jnp.argmin(
-                    jnp.abs(jnp.log(rhos_t)[None, :]
-                            - jnp.log(rho_new)[:, None]),
-                    axis=1).astype(jnp.int32)
-                rho_ind = jnp.where(jnp.logical_and(moved, ~done),
-                                    nearest, rho_ind)
-            else:
-                up = jnp.logical_and(rho_new > rho_k * tol,
-                                     rho_ind < n_rho - 1)
-                dn = jnp.logical_and(
-                    jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
-                delta = up.astype(jnp.int32) - dn.astype(jnp.int32)
-                rho_ind = jnp.where(done, rho_ind, rho_ind + delta)
+            rho_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
+                                      rho_jump, done=done)
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps

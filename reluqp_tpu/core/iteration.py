@@ -164,6 +164,32 @@ def compute_objective(H, g, x):
     return 0.5 * jnp.dot(x, H @ x) + jnp.dot(g, x)
 
 
+def rho_ladder_step(rhos, rho_ind, rho_est, tol, jump: bool, done=None):
+    """One ρ-ladder index update, shared by every XLA-level solve loop.
+
+    ``jump=False``: the reference's ±1 walk when the estimate leaves
+    [ρ_k/τ, ρ_k·τ] (``reluqpth.py:223-227``). ``jump=True``: move straight
+    to the rung nearest the estimate. Works for scalar or per-problem
+    ``(B,)`` ``rho_ind``/``rho_est``; entries with ``done`` set are frozen.
+    (The whole-solve Pallas kernel carries its own SMEM-scalar variant.)
+    """
+    n_rho = rhos.shape[0]
+    rho_k = rhos[rho_ind]
+    if jump:
+        moved = jnp.logical_or(rho_est > rho_k * tol, rho_est < rho_k / tol)
+        log_d = jnp.log(rhos) - jnp.log(rho_est)[..., None]
+        nearest = jnp.argmin(jnp.abs(log_d), axis=-1).astype(jnp.int32)
+        new = jnp.where(moved, nearest, rho_ind)
+    else:
+        up = jnp.logical_and(rho_est > rho_k * tol, rho_ind < n_rho - 1)
+        dn = jnp.logical_and(
+            jnp.logical_and(rho_est < rho_k / tol, rho_ind > 0), ~up)
+        new = rho_ind + up.astype(jnp.int32) - dn.astype(jnp.int32)
+    if done is not None:
+        new = jnp.where(done, rho_ind, new)
+    return new
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -231,24 +257,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
                          check_interval)
         pri, dua, rho_new = check(y, rho)
         if adaptive_rho:
-            rho_k = bank.rhos[rho_ind]
-            if rho_jump:
-                # TPU extension (opt-in): jump straight to the rung nearest
-                # the estimate instead of the reference's ±1 walk — crosses
-                # the ladder in one check window instead of several.
-                moved = jnp.logical_or(rho_new > rho_k * tol,
-                                       rho_new < rho_k / tol)
-                nearest = jnp.argmin(
-                    jnp.abs(jnp.log(bank.rhos) - jnp.log(rho_new))
-                ).astype(jnp.int32)
-                rho_ind = jnp.where(moved, nearest, rho_ind)
-            else:
-                up = jnp.logical_and(rho_new > rho_k * tol,
-                                     rho_ind < n_rhos - 1)
-                down = jnp.logical_and(
-                    jnp.logical_and(rho_new < rho_k / tol, rho_ind > 0), ~up)
-                rho_ind = rho_ind + up.astype(jnp.int32) \
-                    - down.astype(jnp.int32)
+            rho_ind = rho_ladder_step(bank.rhos, rho_ind, rho_new, tol,
+                                      rho_jump)
         if verbose:
             jax.debug.print(
                 "Iter: {k}, rho: {r:.2e}, res_p: {p:.2e}, res_d: {d:.2e}",

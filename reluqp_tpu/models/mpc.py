@@ -474,7 +474,8 @@ def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
 # --------------------------------------------------------------------- #
 
 def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
-                           lu_x0, Kg, Ad, Bd, noise, Y0, rho_ind0, X0, *,
+                           lu_x0, Kg, Ad, Bd, v0_scale, noise, Y0,
+                           rho_ind0, X0, *,
                            nx_qp: int, nc: int, nu: int, n_steps: int,
                            max_iter: int, check_interval: int,
                            adaptive_rho: bool,
@@ -505,7 +506,9 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, rho_mode="shared",
             rho_jump=rho_jump)
-        V0 = res.Y[:, :nu]
+        # Unscale the first-stage variable back to plant units (identity
+        # when the batch solver runs without Ruiz scaling).
+        V0 = res.Y[:, :nu] * v0_scale[None, :]
         U = -jnp.matmul(X, Kg.T, precision=hp) + V0
         X_next = (jnp.matmul(X, Ad.T, precision=hp)
                   + jnp.matmul(U, Bd.T, precision=hp) + w)
@@ -581,6 +584,7 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         cst(sc.E * prob.l0), cst(sc.E * prob.u0),
         cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
+        cst(sc.D[:nu]),
         noise, m.Y, m.rho_ind, X0,
         nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
         max_iter=solve_max_iter or stng.max_iter,

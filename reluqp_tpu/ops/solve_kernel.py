@@ -104,7 +104,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     # mask rows beyond the real segment entries (padding lanes are exactly
     # zero in M_res, so |·| maxima over full segments are already correct)
 
-    def chunk(y, k_idx):
+    def chunk(y, k_idx, n_steps: int):
         wt = wt_ref[k_idx]                       # (Dp, Dp) dynamic index
         b = b_ref[k_idx]                         # (1, Dp) — bank is (N,1,Dp)
 
@@ -113,7 +113,8 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
                          precision=lax.Precision.HIGHEST)
             return jnp.clip(yw.astype(dtype) + b, lo, hi)
 
-        return lax.fori_loop(0, check_interval, it, y, unroll=unroll)
+        return lax.fori_loop(0, n_steps, it, y,
+                             unroll=(n_steps if unroll else 1))
 
     def residuals(y, rho):
         r = jnp.dot(y, mres_ref[:], preferred_element_type=jnp.float32,
@@ -137,7 +138,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
 
     def body(state):
         y, k_idx, rho, k, pri, dua, done = state
-        y = chunk(y, k_idx)
+        y = chunk(y, k_idx, check_interval)
         pri, dua, rho_new = residuals(y, rho)
         if adaptive_rho:
             rho_k = rhos_ref[k_idx]
@@ -177,6 +178,19 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
               jnp.asarray(0, jnp.int32), jnp.asarray(0.0, jnp.float32),
               jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
     y, k_idx, rho, k, pri, dua, done = lax.while_loop(cond, body, state0)
+
+    rem = max_iter - n_chunks * check_interval
+    if rem > 0:
+        # max_iter % check_interval tail (solve_loop's rem path).
+        def tail(args):
+            y, k_idx, rho, k, pri, dua, done = args
+            y = chunk(y, k_idx, rem)
+            pri, dua, rho = residuals(y, rho)
+            done = jnp.logical_and(pri < eps_pri, dua < eps_dua)
+            return (y, k_idx, rho, k + rem, pri, dua, done)
+
+        y, k_idx, rho, k, pri, dua, done = lax.cond(
+            done, lambda a: a, tail, (y, k_idx, rho, k, pri, dua, done))
     yout_ref[:] = y
     stats_ref[0, 0] = k.astype(jnp.float32)
     stats_ref[0, 1] = pri
@@ -198,8 +212,9 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
                rho_jump: bool = False):
-    """One-launch full solve. Returns ``(y (Dp,), stats (6,))`` with stats
-    ``[iters, pri, dua, rho_estimate, rho_ind, converged]`` as f32."""
+    """One-launch full solve. Returns ``(y (Dp,), stats (8,))`` with stats
+    ``[iters, pri, dua, rho_estimate, rho_ind, converged, 0, 0]`` as f32
+    (the last two slots are padding)."""
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
     unroll = True if dp <= 512 else 1

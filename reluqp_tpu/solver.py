@@ -243,6 +243,8 @@ class ReLU_QP:
                 raise ValueError(
                     f"whole bank does not fit VMEM at D={self.D} "
                     f"(N_rho={n_rho}); use backend='pallas' or 'xla'")
+            if not _is_tpu(stng.device):
+                raise ValueError("backend='fused' requires a TPU device")
             return True
         # Not part of "auto": measured on v5e the whole-solve kernel is
         # only ~15% faster per solve than the chunked path (the solve is
