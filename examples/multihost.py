@@ -37,9 +37,8 @@ def main():
                      process_id=args.process_id)
 
     import jax
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
     from reluqp_tpu.batch import BatchedReLU_QP
-    from reluqp_tpu.parallel import process_local_batch
     from reluqp_tpu.utils.problems import rand_qp, update_qp
 
     n_chips = len(jax.devices())
@@ -65,29 +64,12 @@ def main():
                          compute_sol=False)
         G[i], L[i], U[i] = inst.g, inst.l, inst.u
 
+    # process_local=True: the arrays above are this host's rows of the
+    # global batch; setup assembles them into one globally-sharded batch
+    # over the mesh (single-process degenerates to local mesh sharding).
     m = BatchedReLU_QP()
-    # setup() with the local arrays produces locally-correct shapes; then
-    # (multi-host) re-place the batch-led arrays as one global sharded
-    # array each. Single-process: shard directly over the local mesh.
-    # backend='xla' keeps the batch unpadded and shardable (the per-chip
-    # Pallas batched kernel cannot run over globally-sharded arrays).
     m.setup(base.H, G, base.A, L, U, eps_abs=1e-4, backend="xla",
-            mesh=mesh if jax.process_count() == 1 else None)
-    if jax.process_count() > 1:
-        for name in ("G", "lo", "hi", "Y"):
-            local = np.asarray(jax.device_get(getattr(m, name)))
-            global_shape = (B_global,) + local.shape[1:]
-            setattr(m, name, process_local_batch(global_shape, mesh, local))
-        # The bank is replicated (identical on every host); recompute the
-        # per-rung biases from the now-global sharded G.
-        from reluqp_tpu.batch import _bias_all_shared
-        m.B_bank = jax.device_put(m.B_bank, NamedSharding(mesh, P()))
-        m.Wt_bank = jax.device_put(m.Wt_bank, NamedSharding(mesh, P()))
-        m.H_dev = jax.device_put(m.H_dev, NamedSharding(mesh, P()))
-        m.A_dev = jax.device_put(m.A_dev, NamedSharding(mesh, P()))
-        m.rhos = jax.device_put(m.rhos, NamedSharding(mesh, P()))
-        m.bias_all = _bias_all_shared(m.B_bank, m.G)
-        m.B_n = m.B_pad = B_global
+            mesh=mesh, process_local=True)
 
     res = m.solve()
     if jax.process_index() == 0:

@@ -40,7 +40,8 @@ from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import (batch_tile_rows, pad_dim,
                              pallas_batched_chunk_runner, round_up,
                              vmem_bytes_needed)
-from .utils.scaling import identity_scaling, ruiz_equilibrate
+from .utils.scaling import (identity_scaling, ruiz_equilibrate,
+                            ruiz_equilibrate_batch)
 
 __all__ = ["BatchedReLU_QP", "BatchResults", "BatchInfo"]
 
@@ -51,6 +52,7 @@ class BatchInfo:
 
     iter: Optional[np.ndarray] = None          # (B,) first-convergence iters
     status: Optional[np.ndarray] = None        # (B,) bool converged
+    status_code: Optional[np.ndarray] = None   # (B,) int32 STATUS_* codes
     obj_val: Optional[np.ndarray] = None       # (B,)
     pri_res: Optional[np.ndarray] = None       # (B,)
     dua_res: Optional[np.ndarray] = None       # (B,)
@@ -60,6 +62,11 @@ class BatchInfo:
     update_time: float = 0.0
     run_time: float = 0.0
     n_iter_total: int = 0                      # chunks·interval actually run
+
+    def status_strings(self):
+        """Per-problem status strings (``core.iteration.STATUS_STRINGS``)."""
+        from .core.iteration import STATUS_STRINGS
+        return [STATUS_STRINGS[int(c)] for c in self.status_code]
 
 
 @dataclasses.dataclass
@@ -77,11 +84,14 @@ class BatchedReLU_QP:
         self.info = BatchInfo()
         self.results = BatchResults(info=self.info)
         self._ready = False
+        self._local_setup = False
+        self._multi = False
 
     # ------------------------------------------------------------------ #
     def setup(self, H, g, A, l, u, *, rho_mode: str = "shared",
               mesh: Optional[Any] = None, axis_name: str = "qp",
-              bank_build: str = "host", **settings_kw):
+              bank_build: str = "host", process_local: bool = False,
+              **settings_kw):
         """Set up a batch of QPs.
 
         Args:
@@ -95,11 +105,22 @@ class BatchedReLU_QP:
           bank_build: "host" (fp64 numpy factorization) or "device"
             (vmapped fp32 on-accelerator build; faster for huge hetero
             batches, slightly less accurate).
+          process_local: multi-host mode — the batch-led arrays passed here
+            are THIS PROCESS's shard of a global batch of
+            ``B · jax.process_count()`` problems; the mesh must span every
+            process's devices (build it over ``jax.devices()`` after
+            ``parallel.init_distributed``). Shared ``H``/``A`` must be
+            identical on every host. With a single process this is exactly
+            equivalent to the plain mesh-sharded setup.
         """
         t0 = time.perf_counter()
         self.settings = Settings(**settings_kw)
         stng = self.settings
         dtype = stng.precision_dtype
+        if process_local and mesh is None:
+            raise ValueError("process_local=True requires a mesh")
+        self._local_setup = bool(process_local)
+        self._multi = False
 
         g = np.asarray(g, dtype=np.float64)
         if g.ndim != 2:
@@ -110,6 +131,10 @@ class BatchedReLU_QP:
         H = np.asarray(H, dtype=np.float64)
         A = np.asarray(A, dtype=np.float64)
         self.hetero = H.ndim == 3 or A.ndim == 3
+        if process_local and self.hetero and jax.process_count() > 1:
+            raise NotImplementedError(
+                "process_local multi-host setup currently supports "
+                "shared-(H,A) batches only")
         if self.hetero:
             H = np.broadcast_to(H, (B_n, nx, nx)) if H.ndim == 3 else \
                 np.repeat(H[None], B_n, axis=0)
@@ -120,9 +145,6 @@ class BatchedReLU_QP:
             nc = A.shape[0]
         if l.shape != (B_n, nc) or u.shape != (B_n, nc):
             raise ValueError(f"l/u must be (B, nc) = ({B_n}, {nc})")
-        if self.settings.scaling and self.hetero:
-            raise NotImplementedError(
-                "scaling=True is only implemented for shared-(H,A) batches")
         self.B_n, self.nx, self.nc = B_n, nx, nc
         self.D = stacked_dim(nx, nc)
         self.rho_mode = "per_problem" if self.hetero else rho_mode
@@ -144,6 +166,9 @@ class BatchedReLU_QP:
                                   stng.adaptive_rho,
                                   stng.adaptive_rho_tolerance)
         rho_ind0 = initial_rho_index(self.rhos_np, stng.rho)
+        # fp32 bank copy for the refine phase under a bf16-stored bank.
+        self._Wt_hi = None
+        self._keep_hi = stng.iter_precision == "bf16" and stng.refine
 
         if self.hetero:
             self._setup_hetero(H, g, A, l, u, dtype, bank_build)
@@ -159,6 +184,10 @@ class BatchedReLU_QP:
                 jnp.full((B_n,), rho_ind0, dtype=jnp.int32))
         self.Y = self._put(jnp.zeros((self.B_pad, self.Dp), dtype=dtype))
 
+        self.B_local = self.B_n
+        if process_local:
+            self._globalize()
+
         jax.block_until_ready(self.Y)
         self.info.setup_time = time.perf_counter() - t0
         self.info.update_time = 0.0
@@ -169,10 +198,13 @@ class BatchedReLU_QP:
             raise ValueError("the batched solver has no whole-solve-in-VMEM"
                              " kernel; use backend='auto', 'pallas' or "
                              "'xla'")
-        if self.hetero or self.rho_mode != "shared":
+        if self.hetero or self.rho_mode != "shared" \
+                or stng.iter_precision != "highest":
             if stng.backend == "pallas":
-                raise ValueError("the pallas batched backend requires a "
-                                 "shared-(H,A) batch with rho_mode='shared'")
+                raise ValueError(
+                    "the pallas batched backend requires a shared-(H,A) "
+                    "batch with rho_mode='shared' and "
+                    "iter_precision='highest'")
             return False
         if stng.backend == "xla":
             return False
@@ -194,7 +226,9 @@ class BatchedReLU_QP:
 
     def _sharding(self, replicated=False):
         from jax.sharding import NamedSharding, PartitionSpec as P
-        if self.mesh is None:
+        # During a process-local setup the arrays are host-local shards;
+        # placement happens at the end in _globalize().
+        if self.mesh is None or getattr(self, "_local_setup", False):
             return None
         return NamedSharding(self.mesh,
                              P() if replicated else P(self.axis_name))
@@ -203,13 +237,89 @@ class BatchedReLU_QP:
         s = self._sharding(replicated)
         return jax.device_put(arr, s) if s is not None else arr
 
+    def _globalize(self):
+        """Assemble the process-local batch into global sharded arrays.
+
+        API version of the recipe validated in ``examples/multihost.py``:
+        batch-led arrays become one global array each (this process
+        contributing its shard), replicated arrays are placed identically
+        on every device, and the global batch size replaces the local one.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel import process_local_batch
+
+        self._local_setup = False
+        pc = jax.process_count()
+        B_g = self.B_n * pc
+        rep = NamedSharding(self.mesh, P())
+
+        def glob(arr):
+            local = np.asarray(jax.device_get(arr))
+            return process_local_batch((B_g,) + local.shape[1:], self.mesh,
+                                       local, axis_name=self.axis_name)
+
+        def repl(arr):
+            local = np.asarray(jax.device_get(arr))
+            return jax.make_array_from_callback(
+                local.shape, rep, lambda idx: local[idx])
+
+        batch_led = ["G", "lo", "hi", "Y"]
+        shared = ["rhos"]
+        if self.hetero:
+            batch_led += ["Wt_bank", "B_bank", "H_dev", "A_dev",
+                          "_unx", "_unz", "_unlam"]
+        else:
+            shared += ["Wt_bank", "B_bank", "H_dev", "A_dev",
+                       "_unx", "_unz", "_unlam"]
+        if self._Wt_hi is not None:
+            (batch_led if self.hetero else shared).append("_Wt_hi")
+        for name in batch_led:
+            setattr(self, name, glob(getattr(self, name)))
+        for name in shared:
+            setattr(self, name, repl(getattr(self, name)))
+        if self.rho_mode != "shared":
+            self.rho_ind = glob(self.rho_ind)
+        self.B_n = self.B_pad = B_g
+        self._multi = pc > 1
+        # Per-rung biases recomputed from the now-global G (one GEMM).
+        self.bias_all = (_bias_all_hetero if self.hetero
+                         else _bias_all_shared)(self.B_bank, self.G)
+
+    def _place_rows(self, arr_np, dtype=None):
+        """Place batch-led rows on device: local shard → global array in
+        multi-host mode, plain (optionally sharded) put otherwise."""
+        arr = jnp.asarray(arr_np) if dtype is None \
+            else jnp.asarray(arr_np, dtype=dtype)
+        if self._multi:
+            from .parallel import process_local_batch
+            return process_local_batch((self.B_n,) + arr.shape[1:],
+                                       self.mesh, arr,
+                                       axis_name=self.axis_name)
+        return self._put(arr)
+
+    def _local_rows(self, arr):
+        """Host copy of THIS PROCESS's batch rows (whole batch when
+        single-process), in batch order."""
+        if not self._multi:
+            return np.array(jax.device_get(arr))
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    def _host_stats(self, tree):
+        """Bulk D2H that also works on multi-host global arrays."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        if all(getattr(a, "is_fully_addressable", True) for a in leaves):
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+        return multihost_utils.process_allgather(tree, tiled=True)
+
     def _setup_shared(self, H, g, A, l, u, dtype):
         # Equality detection on UNSCALED bounds; pattern must be batch-wide
         # consistent because it shapes the shared bank.
-        eq = equality_mask(l[0], u[0], self.settings.eq_tol)
-        if not all(np.array_equal(equality_mask(l[i], u[i],
-                                                self.settings.eq_tol), eq)
-                   for i in range(1, self.B_n)):
+        eqs = equality_mask(l, u, self.settings.eq_tol)   # (B, nc)
+        eq = eqs[0]
+        if not (eqs == eq[None, :]).all():
             raise ValueError(
                 "equality-row pattern differs across the batch; the shared "
                 "bank would be wrong — pass batched H/A (hetero mode)")
@@ -244,8 +354,11 @@ class BatchedReLU_QP:
             B_p = np.zeros((N, self.Dp, self.nx))
             B_p[:, :self.D] = Bm
             Wt, Bm = Wt_p, B_p
-        self.Wt_bank = self._put(jnp.asarray(Wt, dtype=dtype),
+        self.Wt_bank = self._put(jnp.asarray(Wt, dtype=self._w_dtype(dtype)),
                                  replicated=True)
+        if self._keep_hi:
+            self._Wt_hi = self._put(jnp.asarray(Wt, dtype=dtype),
+                                    replicated=True)
         self.B_bank = self._put(jnp.asarray(Bm, dtype=dtype), replicated=True)
         self.H_dev = self._put(jnp.asarray(H, dtype=dtype), replicated=True)
         self.A_dev = self._put(jnp.asarray(A, dtype=dtype), replicated=True)
@@ -256,12 +369,35 @@ class BatchedReLU_QP:
         self._set_bounds(l, u, dtype)
 
     def _setup_hetero(self, H, g, A, l, u, dtype, bank_build):
-        self.scal = identity_scaling(self.nx, self.nc)
+        # Per-problem equality patterns from UNSCALED bounds (row scaling
+        # changes u−l gaps), then optional per-problem Ruiz equilibration.
+        eq_masks = equality_mask(l, u, self.settings.eq_tol)   # (B, nc)
         self._eq_pattern = None
         self._l_np, self._u_np = l.copy(), u.copy()
-        one = jnp.ones((1,), dtype=dtype)
-        self._unx = self._unz = self._unlam = one
+        if self.settings.scaling:
+            self.scal = ruiz_equilibrate_batch(H, A, g)
+        else:
+            self.scal = identity_scaling(self.nx, self.nc)
+        sc = self.scal
+        Dv, Ev = np.asarray(sc.D), np.asarray(sc.E)
+        c3 = np.reshape(sc.c, (-1, 1, 1))
+        c2 = np.reshape(sc.c, (-1, 1))
+        H = c3 * (H * Dv[..., :, None] * Dv[..., None, :])
+        A = A * Ev[..., :, None] * Dv[..., None, :]
+        g = c2 * (g * Dv)
+        l = l * Ev
+        u = u * Ev
+        self._unx = self._put(jnp.asarray(
+            np.broadcast_to(Dv, (self.B_n, self.nx)), dtype=dtype))
+        self._unz = self._put(jnp.asarray(
+            np.broadcast_to(np.asarray(sc.Einv), (self.B_n, self.nc)),
+            dtype=dtype))
+        self._unlam = self._put(jnp.asarray(
+            np.broadcast_to(Ev * np.reshape(sc.cinv, (-1, 1)),
+                            (self.B_n, self.nc)), dtype=dtype))
+
         N = len(self.rhos_np)
+        self._check_bank_memory(N, dtype)
         if bank_build == "host":
             from . import native as _native
             use_native = _native.available()
@@ -269,22 +405,23 @@ class BatchedReLU_QP:
             Wt = np.empty((self.B_n, N, self.D, self.D))
             Bb = np.empty((self.B_n, N, self.D, self.nx))
             for i in range(self.B_n):
-                eq = equality_mask(l[i], u[i], self.settings.eq_tol)
                 if use_native:
-                    W, Bm, _ = _native.build_bank(H[i], A[i], zero_g, eq,
-                                                  self.rhos_np,
+                    W, Bm, _ = _native.build_bank(H[i], A[i], zero_g,
+                                                  eq_masks[i], self.rhos_np,
                                                   self.settings.sigma)
                 else:
-                    W, Bm, _ = build_bank_np(H[i], zero_g, A[i], eq,
+                    W, Bm, _ = build_bank_np(H[i], zero_g, A[i], eq_masks[i],
                                              self.rhos_np,
                                              self.settings.sigma)
                 Wt[i] = np.swapaxes(W, 1, 2)
                 Bb[i] = Bm
-            self.Wt_bank = self._put(jnp.asarray(Wt, dtype=dtype))
+            self.Wt_bank = self._put(
+                jnp.asarray(Wt, dtype=self._w_dtype(dtype)))
+            if self._keep_hi:
+                self._Wt_hi = self._put(jnp.asarray(Wt, dtype=dtype))
             self.B_bank = self._put(jnp.asarray(Bb, dtype=dtype))
         else:
             from .core.bank import build_bank_jnp
-            eq = (u - l) <= self.settings.eq_tol
 
             def one(Hi, Ai, eqi):
                 bank = build_bank_jnp(Hi, jnp.zeros((self.nx,), dtype=dtype),
@@ -295,38 +432,78 @@ class BatchedReLU_QP:
             Wt, Bb = jax.jit(jax.vmap(one))(
                 self._put(jnp.asarray(H, dtype=dtype)),
                 self._put(jnp.asarray(A, dtype=dtype)),
-                self._put(jnp.asarray(eq)))
-            self.Wt_bank, self.B_bank = Wt, Bb
+                self._put(jnp.asarray(eq_masks)))
+            if self._keep_hi:
+                self._Wt_hi = Wt
+            self.Wt_bank = Wt.astype(self._w_dtype(dtype))
+            self.B_bank = Bb
         self.H_dev = self._put(jnp.asarray(H, dtype=dtype))
         self.A_dev = self._put(jnp.asarray(A, dtype=dtype))
         self.G = self._put(jnp.asarray(g, dtype=dtype))
         self.bias_all = _bias_all_hetero(self.B_bank, self.G)
         self._set_bounds(l, u, dtype)
 
+    def _w_dtype(self, dtype):
+        """Storage dtype of the W banks (bf16 under iter_precision='bf16')."""
+        return jnp.bfloat16 if self.settings.iter_precision == "bf16" \
+            else dtype
+
+    def _check_bank_memory(self, n_rho: int, dtype):
+        """Fail fast when the per-problem hetero banks cannot fit HBM.
+
+        The device-side footprint is B·N·(D² + D·nx + D) elements; at
+        B=1024, nx=50 fp32 that is already ~2.3 GB. The cap defaults to
+        8 GiB (v5e HBM is 16 GB/chip) and can be raised via the
+        RELUQP_MAX_BANK_BYTES environment variable.
+        """
+        import os
+        cap = int(float(os.environ.get("RELUQP_MAX_BANK_BYTES", 8 << 30)))
+        per_problem = n_rho * (self.D * self.D + self.D * self.nx + self.D)
+        total = self.B_n * per_problem * jnp.dtype(dtype).itemsize
+        if total > cap:
+            raise ValueError(
+                f"heterogeneous bank needs ~{total / 2**30:.1f} GiB on "
+                f"device (B={self.B_n}, N_rho={n_rho}, D={self.D}) which "
+                f"exceeds the {cap / 2**30:.1f} GiB cap — shard the batch "
+                "over a mesh, reduce the batch size, or raise "
+                "RELUQP_MAX_BANK_BYTES")
+
     def _set_bounds(self, l, u, dtype):
-        # Padding (extra lanes AND extra batch rows) is ±inf — inert.
-        lo = np.full((self.B_pad, self.Dp), -np.inf)
-        hi = np.full((self.B_pad, self.Dp), np.inf)
-        for i in range(self.B_n):
-            lo[i, :self.D], hi[i, :self.D] = clamp_bounds(
-                l[i], u[i], self.nx, self.nc, xp=np)
-        self.lo = self._put(jnp.asarray(lo, dtype=dtype))
-        self.hi = self._put(jnp.asarray(hi, dtype=dtype))
+        # Padding (extra lanes AND extra batch rows) is ±inf — inert; the
+        # clamp is active only on the z-segment [nx, nx+nc). ``l``/``u``
+        # are this process's rows (the whole batch when single-process).
+        n_rows = l.shape[0]
+        rows = n_rows if self._multi else self.B_pad
+        lo = np.full((rows, self.Dp), -np.inf)
+        hi = np.full((rows, self.Dp), np.inf)
+        lo[:n_rows, self.nx:self.nx + self.nc] = l
+        hi[:n_rows, self.nx:self.nx + self.nc] = u
+        self.lo = self._place_rows(lo, dtype)
+        self.hi = self._place_rows(hi, dtype)
 
     # ------------------------------------------------------------------ #
     def update(self, g=None, l=None, u=None):
-        """Refresh batched problem vectors; biases recompute as one GEMM."""
+        """Refresh batched problem vectors; biases recompute as one GEMM.
+
+        In process-local (multi-host) mode the arrays are, like at
+        ``setup``, THIS PROCESS's rows of the global batch.
+        """
         self._check_ready()
         t0 = time.perf_counter()
         dtype = self.settings.precision_dtype
         sc = self.scal
+        eB = self.B_local if self._multi else self.B_n
         if g is not None:
             g = np.asarray(g, dtype=np.float64)
-            if g.shape != (self.B_n, self.nx):
-                raise ValueError(f"g must be ({self.B_n}, {self.nx})")
-            g_pad = np.zeros((self.B_pad, self.nx))
-            g_pad[:self.B_n] = sc.c * (g * sc.D[None, :])
-            self.G = self._put(jnp.asarray(g_pad, dtype=dtype))
+            if g.shape != (eB, self.nx):
+                raise ValueError(f"g must be ({eB}, {self.nx})"
+                                 + (" — process-local rows"
+                                    if self._multi else ""))
+            rows = eB if self._multi else self.B_pad
+            g_pad = np.zeros((rows, self.nx))
+            # sc.D is (nx,) shared or (B,nx) hetero; sc.c scalar or (B,).
+            g_pad[:eB] = np.reshape(sc.c, (-1, 1)) * (g * sc.D)
+            self.G = self._place_rows(g_pad, dtype)
             self.bias_all = (_bias_all_hetero if self.hetero
                              else _bias_all_shared)(self.B_bank, self.G)
         if l is not None or u is not None:
@@ -336,21 +513,22 @@ class BatchedReLU_QP:
                 else np.asarray(l, dtype=np.float64)
             u_np = self._u_np if u is None \
                 else np.asarray(u, dtype=np.float64)
-            if l_np.shape != (self.B_n, self.nc) \
-                    or u_np.shape != (self.B_n, self.nc):
-                raise ValueError(f"l/u must be ({self.B_n}, {self.nc})")
+            if l_np.shape != (eB, self.nc) \
+                    or u_np.shape != (eB, self.nc):
+                raise ValueError(f"l/u must be ({eB}, {self.nc})")
+            eqs = equality_mask(l_np, u_np, self.settings.eq_tol)
             if self._eq_pattern is not None:
-                for i in range(self.B_n):
-                    if not np.array_equal(
-                            equality_mask(l_np[i], u_np[i],
-                                          self.settings.eq_tol),
-                            self._eq_pattern):
-                        raise ValueError(
-                            "bound update changes the equality-row pattern "
-                            "baked into the shared bank — re-run setup()")
+                if not (eqs == self._eq_pattern[None, :]).all():
+                    raise ValueError(
+                        "bound update changes the equality-row pattern "
+                        "baked into the shared bank — re-run setup()")
+            elif not (eqs == equality_mask(self._l_np, self._u_np,
+                                           self.settings.eq_tol)).all():
+                raise ValueError(
+                    "bound update changes a problem's equality-row pattern "
+                    "baked into its bank — re-run setup()")
             self._l_np, self._u_np = l_np.copy(), u_np.copy()
-            self._set_bounds(l_np * sc.E[None, :], u_np * sc.E[None, :],
-                             dtype)
+            self._set_bounds(l_np * sc.E, u_np * sc.E, dtype)
         jax.block_until_ready((self.bias_all, self.lo))
         self.info.update_time = time.perf_counter() - t0
 
@@ -379,12 +557,17 @@ class BatchedReLU_QP:
                   adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
                   eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
                   rho_max=float(stng.rho_max),
-                  rho_jump=bool(stng.rho_jump))
+                  rho_jump=bool(stng.rho_jump),
+                  check_infeasibility=bool(stng.check_infeasibility),
+                  eps_prim_inf=float(stng.eps_prim_inf),
+                  eps_dual_inf=float(stng.eps_dual_inf),
+                  iter_precision=stng.iter_precision,
+                  refine=bool(stng.refine))
         if self.hetero:
             res = solve_batched_hetero(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                **kw)
+                self._Wt_hi, **kw)
         else:
             runner = pallas_batched_chunk_runner if self._use_pallas else None
             done0 = None
@@ -393,7 +576,8 @@ class BatchedReLU_QP:
             res = solve_batched_shared(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                done0, rho_mode=self.rho_mode, chunk_runner=runner, **kw)
+                done0, self._Wt_hi, rho_mode=self.rho_mode,
+                chunk_runner=runner, **kw)
         res = jax.block_until_ready(res)
         run_time = time.perf_counter() - t0
         self._fill_results(res, run_time)
@@ -407,13 +591,14 @@ class BatchedReLU_QP:
         nx, nc, Bn = self.nx, self.nc, self.B_n
         # Unscale the iterate (identity vectors when scaling is off).
         x = res.Y[:Bn, :nx] * self._unx
-        host = jax.device_get((res.iters, res.converged, res.pri_res,
-                               res.dua_res, res.rho_estimate,
-                               res.n_iter_total))
-        iters, conv, pri, dua, rho_est, n_tot = host
+        host = self._host_stats((res.iters, res.converged, res.pri_res,
+                                 res.dua_res, res.rho_estimate,
+                                 res.n_iter_total, res.status))
+        iters, conv, pri, dua, rho_est, n_tot, scode = host
         info = self.info
         info.iter = np.asarray(iters)[:Bn]
         info.status = np.asarray(conv)[:Bn]
+        info.status_code = np.asarray(scode)[:Bn]
         info.pri_res = np.asarray(pri)[:Bn]
         info.dua_res = np.asarray(dua)[:Bn]
         info.rho_estimate = np.asarray(rho_est)[:Bn]
@@ -439,39 +624,41 @@ class BatchedReLU_QP:
         else:
             Hx = x @ self.H_dev.T
         obj_s = 0.5 * jnp.sum(x * Hx, axis=-1) + jnp.sum(G * x, axis=-1)
-        return np.asarray(jax.device_get(obj_s)) * self.scal.cinv
+        return np.asarray(self._host_stats(obj_s)) * self.scal.cinv
 
     # ------------------------------------------------------------------ #
     def warm_start(self, x=None, z=None, lam=None):
+        """Inject primal/dual state (process-local rows in multi-host
+        mode, like ``setup``/``update``)."""
         self._check_ready()
         dtype = self.settings.precision_dtype
-        Y = self.Y
-        Bn = self.B_n
+        eB = self.B_local if self._multi else self.B_n
+        Y = self._local_rows(self.Y)
         sc = self.scal
+        # sc vectors are (n,) shared or (B,n) hetero; sc.c scalar or (B,).
+        c_col = np.reshape(sc.c, (-1, 1))
         if x is not None:
-            x = np.asarray(x, dtype=np.float64) * sc.Dinv[None, :]
-            Y = Y.at[:Bn, :self.nx].set(jnp.asarray(x, dtype=dtype))
+            x = np.asarray(x, dtype=np.float64) * sc.Dinv
+            Y[:eB, :self.nx] = x
         if z is not None:
-            z = np.asarray(z, dtype=np.float64) * sc.E[None, :]
-            Y = Y.at[:Bn, self.nx:self.nx + self.nc].set(
-                jnp.asarray(z, dtype=dtype))
+            z = np.asarray(z, dtype=np.float64) * sc.E
+            Y[:eB, self.nx:self.nx + self.nc] = z
         if lam is not None:
-            lam = np.asarray(lam, dtype=np.float64) \
-                * (sc.c * sc.Einv)[None, :]
-            Y = Y.at[:Bn, self.nx + self.nc:self.nx + 2 * self.nc].set(
-                jnp.asarray(lam, dtype=dtype))
-        self.Y = self._put(Y)
+            lam = np.asarray(lam, dtype=np.float64) * (c_col * sc.Einv)
+            Y[:eB, self.nx + self.nc:self.nx + 2 * self.nc] = lam
+        self.Y = self._place_rows(Y, dtype)
 
     def clear_primal_dual(self):
         self._check_ready()
         dtype = self.settings.precision_dtype
-        self.Y = self._put(jnp.zeros((self.B_pad, self.Dp), dtype=dtype))
+        rows = self.B_local if self._multi else self.B_pad
+        self.Y = self._place_rows(np.zeros((rows, self.Dp)), dtype)
         r0 = initial_rho_index(self.rhos_np, self.settings.rho)
         if self.rho_mode == "shared":
             self.rho_ind = jnp.asarray(r0, jnp.int32)
         else:
-            self.rho_ind = self._put(
-                jnp.full((self.B_n,), r0, dtype=jnp.int32))
+            self.rho_ind = self._place_rows(
+                np.full((rows,), r0, dtype=np.int32))
 
     def _check_ready(self):
         if not self._ready:

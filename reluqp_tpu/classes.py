@@ -139,6 +139,27 @@ class Settings:
     # TPU extension (opt-in): jump straight to the ladder rung nearest the
     # ρ estimate instead of the reference's ±1 walk per check window.
     rho_jump: bool = False
+    # Mixed-precision iteration (TPU extension). Applies ONLY to the hot
+    # iteration GEMM y ← clip(Wy+b); residuals, ρ estimates and
+    # infeasibility certificates always run in the storage dtype at
+    # Precision.HIGHEST, so convergence decisions stay exact.
+    #   "highest" -> 6-pass bf16 emulation of fp32 on the MXU (default;
+    #                required for eps_abs ≲ 1e-4)
+    #   "high"    -> 3-pass bf16x3 (~fp32 accuracy, 2× fewer MXU passes)
+    #   "default" -> 1-pass bf16 inputs, f32 accumulate (6× fewer passes;
+    #                iterate noise floor ~1e-3·‖y‖)
+    #   "bf16"    -> like "default" AND the W bank is STORED in bfloat16
+    #                (half the HBM traffic of the bank stream)
+    iter_precision: str = "highest"
+    # Two-phase refine for reduced iter_precision: iterate at the fast
+    # precision until convergence or stall (no ≥3% residual progress over a
+    # check window), then continue with HIGHEST-precision iterations to the
+    # true tolerance. Guarantees reduced-precision modes reach the same
+    # eps_abs as "highest" (the fast fixed point has a noise floor
+    # ~1e-3·‖y‖ that would otherwise stall below it). Ignored when
+    # iter_precision="highest". Under "bf16" the refine phase keeps an
+    # fp32 copy of the W bank (1.5× bank memory).
+    refine: bool = True
     device: Optional[Any] = None
     precision: Any = "float32"
     # TPU-native extension: which iteration backend to use.
@@ -160,6 +181,9 @@ class Settings:
             raise ValueError("adaptive_rho_tolerance must be > 1")
         if self.backend not in ("auto", "xla", "pallas", "fused"):
             raise ValueError(f"Invalid backend {self.backend!r}")
+        if self.iter_precision not in ("highest", "high", "default", "bf16"):
+            raise ValueError(
+                f"Invalid iter_precision {self.iter_precision!r}")
 
 
 @dataclasses.dataclass

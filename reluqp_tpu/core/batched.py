@@ -38,11 +38,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .iteration import rho_ladder_step
+from .iteration import (STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER,
+                        STATUS_PRIMAL_INFEASIBLE, STATUS_SOLVED,
+                        iter_dot, rho_ladder_step)
 
 __all__ = [
     "BatchSolveResult",
     "batched_residuals",
+    "batched_infeasibility_certificates",
     "solve_batched_shared",
     "solve_batched_hetero",
 ]
@@ -60,8 +63,9 @@ class BatchSolveResult(NamedTuple):
     dua_res: jax.Array    # (B,) dual residuals at exit
     rho_estimate: jax.Array  # (B,) last ρ estimates
     rho_ind: jax.Array    # (B,) or () int32 final ladder indices
-    converged: jax.Array  # (B,) bool
+    converged: jax.Array  # (B,) bool (status == STATUS_SOLVED)
     n_iter_total: jax.Array  # () int32 chunks·interval actually run
+    status: jax.Array     # (B,) int32 per-problem STATUS_* codes
 
 
 def batched_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
@@ -115,11 +119,71 @@ def _hetero_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
     return pri, dua, jnp.clip(rho * ratio, rho_min, rho_max)
 
 
+def batched_infeasibility_certificates(H, A, g, l, u, dX, dLam,
+                                       eps_pinf: float, eps_dinf: float,
+                                       hetero: bool = False):
+    """Per-problem OSQP-style infeasibility certificates on iterate deltas.
+
+    Batched analogue of ``iteration.infeasibility_certificates`` (the
+    reference has no infeasibility detection at all, SURVEY.md §5): δλ
+    certifies primal infeasibility when Aᵀδλ ≈ 0 and the support function
+    uᵀ(δλ)₊ + lᵀ(δλ)₋ is negative; δx certifies dual infeasibility when
+    Hδx ≈ 0, gᵀδx < 0, and Aδx is a feasible ray direction. All
+    contractions are GEMMs (shared H/A) or batched einsums (hetero).
+
+    Args: dX (B,nx), dLam (B,nc), l/u (B,nc), g (B,nx) or (nx,).
+    Returns (pinf, dinf) bool (B,) arrays.
+    """
+    hp = lax.Precision.HIGHEST
+    norm_dlam = jnp.max(jnp.abs(dLam), axis=-1)
+    norm_dx = jnp.max(jnp.abs(dX), axis=-1)
+    eps_p = eps_pinf * norm_dlam
+    eps_d = eps_dinf * norm_dx
+
+    if hetero:
+        At_dlam = jnp.einsum("bcx,bc->bx", A, dLam, precision=hp)
+        H_dx = jnp.einsum("bxy,by->bx", H, dX, precision=hp)
+        A_dx = jnp.einsum("bcx,bx->bc", A, dX, precision=hp)
+    else:
+        At_dlam = jnp.matmul(dLam, A, precision=hp)
+        H_dx = jnp.matmul(dX, H.T, precision=hp)
+        A_dx = jnp.matmul(dX, A.T, precision=hp)
+
+    support = jnp.sum(jnp.where(dLam > 0, u * dLam,
+                                jnp.where(dLam < 0, l * dLam, 0.0)), axis=-1)
+    pinf = jnp.logical_and(
+        norm_dlam > 0,
+        jnp.logical_and(jnp.max(jnp.abs(At_dlam), axis=-1) <= eps_p,
+                        support <= -eps_p))
+
+    ray_ok = jnp.all(jnp.logical_and(
+        jnp.where(jnp.isfinite(u), A_dx <= eps_d[:, None], True),
+        jnp.where(jnp.isfinite(l), A_dx >= -eps_d[:, None], True)), axis=-1)
+    g_dx = jnp.sum(jnp.broadcast_to(g, dX.shape) * dX, axis=-1)
+    dinf = jnp.logical_and(
+        norm_dx > 0,
+        jnp.logical_and(
+            jnp.max(jnp.abs(H_dx), axis=-1) <= eps_d,
+            jnp.logical_and(g_dx <= -eps_d, ray_ok)))
+    return pinf, dinf
+
+
 # --------------------------------------------------------------------- #
 # chunk runners                                                         #
 # --------------------------------------------------------------------- #
 
-def _chunk_shared_rho(Wt_bank, bias_all, rho_ind, lo, hi, Y, n_steps: int):
+def _batched_iter_dot(Y, Wt, iter_precision: str, spec: str):
+    """Batched variant of ``iteration.iter_dot`` for einsum-shaped steps."""
+    if iter_precision == "bf16" or Wt.dtype == jnp.bfloat16:
+        return jnp.einsum(spec, Y.astype(jnp.bfloat16),
+                          Wt.astype(jnp.bfloat16),
+                          preferred_element_type=Y.dtype)
+    from .iteration import _DOT_PRECISION
+    return jnp.einsum(spec, Y, Wt, precision=_DOT_PRECISION[iter_precision])
+
+
+def _chunk_shared_rho(Wt_bank, bias_all, rho_ind, lo, hi, Y, n_steps: int,
+                      iter_precision: str = "highest"):
     """One shared ladder index: ``Y ← clip(Y @ Wᵀ + b)`` as one GEMM/step.
 
     bias_all: (N_rho, B, Dp) per-rung per-problem biases.
@@ -128,28 +192,29 @@ def _chunk_shared_rho(Wt_bank, bias_all, rho_ind, lo, hi, Y, n_steps: int):
     b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
 
     def body(_, Y):
-        YW = jnp.dot(Y, Wt, precision=lax.Precision.HIGHEST)
+        YW = iter_dot(Y, Wt, iter_precision)
         return jnp.clip(YW + b, lo, hi)
 
     return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
 
 
-def _chunk_rung_gemm(Wt_bank, bias_all, rho_inds, lo, hi, Y, n_steps: int):
+def _chunk_rung_gemm(Wt_bank, bias_all, rho_inds, lo, hi, Y, n_steps: int,
+                     iter_precision: str = "highest"):
     """Per-problem ρ via all-rung GEMMs + one-hot select (large batches)."""
     n_rho = Wt_bank.shape[0]
     onehot = jax.nn.one_hot(rho_inds, n_rho, dtype=Y.dtype)      # (B, N)
     b = jnp.einsum("nbd,bn->bd", bias_all, onehot)
 
     def body(_, Y):
-        Zall = jnp.einsum("bd,ndk->nbk", Y, Wt_bank,
-                          precision=lax.Precision.HIGHEST)
+        Zall = _batched_iter_dot(Y, Wt_bank, iter_precision, "bd,ndk->nbk")
         YW = jnp.einsum("nbk,bn->bk", Zall, onehot)
         return jnp.clip(YW + b, lo, hi)
 
     return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
 
 
-def _chunk_gathered(Wt_bank, bias_all, rho_inds, lo, hi, Y, n_steps: int):
+def _chunk_gathered(Wt_bank, bias_all, rho_inds, lo, hi, Y, n_steps: int,
+                    iter_precision: str = "highest"):
     """Per-problem ρ via per-problem W gather + batched matvec (small B)."""
     Wt = Wt_bank[rho_inds]                                       # (B, Dp, Dp)
     b = jnp.take_along_axis(
@@ -157,14 +222,14 @@ def _chunk_gathered(Wt_bank, bias_all, rho_inds, lo, hi, Y, n_steps: int):
     )[:, 0, :]                                                   # (B, Dp)
 
     def body(_, Y):
-        YW = jnp.einsum("bd,bdk->bk", Y, Wt,
-                        precision=lax.Precision.HIGHEST)
+        YW = _batched_iter_dot(Y, Wt, iter_precision, "bd,bdk->bk")
         return jnp.clip(YW + b, lo, hi)
 
     return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
 
 
-def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int):
+def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int,
+                  iter_precision: str = "highest"):
     """Per-problem banks: gather current rung per problem, batched matvec.
 
     Wt_bank: (B, N_rho, Dp, Dp); bias_bank: (B, N_rho, Dp).
@@ -175,8 +240,7 @@ def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int):
     b = bias_bank[rows, rho_inds]                                # (B, Dp)
 
     def body(_, Y):
-        YW = jnp.einsum("bd,bdk->bk", Y, Wt,
-                        precision=lax.Precision.HIGHEST)
+        YW = _batched_iter_dot(Y, Wt, iter_precision, "bd,bdk->bk")
         return jnp.clip(YW + b, lo, hi)
 
     return lax.fori_loop(0, n_steps, body, Y, unroll=min(n_steps, 4))
@@ -190,17 +254,26 @@ def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int):
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
-                     "rho_mode", "chunk_runner", "axis_name", "rho_jump"),
+                     "rho_mode", "chunk_runner", "axis_name", "rho_jump",
+                     "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
+                     "iter_precision", "refine"),
 )
 def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
-                         rho_ind0, done0=None, *, nx: int, nc: int,
+                         rho_ind0, done0=None, Wt_bank_hi=None, *,
+                         nx: int, nc: int,
                          max_iter: int, check_interval: int,
                          adaptive_rho: bool, adaptive_rho_tolerance: float,
                          eps_abs: float, rho_min: float, rho_max: float,
                          rho_mode: str = "shared",
                          chunk_runner=None,
                          axis_name=None,
-                         rho_jump: bool = False) -> BatchSolveResult:
+                         rho_jump: bool = False,
+                         check_infeasibility: bool = False,
+                         eps_prim_inf: float = 1e-4,
+                         eps_dual_inf: float = 1e-4,
+                         iter_precision: str = "highest",
+                         refine: bool = True
+                         ) -> BatchSolveResult:
     """Solve a batch of QPs sharing (H, A) fully on device.
 
     Args:
@@ -247,9 +320,14 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         X, Z, Lam = split(Y)
         return batched_residuals(H, A, G, X, Z, Lam, rho, rho_min, rho_max)
 
-    def step(state, n_steps: int):
-        Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
-        Y = chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y, n_steps)
+    def step(state, n_steps: int, W_op, precision: str):
+        if check_infeasibility:
+            (Y, rho_ind, rho, k, pri, dua, done, iters, status,
+             X_prev, Lam_prev, _) = state
+        else:
+            Y, rho_ind, rho, k, pri, dua, done, iters, status, _ = state
+        Y = chunk_runner(W_op, bias_all, rho_ind, lo, hi, Y, n_steps,
+                         precision)
         pri_n, dua_n, rho_new = check(Y, rho)
         # Freeze stats for already-converged problems.
         pri = jnp.where(done, pri, pri_n)
@@ -277,17 +355,31 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps
         iters = jnp.where(newly, k, iters)
+        status = jnp.where(newly, STATUS_SOLVED, status)
         done = jnp.logical_or(done, newly)
+        extra = ()
+        if check_infeasibility:
+            X, Z, Lam = split(Y)
+            l_v = lo[:, nx:nx + nc]
+            u_v = hi[:, nx:nx + nc]
+            pinf, dinf = batched_infeasibility_certificates(
+                H, A, G, l_v, u_v, X - X_prev, Lam - Lam_prev,
+                eps_prim_inf, eps_dual_inf, hetero=False)
+            for flag, code in ((pinf, STATUS_PRIMAL_INFEASIBLE),
+                               (dinf, STATUS_DUAL_INFEASIBLE)):
+                newly_i = jnp.logical_and(~done, flag)
+                status = jnp.where(newly_i, code, status)
+                iters = jnp.where(newly_i, k, iters)
+                done = jnp.logical_or(done, newly_i)
+            extra = (X, Lam)
         n_open = jnp.sum(~done)
         if axis_name is not None:
             n_open = lax.psum(n_open, axis_name)
-        return (Y, rho_ind, rho, k, pri, dua, done, iters, n_open == 0)
-
-    def body(state):
-        return step(state, check_interval)
+        return (Y, rho_ind, rho, k, pri, dua, done, iters, status,
+                *extra, n_open == 0)
 
     def cond(state):
-        k, all_done = state[3], state[8]
+        k, all_done = state[3], state[-1]
         return jnp.logical_and(~all_done, k < n_chunks * check_interval)
 
     rho_ind0 = jnp.asarray(rho_ind0, dtype=jnp.int32)
@@ -297,17 +389,61 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                  else jnp.asarray(done0, bool))
     iters_init = jnp.where(done_init, 0,
                            max_iter).astype(jnp.int32)
+    # Inert (padding) rows report "solved" so they never hold the loop open.
+    status_init = jnp.where(done_init, STATUS_SOLVED,
+                            STATUS_MAX_ITER).astype(jnp.int32)
     state0 = (Y0, rho_ind0, rho0, jnp.asarray(0, jnp.int32), zeros, zeros,
-              done_init, iters_init, jnp.asarray(False))
-    state = lax.while_loop(cond, body, state0)
+              done_init, iters_init, status_init)
+    if check_infeasibility:
+        state0 = state0 + (Y0[:, :nx], Y0[:, nx + nc:nx + 2 * nc])
+    state0 = state0 + (jnp.asarray(False),)
+
+    two_phase = refine and iter_precision != "highest"
+    W_hi = Wt_bank if Wt_bank_hi is None else Wt_bank_hi
+    tail_W, tail_prec = ((W_hi, "highest") if two_phase
+                         else (Wt_bank, iter_precision))
+    if two_phase:
+        # Phase A: reduced-precision iterations while some open problem
+        # still improves its RUNNING-BEST residual by ≥3% per check window
+        # (best-so-far, not previous-window: bf16 residual jitter around
+        # the noise floor must not hold the fast phase open). Phase B then
+        # polishes with HIGHEST iterations to the true tolerance.
+        inf0 = jnp.full((B,), jnp.inf, dtype=dtype)
+
+        def condA(sA):
+            state, _, _, improving = sA
+            return jnp.logical_and(improving, cond(state))
+
+        def bodyA(sA):
+            state, best_p, best_d, _ = sA
+            state = step(state, check_interval, Wt_bank, iter_precision)
+            pri, dua, done = state[4], state[5], state[6]
+            improved = jnp.logical_and(
+                ~done, jnp.logical_or(pri < 0.97 * best_p,
+                                      dua < 0.97 * best_d))
+            n_imp = jnp.sum(improved)
+            if axis_name is not None:
+                n_imp = lax.psum(n_imp, axis_name)
+            return (state, jnp.minimum(best_p, pri),
+                    jnp.minimum(best_d, dua), n_imp > 0)
+
+        state, _, _, _ = lax.while_loop(
+            condA, bodyA, (state0, inf0, inf0, jnp.asarray(True)))
+        state = lax.while_loop(
+            cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
+    else:
+        state = lax.while_loop(
+            cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
+            state0)
     if rem > 0:
         # max_iter % check_interval tail, like solve_loop's rem path.
-        state = lax.cond(state[8], lambda s: s, lambda s: step(s, rem),
-                         state)
-    Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
+        state = lax.cond(state[-1], lambda s: s,
+                         lambda s: step(s, rem, tail_W, tail_prec), state)
+    Y, rho_ind, rho, k, pri, dua, done, iters, status = state[:9]
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
-                            converged=done, n_iter_total=k)
+                            converged=status == STATUS_SOLVED,
+                            n_iter_total=k, status=status)
 
 
 # --------------------------------------------------------------------- #
@@ -318,15 +454,24 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
-                     "rho_max", "axis_name", "rho_jump"),
+                     "rho_max", "axis_name", "rho_jump",
+                     "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
+                     "iter_precision", "refine"),
 )
 def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
-                         rho_ind0, *, nx: int, nc: int, max_iter: int,
+                         rho_ind0, Wt_bank_hi=None, *, nx: int, nc: int,
+                         max_iter: int,
                          check_interval: int, adaptive_rho: bool,
                          adaptive_rho_tolerance: float, eps_abs: float,
                          rho_min: float, rho_max: float,
                          axis_name=None,
-                         rho_jump: bool = False) -> BatchSolveResult:
+                         rho_jump: bool = False,
+                         check_infeasibility: bool = False,
+                         eps_prim_inf: float = 1e-4,
+                         eps_dual_inf: float = 1e-4,
+                         iter_precision: str = "highest",
+                         refine: bool = True
+                         ) -> BatchSolveResult:
     """Solve a batch of QPs with per-problem (H, A) fully on device.
 
     Args:
@@ -349,9 +494,14 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     def split(Y):
         return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
 
-    def step(state, n_steps: int):
-        Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
-        Y = _chunk_hetero(Wt_bank, bias_bank, rho_ind, lo, hi, Y, n_steps)
+    def step(state, n_steps: int, W_op, precision: str):
+        if check_infeasibility:
+            (Y, rho_ind, rho, k, pri, dua, done, iters, status,
+             X_prev, Lam_prev, _) = state
+        else:
+            Y, rho_ind, rho, k, pri, dua, done, iters, status, _ = state
+        Y = _chunk_hetero(W_op, bias_bank, rho_ind, lo, hi, Y, n_steps,
+                          precision)
         X, Z, Lam = split(Y)
         pri_n, dua_n, rho_new = _hetero_residuals(
             H, A, G, X, Z, Lam, rho, rho_min, rho_max)
@@ -365,17 +515,30 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps
         iters = jnp.where(newly, k, iters)
+        status = jnp.where(newly, STATUS_SOLVED, status)
         done = jnp.logical_or(done, newly)
+        extra = ()
+        if check_infeasibility:
+            l_v = lo[:, nx:nx + nc]
+            u_v = hi[:, nx:nx + nc]
+            pinf, dinf = batched_infeasibility_certificates(
+                H, A, G, l_v, u_v, X - X_prev, Lam - Lam_prev,
+                eps_prim_inf, eps_dual_inf, hetero=True)
+            for flag, code in ((pinf, STATUS_PRIMAL_INFEASIBLE),
+                               (dinf, STATUS_DUAL_INFEASIBLE)):
+                newly_i = jnp.logical_and(~done, flag)
+                status = jnp.where(newly_i, code, status)
+                iters = jnp.where(newly_i, k, iters)
+                done = jnp.logical_or(done, newly_i)
+            extra = (X, Lam)
         n_open = jnp.sum(~done)
         if axis_name is not None:
             n_open = lax.psum(n_open, axis_name)
-        return (Y, rho_ind, rho, k, pri, dua, done, iters, n_open == 0)
-
-    def body(state):
-        return step(state, check_interval)
+        return (Y, rho_ind, rho, k, pri, dua, done, iters, status,
+                *extra, n_open == 0)
 
     def cond(state):
-        k, all_done = state[3], state[8]
+        k, all_done = state[3], state[-1]
         return jnp.logical_and(~all_done, k < n_chunks * check_interval)
 
     rho_ind0 = jnp.asarray(rho_ind0, dtype=jnp.int32)
@@ -384,12 +547,49 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     state0 = (Y0, rho_ind0, rho0, jnp.asarray(0, jnp.int32), zeros, zeros,
               jnp.zeros((B,), bool),
               jnp.full((B,), max_iter, dtype=jnp.int32),
-              jnp.asarray(False))
-    state = lax.while_loop(cond, body, state0)
+              jnp.full((B,), STATUS_MAX_ITER, dtype=jnp.int32))
+    if check_infeasibility:
+        state0 = state0 + (Y0[:, :nx], Y0[:, nx + nc:nx + 2 * nc])
+    state0 = state0 + (jnp.asarray(False),)
+
+    two_phase = refine and iter_precision != "highest"
+    W_hi = Wt_bank if Wt_bank_hi is None else Wt_bank_hi
+    tail_W, tail_prec = ((W_hi, "highest") if two_phase
+                         else (Wt_bank, iter_precision))
+    if two_phase:
+        # Running-best stall detection — see solve_batched_shared.
+        inf0 = jnp.full((B,), jnp.inf, dtype=dtype)
+
+        def condA(sA):
+            state, _, _, improving = sA
+            return jnp.logical_and(improving, cond(state))
+
+        def bodyA(sA):
+            state, best_p, best_d, _ = sA
+            state = step(state, check_interval, Wt_bank, iter_precision)
+            pri, dua, done = state[4], state[5], state[6]
+            improved = jnp.logical_and(
+                ~done, jnp.logical_or(pri < 0.97 * best_p,
+                                      dua < 0.97 * best_d))
+            n_imp = jnp.sum(improved)
+            if axis_name is not None:
+                n_imp = lax.psum(n_imp, axis_name)
+            return (state, jnp.minimum(best_p, pri),
+                    jnp.minimum(best_d, dua), n_imp > 0)
+
+        state, _, _, _ = lax.while_loop(
+            condA, bodyA, (state0, inf0, inf0, jnp.asarray(True)))
+        state = lax.while_loop(
+            cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
+    else:
+        state = lax.while_loop(
+            cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
+            state0)
     if rem > 0:
-        state = lax.cond(state[8], lambda s: s, lambda s: step(s, rem),
-                         state)
-    Y, rho_ind, rho, k, pri, dua, done, iters, _ = state
+        state = lax.cond(state[-1], lambda s: s,
+                         lambda s: step(s, rem, tail_W, tail_prec), state)
+    Y, rho_ind, rho, k, pri, dua, done, iters, status = state[:9]
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
-                            converged=done, n_iter_total=k)
+                            converged=status == STATUS_SOLVED,
+                            n_iter_total=k, status=status)

@@ -43,10 +43,31 @@ __all__ = [
     "STATUS_DUAL_INFEASIBLE", "STATUS_STRINGS",
 ]
 
-# chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps_static) -> y
+# chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps_static,
+#              iter_precision_static) -> y
 ChunkRunner = Callable[..., jax.Array]
 
 _TINY = 1e-30
+
+_DOT_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def iter_dot(y, W, iter_precision: str):
+    """The iteration matmul at the configured precision.
+
+    ``Settings.iter_precision`` semantics: "highest"/"high"/"default" map
+    to MXU pass counts on fp32 operands; "bf16" (or a bank already stored
+    in bfloat16) casts the state to bfloat16 and accumulates in the state
+    dtype — one MXU pass AND half the bank HBM traffic.
+    """
+    if iter_precision == "bf16" or W.dtype == jnp.bfloat16:
+        return jnp.matmul(y.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+                          preferred_element_type=y.dtype)
+    return jnp.matmul(y, W, precision=_DOT_PRECISION[iter_precision])
 
 
 class SolveResult(NamedTuple):
@@ -113,7 +134,8 @@ def infeasibility_certificates(H, A, g, l, u, dx, dlam, eps_pinf: float,
     return pinf, dinf
 
 
-def xla_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int):
+def xla_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,
+                     iter_precision: str = "highest"):
     """``n_steps`` fused iterations ``y ← clip(Wy + b, lo, hi)`` in pure XLA.
 
     Replaces the reference's per-iteration TorchScript op
@@ -126,8 +148,7 @@ def xla_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int):
     b = lax.dynamic_index_in_dim(b_bank, rho_ind, 0, keepdims=False)
 
     def body(_, y):
-        yw = jnp.matmul(y, W, precision=lax.Precision.HIGHEST)
-        return jnp.clip(yw + b, lo, hi)
+        return jnp.clip(iter_dot(y, W, iter_precision) + b, lo, hi)
 
     return lax.fori_loop(0, n_steps, body, y, unroll=min(n_steps, 4))
 
@@ -196,10 +217,10 @@ def rho_ladder_step(rhos, rho_ind, rho_est, tol, jump: bool, done=None):
         "nx", "nc", "max_iter", "check_interval", "adaptive_rho",
         "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
         "chunk_runner", "verbose", "check_infeasibility", "eps_prim_inf",
-        "eps_dual_inf", "rho_jump",
+        "eps_dual_inf", "rho_jump", "iter_precision", "refine",
     ),
 )
-def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
+def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
                nx: int, nc: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
@@ -208,7 +229,9 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
                check_infeasibility: bool = False,
                eps_prim_inf: float = 1e-4,
                eps_dual_inf: float = 1e-4,
-               rho_jump: bool = False) -> SolveResult:
+               rho_jump: bool = False,
+               iter_precision: str = "highest",
+               refine: bool = True) -> SolveResult:
     """Run the solver to convergence or ``max_iter`` fully on device.
 
     Semantics match the reference loop (``reluqpth.py:214-248``): iterations
@@ -248,13 +271,13 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
         k, status = state[3], state[6]
         return jnp.logical_and(status < 0, k < n_chunks * check_interval)
 
-    def body(state):
+    def step(state, n_steps: int, W_op, precision: str):
         if check_infeasibility:
             y, rho_ind, rho, k, pri, dua, status, x_prev, lam_prev = state
         else:
             y, rho_ind, rho, k, pri, dua, status = state
-        y = chunk_runner(bank.W, bank.b, rho_ind, qp.lo, qp.hi, y,
-                         check_interval)
+        y = chunk_runner(W_op, bank.b, rho_ind, qp.lo, qp.hi, y,
+                         n_steps, precision)
         pri, dua, rho_new = check(y, rho)
         if adaptive_rho:
             rho_ind = rho_ladder_step(bank.rhos, rho_ind, rho_new, tol,
@@ -262,7 +285,7 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
         if verbose:
             jax.debug.print(
                 "Iter: {k}, rho: {r:.2e}, res_p: {p:.2e}, res_d: {d:.2e}",
-                k=k + check_interval, r=rho_new, p=pri, d=dua)
+                k=k + n_steps, r=rho_new, p=pri, d=dua)
         solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
         status = jnp.where(solved, STATUS_SOLVED, RUNNING)
         if check_infeasibility:
@@ -276,9 +299,9 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
                                STATUS_PRIMAL_INFEASIBLE, status)
             status = jnp.where(jnp.logical_and(status < 0, dinf),
                                STATUS_DUAL_INFEASIBLE, status)
-            return (y, rho_ind, rho_new, k + check_interval, pri, dua,
+            return (y, rho_ind, rho_new, k + n_steps, pri, dua,
                     status, x, lam)
-        return (y, rho_ind, rho_new, k + check_interval, pri, dua, status)
+        return (y, rho_ind, rho_new, k + n_steps, pri, dua, status)
 
     zero = jnp.asarray(0, dtype=dtype)
     state0 = (y0, jnp.asarray(rho_ind0, dtype=jnp.int32),
@@ -286,7 +309,40 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
               zero, zero, RUNNING)
     if check_infeasibility:
         state0 = state0 + (y0[:nx], y0[nx + nc:nx + 2 * nc])
-    out = lax.while_loop(cond, body, state0)
+
+    two_phase = refine and iter_precision != "highest"
+    W_fast = bank.W
+    W_high = W_fast if W_hi is None else W_hi
+    tail_W, tail_prec = ((W_high, "highest") if two_phase
+                         else (W_fast, iter_precision))
+    if two_phase:
+        # Phase A: reduced-precision chunks while residuals improve ≥3%
+        # per check window; phase B: HIGHEST chunks to the true tolerance.
+        inf0 = jnp.asarray(jnp.inf, dtype=dtype)
+
+        def condA(sA):
+            state, _, _, improving = sA
+            return jnp.logical_and(improving, cond(state))
+
+        def bodyA(sA):
+            state, best_p, best_d, _ = sA
+            state = step(state, check_interval, W_fast, iter_precision)
+            pri, dua = state[4], state[5]
+            # best-so-far (not previous-window): reduced-precision jitter
+            # around the noise floor must not hold the fast phase open.
+            improving = jnp.logical_or(pri < 0.97 * best_p,
+                                       dua < 0.97 * best_d)
+            return (state, jnp.minimum(best_p, pri),
+                    jnp.minimum(best_d, dua), improving)
+
+        out, _, _, _ = lax.while_loop(
+            condA, bodyA, (state0, inf0, inf0, jnp.asarray(True)))
+        out = lax.while_loop(
+            cond, lambda s: step(s, check_interval, W_high, "highest"), out)
+    else:
+        out = lax.while_loop(
+            cond, lambda s: step(s, check_interval, W_fast, iter_precision),
+            state0)
     y, rho_ind, rho, k, pri, dua, status = out[:7]
 
     if rem > 0:
@@ -294,7 +350,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, *,
         # residual evaluation (reference fallthrough, ``reluqpth.py:243-248``).
         def tail(args):
             y, rho_ind, rho, k, pri, dua, status = args
-            y = chunk_runner(bank.W, bank.b, rho_ind, qp.lo, qp.hi, y, rem)
+            y = chunk_runner(tail_W, bank.b, rho_ind, qp.lo, qp.hi, y, rem,
+                             tail_prec)
             pri, dua, rho = check(y, rho)
             solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
             status = jnp.where(solved, STATUS_SOLVED, status)

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
@@ -386,7 +388,12 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     return jnp.concatenate([x0[None], xs], axis=0), us, its
 
 
-_rollout_jit = None
+_rollout_jit = jax.jit(
+    _rollout_impl,
+    static_argnames=("nx_qp", "nc", "nu", "Dp", "n_steps", "max_iter",
+                     "check_interval", "adaptive_rho",
+                     "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                     "rho_max", "chunk_runner"))
 
 
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
@@ -408,19 +415,6 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
       n_steps: number of control steps (static).
       solve_max_iter: per-step iteration cap (defaults to settings).
     """
-    import functools
-    import jax
-    import jax.numpy as jnp
-
-    global _rollout_jit
-    if _rollout_jit is None:
-        _rollout_jit = jax.jit(
-            _rollout_impl,
-            static_argnames=("nx_qp", "nc", "nu", "Dp", "n_steps",
-                             "max_iter", "check_interval", "adaptive_rho",
-                             "adaptive_rho_tolerance", "eps_abs", "rho_min",
-                             "rho_max", "chunk_runner"))
-
     stng = solver.settings
     dtype = stng.precision_dtype
     cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
@@ -520,7 +514,12 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
     return jnp.concatenate([X0[None], Xs], axis=0), Us, its
 
 
-_scenario_jit = None
+_scenario_jit = jax.jit(
+    _scenario_rollout_impl,
+    static_argnames=("nx_qp", "nc", "nu", "n_steps", "max_iter",
+                     "check_interval", "adaptive_rho",
+                     "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                     "rho_max", "rho_jump"))
 
 
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
@@ -546,18 +545,6 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
 
     Returns ``(states (T+1, B, nx), controls (T, B, nu), iters (T,))``.
     """
-    import jax
-    import jax.numpy as jnp
-
-    global _scenario_jit
-    if _scenario_jit is None:
-        _scenario_jit = jax.jit(
-            _scenario_rollout_impl,
-            static_argnames=("nx_qp", "nc", "nu", "n_steps", "max_iter",
-                             "check_interval", "adaptive_rho",
-                             "adaptive_rho_tolerance", "eps_abs", "rho_min",
-                             "rho_max", "rho_jump"))
-
     m = batch_solver
     if m.rho_mode != "shared":
         raise ValueError("scenario_rollout_scan requires rho_mode='shared'")

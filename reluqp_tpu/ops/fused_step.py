@@ -189,13 +189,18 @@ def fused_chunk_batched(wt_bank, b, lo, hi, Y, rho_ind, n_steps: int,
 
 
 def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
-                                n_steps: int):
+                                n_steps: int,
+                                iter_precision: str = "highest"):
     """Shared-ρ batched ``ChunkRunner`` for ``solve_batched_shared``.
 
     Expects pallas layout: ``Wt_bank`` (N, Dp, Dp) transposed padded,
     ``bias_all`` (N, B, Dp), ``lo``/``hi``/``Y`` (B, Dp), B a multiple of
-    the tile size chosen at setup (inert-row padding).
+    the tile size chosen at setup (inert-row padding). The in-kernel
+    matmul always runs at HIGHEST (``iter_precision`` is gated off at
+    setup for the pallas backends).
     """
+    assert iter_precision == "highest", \
+        "the pallas batched kernel only implements iter_precision='highest'"
     b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
     rows_tile = batch_tile_rows(Y.shape[1], Y.dtype)
     rows_tile = min(rows_tile, Y.shape[0])
@@ -205,13 +210,17 @@ def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
                                max(rows_tile, 1))
 
 
-def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int):
+def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,
+                        iter_precision: str = "highest"):
     """``ChunkRunner`` adapter for ``core.iteration.solve_loop``.
 
     Expects the solver to have stored the bank in pallas layout: ``W_bank``
     is the **transposed padded** bank (N, Dp, Dp) and ``b_bank`` (N, Dp);
-    ``lo``/``hi``/``y`` are (Dp,).
+    ``lo``/``hi``/``y`` are (Dp,). In-kernel matmuls run at HIGHEST
+    (``iter_precision`` is gated off at setup for the pallas backends).
     """
+    assert iter_precision == "highest", \
+        "the pallas chunk kernel only implements iter_precision='highest'"
     b = lax.dynamic_index_in_dim(b_bank, rho_ind, 0, keepdims=False)
     out = fused_chunk(
         W_bank,

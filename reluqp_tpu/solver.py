@@ -57,13 +57,16 @@ def _is_tpu(device) -> bool:
         return False
 
 
-def prepare_bank(W_np, B_np, b_np, rhos_np, dtype, dp: int, device=None) -> Bank:
+def prepare_bank(W_np, B_np, b_np, rhos_np, dtype, dp: int, device=None,
+                 w_dtype=None) -> Bank:
     """Host fp64 bank → device runtime layout.
 
     Runtime layout: ``W`` holds Wᵀ per rung, padded to (dp, dp); ``B`` is
     row-padded to (dp, nx) so ``b = B @ g`` lands directly in padded layout;
     ``b`` is (dp,)-padded with zeros. Zero padding + ±inf clamp bounds keep
-    padded lanes exactly 0 through every iteration.
+    padded lanes exactly 0 through every iteration. ``w_dtype`` overrides
+    the storage dtype of ``W`` only (``iter_precision="bf16"`` stores the
+    bank in bfloat16 — half the HBM stream; B/b stay in ``dtype``).
     """
     n, d, _ = W_np.shape
     nx = B_np.shape[2]
@@ -73,9 +76,9 @@ def prepare_bank(W_np, B_np, b_np, rhos_np, dtype, dp: int, device=None) -> Bank
     Bp[:, :d, :] = B_np
     bp = np.zeros((n, dp), dtype=np.float64)
     bp[:, :d] = b_np
-    put = lambda a: jax.device_put(jnp.asarray(a, dtype=dtype), device)
-    return Bank(W=put(Wt), B=put(Bp), b=put(bp),
-                rhos=put(np.asarray(rhos_np)))
+    put = lambda a, dt: jax.device_put(jnp.asarray(a, dtype=dt), device)
+    return Bank(W=put(Wt, w_dtype or dtype), B=put(Bp, dtype),
+                b=put(bp, dtype), rhos=put(np.asarray(rhos_np), dtype))
 
 
 class ReLU_QP:
@@ -108,6 +111,8 @@ class ReLU_QP:
               eps_prim_inf=1e-4,
               eps_dual_inf=1e-4,
               rho_jump=False,
+              iter_precision="highest",
+              refine=True,
               device=None,
               precision="float32",
               backend="auto",
@@ -132,7 +137,7 @@ class ReLU_QP:
             check_interval=check_interval,
             check_infeasibility=check_infeasibility,
             eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf,
-            rho_jump=rho_jump,
+            rho_jump=rho_jump, iter_precision=iter_precision, refine=refine,
             device=device, precision=precision, backend=backend)
         stng = self.settings
         dtype = stng.precision_dtype
@@ -189,8 +194,17 @@ class ReLU_QP:
             W_np, B_np, b_np = build_bank_np(
                 self._H_s, self._g_s, self._A_s, self.eq_mask,
                 self.rhos_np, stng.sigma)
+        w_dtype = jnp.bfloat16 if stng.iter_precision == "bf16" else None
         self.bank = prepare_bank(W_np, B_np, b_np, self.rhos_np, dtype,
-                                 self.Dp, stng.device)
+                                 self.Dp, stng.device, w_dtype=w_dtype)
+        # Refine phase under a bf16-stored bank needs the fp32 copy too.
+        self._W_hi = None
+        if stng.iter_precision == "bf16" and stng.refine:
+            n, d = W_np.shape[0], W_np.shape[1]
+            Wt = np.zeros((n, self.Dp, self.Dp))
+            Wt[:, :d, :d] = np.swapaxes(W_np, 1, 2)
+            self._W_hi = jax.device_put(jnp.asarray(Wt, dtype=dtype),
+                                        stng.device)
 
         # Device problem data (clamp bounds in padded layout).
         lo, hi = self._padded_bounds(self._l_s, self._u_s, dtype)
@@ -225,9 +239,11 @@ class ReLU_QP:
         stng = self.settings
         if stng.backend in ("xla", "pallas"):
             return False
-        # verbose prints and infeasibility certificates run at the XLA
-        # level; the in-kernel loop does not support them.
-        unsupported = stng.verbose or stng.check_infeasibility
+        # verbose prints, infeasibility certificates and non-HIGHEST
+        # iteration precision run at the XLA level; the in-kernel loop
+        # does not support them.
+        unsupported = (stng.verbose or stng.check_infeasibility
+                       or stng.iter_precision != "highest")
         dp = pad_dim(self.D)
         from .ops.fused_step import LANE, round_up
         nxp = round_up(max(self.nx, LANE), LANE)
@@ -237,8 +253,9 @@ class ReLU_QP:
             <= _PALLAS_VMEM_BUDGET
         if stng.backend == "fused":
             if unsupported:
-                raise ValueError("backend='fused' does not support "
-                                 "verbose or check_infeasibility")
+                raise ValueError("backend='fused' does not support verbose, "
+                                 "check_infeasibility or iter_precision "
+                                 "other than 'highest'")
             if not fits:
                 raise ValueError(
                     f"whole bank does not fit VMEM at D={self.D} "
@@ -263,9 +280,13 @@ class ReLU_QP:
                 raise ValueError(
                     f"pallas backend needs ~{vmem_bytes_needed(dp, 1, dtype)}"
                     f" bytes of VMEM for D={self.D}; use backend='xla'")
+            if stng.iter_precision != "highest":
+                raise ValueError("backend='pallas' only implements "
+                                 "iter_precision='highest'; use "
+                                 "backend='xla'")
             return pallas_chunk_runner
         # auto
-        if _is_tpu(stng.device) and fits:
+        if _is_tpu(stng.device) and fits and stng.iter_precision == "highest":
             return pallas_chunk_runner
         return xla_chunk_runner
 
@@ -365,8 +386,8 @@ class ReLU_QP:
                        "adaptive_rho_interval", "adaptive_rho_tolerance",
                        "max_iter", "eps_abs", "eq_tol", "check_interval",
                        "check_infeasibility", "eps_prim_inf",
-                       "eps_dual_inf", "rho_jump", "device", "precision",
-                       "backend")})
+                       "eps_dual_inf", "rho_jump", "iter_precision",
+                       "refine", "device", "precision", "backend")})
         self.warm_start(x=x_u, z=z_u, lam=lam_u)
         self.rho_ind = rho_ind_keep
 
@@ -375,6 +396,10 @@ class ReLU_QP:
 
         Mutable: ``max_iter``, ``eps_abs``, ``verbose``, ``check_interval``.
         The ρ/σ family raises (changing it would invalidate the bank).
+
+        Note: all four are static arguments of the compiled loop, so the
+        next ``solve()`` after a change compiles a fresh executable (cached
+        per value); prefer setting them once at ``setup``.
         """
         for key, value in kwargs.items():
             if key in ("max_iter", "eps_abs", "verbose", "check_interval"):
@@ -397,7 +422,7 @@ class ReLU_QP:
             return self._solve_fused(t0)
         rho0 = self.rhos_np[self.rho_ind]
         res = solve_loop(
-            self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
+            self.bank, self.qp_dev, self.y, self.rho_ind, rho0, self._W_hi,
             nx=self.nx, nc=self.nc, max_iter=stng.max_iter,
             check_interval=stng.check_interval,
             adaptive_rho=stng.adaptive_rho,
@@ -408,15 +433,16 @@ class ReLU_QP:
             check_infeasibility=bool(stng.check_infeasibility),
             eps_prim_inf=float(stng.eps_prim_inf),
             eps_dual_inf=float(stng.eps_dual_inf),
-            rho_jump=bool(stng.rho_jump))
+            rho_jump=bool(stng.rho_jump),
+            iter_precision=stng.iter_precision, refine=bool(stng.refine))
         res = jax.block_until_ready(res)
         run_time = time.perf_counter() - t0
 
         self.y = res.y
         # ONE bulk D2H for all scalar stats (per-field float()/int() costs a
         # tunnel round-trip each — ~7× dispatch latency on remote TPU).
-        iters, conv, pri, dua, rho_est, rho_ind, obj, scode = jax.device_get(
-            (res.iters, res.converged, res.pri_res, res.dua_res,
+        iters, pri, dua, rho_est, rho_ind, obj, scode = jax.device_get(
+            (res.iters, res.pri_res, res.dua_res,
              res.rho_estimate, res.rho_ind, res.obj_val, res.status_code))
         self.rho_ind = int(rho_ind)
         # Unscale the iterate (identity vectors when scaling is off).

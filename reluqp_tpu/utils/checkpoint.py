@@ -6,6 +6,11 @@ serializes a set-up ``ReLU_QP`` — problem data, settings, the compiled
 fp64-accurate weight bank in runtime layout, and the warm-start state — to
 a single ``.npz`` so a deployment can resume (or migrate hosts) without
 paying the setup-time factorization again: load cost is IO + H2D only.
+
+``save_batched_solver``/``load_batched_solver`` do the same for
+``BatchedReLU_QP`` — most valuable for heterogeneous batches, where the
+per-problem banks are the expensive artifact (B × N_rho fp64
+factorizations).
 """
 from __future__ import annotations
 
@@ -16,15 +21,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_solver", "load_solver"]
+__all__ = ["save_solver", "load_solver",
+           "save_batched_solver", "load_batched_solver"]
 
 _SETTINGS_KEYS = [
     "verbose", "warm_starting", "scaling", "rho", "rho_min", "rho_max",
     "sigma", "adaptive_rho", "adaptive_rho_interval",
     "adaptive_rho_tolerance", "max_iter", "eps_abs", "eq_tol",
     "check_interval", "check_infeasibility", "eps_prim_inf",
-    "eps_dual_inf", "rho_jump", "precision", "backend",
+    "eps_dual_inf", "rho_jump", "iter_precision", "refine", "precision",
+    "backend",
 ]
+
+
+def _w_to_np(W):
+    """bf16 banks round-trip through fp32 (.npz has no bfloat16)."""
+    if W.dtype == jnp.bfloat16:
+        return np.asarray(W.astype(jnp.float32))
+    return np.asarray(W)
 
 
 def save_solver(solver, path: str) -> None:
@@ -34,12 +48,16 @@ def save_solver(solver, path: str) -> None:
     stng = {k: getattr(solver.settings, k) for k in _SETTINGS_KEYS}
     stng["precision"] = str(np.dtype(solver.settings.precision_dtype))
     bank = jax.device_get(solver.bank)
+    # Under a bf16-stored bank, persist the fp32 refine copy instead —
+    # saving the quantized W would degrade the polish phase on reload.
+    W_save = (jax.device_get(solver._W_hi)
+              if getattr(solver, "_W_hi", None) is not None else bank.W)
     np.savez_compressed(
         path,
         settings=json.dumps(stng),
         H=solver.QP.H_np, g=solver.QP.g_np, A=solver.QP.A_np,
         l=solver.QP.l_np, u=solver.QP.u_np,
-        bank_W=np.asarray(bank.W), bank_B=np.asarray(bank.B),
+        bank_W=_w_to_np(W_save), bank_B=np.asarray(bank.B),
         bank_b=np.asarray(bank.b), rhos=solver.rhos_np,
         y=np.asarray(jax.device_get(solver.y)),
         rho_ind=np.asarray(solver.rho_ind),
@@ -106,8 +124,15 @@ def load_solver(path: str, device=None):
     solver._fused = False
 
     put = lambda a: jax.device_put(jnp.asarray(a, dtype=dtype), device)
-    solver.bank = Bank(W=put(data["bank_W"]), B=put(data["bank_B"]),
+    w_dtype = jnp.bfloat16 if stng.iter_precision == "bf16" else dtype
+    solver.bank = Bank(W=jax.device_put(jnp.asarray(data["bank_W"],
+                                                    dtype=w_dtype), device),
+                       B=put(data["bank_B"]),
                        b=put(data["bank_b"]), rhos=put(data["rhos"]))
+    # fp32 bank copy for the refine phase under a bf16-stored bank (the
+    # file always holds the fp32 layout).
+    solver._W_hi = put(data["bank_W"]) \
+        if stng.iter_precision == "bf16" and stng.refine else None
     lo, hi = solver._padded_bounds(solver._l_s, solver._u_s, dtype)
     solver.qp_dev = DeviceQP(H=put(solver._H_s), g=put(solver._g_s),
                              A=put(solver._A_s), lo=put(lo), hi=put(hi))
@@ -120,3 +145,126 @@ def load_solver(path: str, device=None):
     solver.info.update_time = 0.0
     solver._ready = True
     return solver
+
+
+# --------------------------------------------------------------------- #
+# batched solver                                                        #
+# --------------------------------------------------------------------- #
+
+def save_batched_solver(m, path: str) -> None:
+    """Serialize a set-up ``BatchedReLU_QP`` (banks + state) to .npz.
+
+    The mesh (if any) is runtime placement, not state — pass one to
+    ``load_batched_solver`` to re-shard on load.
+    """
+    if not getattr(m, "_ready", False):
+        raise RuntimeError("solver not set up")
+    stng = {k: getattr(m.settings, k) for k in _SETTINGS_KEYS}
+    stng["precision"] = str(np.dtype(m.settings.precision_dtype))
+    get = lambda a: np.asarray(jax.device_get(a))
+    eq = (np.zeros((0,), np.bool_) if m._eq_pattern is None
+          else np.asarray(m._eq_pattern, np.bool_))
+    np.savez_compressed(
+        path,
+        settings=json.dumps(stng),
+        hetero=np.asarray(m.hetero), rho_mode=np.asarray(m.rho_mode),
+        B_n=np.asarray(m.B_n), B_pad=np.asarray(m.B_pad),
+        nx=np.asarray(m.nx), nc=np.asarray(m.nc), Dp=np.asarray(m.Dp),
+        Wt_bank=_w_to_np(jax.device_get(m._Wt_hi)
+                         if getattr(m, "_Wt_hi", None) is not None
+                         else m.Wt_bank),
+        B_bank=get(m.B_bank),
+        H=get(m.H_dev), A=get(m.A_dev), G=get(m.G),
+        lo=get(m.lo), hi=get(m.hi), Y=get(m.Y),
+        rho_ind=get(m.rho_ind), rhos=m.rhos_np,
+        unx=get(m._unx), unz=get(m._unz), unlam=get(m._unlam),
+        scal_D=np.asarray(m.scal.D), scal_E=np.asarray(m.scal.E),
+        scal_c=np.asarray(m.scal.c),
+        eq_pattern=eq, l_np=m._l_np, u_np=m._u_np,
+    )
+
+
+def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
+    """Restore a ``BatchedReLU_QP`` from ``save_batched_solver`` output
+    WITHOUT re-factorizing the per-problem banks (IO + H2D only)."""
+    from ..batch import (BatchedReLU_QP, BatchInfo, BatchResults,
+                         _bias_all_hetero, _bias_all_shared)
+    from ..classes import Settings
+    from ..core.bank import stacked_dim
+    from ..ops.fused_step import batch_tile_rows, pad_dim, round_up
+    from ..solver import _is_tpu
+    from .scaling import Scaling
+
+    t0 = time.perf_counter()
+    data = np.load(path, allow_pickle=False)
+    stng_kw = json.loads(str(data["settings"]))
+
+    m = BatchedReLU_QP.__new__(BatchedReLU_QP)
+    m.info = BatchInfo()
+    m.results = BatchResults(info=m.info)
+    m.settings = Settings(**stng_kw)
+    stng = m.settings
+    dtype = stng.precision_dtype
+
+    m.hetero = bool(data["hetero"])
+    m.rho_mode = str(data["rho_mode"])
+    m._local_setup = False
+    m._multi = False
+    m.B_n = int(data["B_n"])
+    m.B_local = m.B_n
+    m.B_pad = int(data["B_pad"])
+    m.nx, m.nc = int(data["nx"]), int(data["nc"])
+    m.D = stacked_dim(m.nx, m.nc)
+    m.Dp = int(data["Dp"])
+    m.mesh, m.axis_name = mesh, axis_name
+    m.rhos_np = np.asarray(data["rhos"], dtype=np.float64)
+
+    D_s, E_s, c_s = data["scal_D"], data["scal_E"], data["scal_c"]
+    m.scal = Scaling(D=D_s, E=E_s, c=c_s, Dinv=1.0 / D_s, Einv=1.0 / E_s,
+                     cinv=1.0 / c_s)
+    eq = np.asarray(data["eq_pattern"])
+    m._eq_pattern = None if eq.size == 0 else eq
+    m._l_np, m._u_np = data["l_np"], data["u_np"]
+
+    # Pallas batched kernel only when the saved layout matches what a
+    # fresh setup would have padded to (same gate as _pick_pallas).
+    m._use_pallas = False
+    if not m.hetero and m.rho_mode == "shared" and stng.backend != "xla" \
+            and mesh is None and _is_tpu(stng.device) \
+            and m.Dp == pad_dim(m.D):
+        tile = min(batch_tile_rows(m.Dp, dtype), m.B_n)
+        m._use_pallas = m.B_pad == round_up(m.B_n, max(tile, 8))
+
+    put = lambda a, rep=False: m._put(jnp.asarray(a, dtype=dtype),
+                                      replicated=rep)
+    shared_rep = not m.hetero   # shared banks/matrices are replicated
+    wd = jnp.bfloat16 if stng.iter_precision == "bf16" else dtype
+    m.Wt_bank = m._put(jnp.asarray(data["Wt_bank"], dtype=wd),
+                       replicated=shared_rep)
+    m._keep_hi = stng.iter_precision == "bf16" and stng.refine
+    m._Wt_hi = m._put(jnp.asarray(data["Wt_bank"], dtype=dtype),
+                      replicated=shared_rep) if m._keep_hi else None
+    m.B_bank = put(data["B_bank"], rep=shared_rep)
+    m.H_dev = put(data["H"], rep=shared_rep)
+    m.A_dev = put(data["A"], rep=shared_rep)
+    m.G = put(data["G"])
+    m.lo, m.hi = put(data["lo"]), put(data["hi"])
+    m.Y = put(data["Y"])
+    m.rhos = put(data["rhos"], rep=True)
+    if m.rho_mode == "shared":
+        m.rho_ind = jnp.asarray(int(data["rho_ind"]), jnp.int32)
+    else:
+        m.rho_ind = m._put(jnp.asarray(data["rho_ind"], jnp.int32))
+    m._unx = put(data["unx"]) if m.hetero else jnp.asarray(data["unx"],
+                                                           dtype=dtype)
+    m._unz = put(data["unz"]) if m.hetero else jnp.asarray(data["unz"],
+                                                           dtype=dtype)
+    m._unlam = put(data["unlam"]) if m.hetero \
+        else jnp.asarray(data["unlam"], dtype=dtype)
+    m.bias_all = (_bias_all_hetero if m.hetero
+                  else _bias_all_shared)(m.B_bank, m.G)
+    jax.block_until_ready((m.Wt_bank, m.bias_all, m.Y))
+    m.info.setup_time = time.perf_counter() - t0
+    m.info.update_time = 0.0
+    m._ready = True
+    return m

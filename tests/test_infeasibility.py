@@ -48,3 +48,70 @@ def test_feasible_problems_still_solve_with_checks_on():
         m.setup(inst.H, inst.g, inst.A, inst.l, inst.u,
                 check_infeasibility=True, eps_abs=1e-4, backend="xla")
         assert m.solve().info.status == "solved"
+
+
+# --------------------------------------------------------------------- #
+# batched certificates                                                  #
+# --------------------------------------------------------------------- #
+
+def test_batched_shared_primal_infeasible_flagged():
+    """Shared-(H,A) batch: one problem's bounds are contradictory; it is
+    flagged in-loop while the rest solve."""
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.core.iteration import (STATUS_PRIMAL_INFEASIBLE,
+                                           STATUS_SOLVED)
+
+    H = np.eye(2)
+    A = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    B = 4
+    rng = np.random.RandomState(0)
+    G = rng.randn(B, 2)
+    L = np.tile(np.array([-2.0, -np.inf, -2.0]), (B, 1))
+    U = np.tile(np.array([np.inf, 2.0, 2.0]), (B, 1))
+    # Problem 2: x0 >= 1 AND x0 <= -1 — primal infeasible.
+    G[2] = 0.0
+    L[2] = [1.0, -np.inf, -1.0]
+    U[2] = [np.inf, -1.0, 1.0]
+
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, check_infeasibility=True, backend="xla",
+            max_iter=4000)
+    res = m.solve()
+    codes = res.info.status_code
+    assert codes[2] == STATUS_PRIMAL_INFEASIBLE, res.info.status_strings()
+    assert all(codes[i] == STATUS_SOLVED for i in (0, 1, 3)), \
+        res.info.status_strings()
+    assert not res.info.status[2] and res.info.status[[0, 1, 3]].all()
+    # flagged before burning max_iter
+    assert res.info.n_iter_total < 4000
+
+
+def test_batched_hetero_mixed_statuses():
+    """Hetero batch: feasible + primal-infeasible + dual-infeasible."""
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.core.iteration import (STATUS_DUAL_INFEASIBLE,
+                                           STATUS_PRIMAL_INFEASIBLE,
+                                           STATUS_SOLVED)
+
+    H = np.stack([np.eye(2), np.eye(2), np.diag([1.0, 0.0])])
+    A = np.stack([
+        np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+        np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+        np.array([[1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]),
+    ])
+    G = np.array([[0.3, -0.2], [0.0, 0.0], [0.0, 1.0]])
+    L = np.array([[-2.0, -np.inf, -2.0],
+                  [1.0, -np.inf, -1.0],
+                  [-1.0, -np.inf, -np.inf]])
+    U = np.array([[np.inf, 2.0, 2.0],
+                  [np.inf, -1.0, 1.0],
+                  [1.0, np.inf, np.inf]])
+
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, check_infeasibility=True, max_iter=4000)
+    res = m.solve()
+    codes = res.info.status_code
+    assert codes[0] == STATUS_SOLVED, res.info.status_strings()
+    assert codes[1] == STATUS_PRIMAL_INFEASIBLE, res.info.status_strings()
+    assert codes[2] == STATUS_DUAL_INFEASIBLE, res.info.status_strings()
+    assert res.info.n_iter_total < 4000

@@ -1,0 +1,139 @@
+"""Mixed-precision iteration tests (``Settings.iter_precision``).
+
+The iteration GEMM precision is configurable; residuals/certificates stay
+at Precision.HIGHEST in the storage dtype, so a "solved" status is always
+a genuine (exactly-evaluated) convergence. On CPU, "high"/"default" are
+bit-identical to "highest" (the distinction is MXU pass count on TPU);
+"bf16" really rounds operands to bfloat16 everywhere and exercises the
+reduced-accuracy path.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reluqp_tpu import ReLU_QP
+from reluqp_tpu.batch import BatchedReLU_QP
+from reluqp_tpu.utils.problems import canonical_qp, rand_qp
+
+
+@pytest.mark.parametrize("ip", ["high", "default"])
+def test_iter_precision_modes_solve(ip):
+    inst = rand_qp(nx=20, n_eq=5, n_ineq=5, seed=2, compute_sol=True)
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-4,
+            iter_precision=ip, backend="xla")
+    r = m.solve()
+    assert r.info.status == "solved"
+    assert np.max(np.abs(np.asarray(r.x, np.float64) - inst.x_sol)) < 1e-3
+
+
+def test_bf16_with_refine_reaches_tight_tolerance():
+    """bf16 iterations alone stall ~1e-2; the HIGHEST refine phase
+    (Settings.refine, on by default) carries the solve to eps_abs."""
+    inst = rand_qp(nx=40, n_eq=10, n_ineq=10, seed=1, compute_sol=True)
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-4,
+            iter_precision="bf16", backend="xla")
+    assert m.bank.W.dtype == jnp.bfloat16
+    # B/b stay in the storage dtype: bias updates keep full precision
+    assert m.bank.B.dtype == jnp.float32
+    # refine keeps an fp32 copy of the bank for the polish phase
+    assert m._W_hi is not None and m._W_hi.dtype == jnp.float32
+    r = m.solve()
+    assert r.info.status == "solved"
+    assert np.max(np.abs(np.asarray(r.x, np.float64) - inst.x_sol)) < 1e-3
+
+
+def test_bf16_without_refine_stalls_at_noise_floor():
+    inst = rand_qp(nx=40, n_eq=10, n_ineq=10, seed=1, compute_sol=False)
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-4,
+            iter_precision="bf16", refine=False, backend="xla",
+            max_iter=2000)
+    assert m._W_hi is None
+    r = m.solve()
+    assert r.info.status == "max_iters_reached"
+    # ... but still lands near the solution (noise-floor accuracy)
+    assert r.info.pri_res < 0.1
+
+
+def test_bf16_batched_shared_and_hetero():
+    inst = rand_qp(nx=16, n_eq=4, n_ineq=4, seed=4, compute_sol=False)
+    B = 6
+    rng = np.random.RandomState(0)
+    G = np.tile(inst.g, (B, 1)) + 0.01 * rng.randn(B, 16)
+    L = np.tile(inst.l, (B, 1))
+    U = np.tile(inst.u, (B, 1))
+
+    m = BatchedReLU_QP()
+    m.setup(inst.H, G, inst.A, L, U, eps_abs=1e-4, iter_precision="bf16")
+    assert m.Wt_bank.dtype == jnp.bfloat16
+    assert m._Wt_hi is not None and m._Wt_hi.dtype == jnp.float32
+    r = m.solve()
+    assert r.info.status.all(), r.info.pri_res
+
+    mh = BatchedReLU_QP()
+    mh.setup(np.tile(inst.H, (B, 1, 1)), G, np.tile(inst.A, (B, 1, 1)),
+             L, U, eps_abs=1e-4, iter_precision="bf16")
+    assert mh.Wt_bank.dtype == jnp.bfloat16
+    rh = mh.solve()
+    assert rh.info.status.all(), rh.info.pri_res
+
+
+def test_iter_precision_matches_highest_result():
+    """high/default produce the same trajectory as highest off-TPU."""
+    inst = rand_qp(nx=12, n_eq=3, n_ineq=3, seed=6, compute_sol=False)
+    xs = {}
+    for ip in ("highest", "high", "default"):
+        m = ReLU_QP()
+        m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-5,
+                iter_precision=ip, backend="xla")
+        r = m.solve()
+        assert r.info.status == "solved"
+        xs[ip] = np.asarray(r.x, np.float64)
+    np.testing.assert_allclose(xs["high"], xs["highest"], atol=1e-6)
+    np.testing.assert_allclose(xs["default"], xs["highest"], atol=1e-6)
+
+
+def test_pallas_backends_reject_reduced_precision():
+    qp = canonical_qp()
+    m = ReLU_QP()
+    with pytest.raises(ValueError, match="iter_precision"):
+        m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, backend="pallas",
+                iter_precision="bf16")
+    mb = BatchedReLU_QP()
+    G = np.tile(qp.g, (4, 1))
+    L = np.tile(qp.l, (4, 1))
+    U = np.tile(qp.u, (4, 1))
+    with pytest.raises(ValueError, match="iter_precision"):
+        mb.setup(qp.H, G, qp.A, L, U, backend="pallas",
+                 iter_precision="default")
+    with pytest.raises(ValueError):
+        m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, backend="fused",
+                iter_precision="high")
+
+
+def test_bf16_checkpoint_roundtrip(tmp_path):
+    import os
+    from reluqp_tpu.utils.checkpoint import load_solver, save_solver
+    qp = canonical_qp()
+    m = ReLU_QP()
+    m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, eps_abs=1e-3,
+            iter_precision="bf16", backend="xla")
+    r1 = m.solve()
+    m.clear_primal_dual()
+    p = os.path.join(tmp_path, "bf16.npz")
+    save_solver(m, p)
+    m2 = load_solver(p)
+    assert m2.bank.W.dtype == jnp.bfloat16
+    r2 = m2.solve()
+    assert r2.info.status == "solved"
+    np.testing.assert_allclose(np.asarray(r2.x, np.float64),
+                               np.asarray(r1.x, np.float64), atol=1e-5)
+
+
+def test_invalid_iter_precision_rejected():
+    qp = canonical_qp()
+    m = ReLU_QP()
+    with pytest.raises(ValueError, match="iter_precision"):
+        m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, iter_precision="fp8")

@@ -72,6 +72,78 @@ def test_shard_map_solve_matches_unsharded(rho_mode):
     assert np.max(np.abs(x - x_base)) < 1e-3
 
 
+def test_process_local_setup_single_process_equivalence():
+    """setup(process_local=True) on one process == plain mesh setup
+    (VERDICT round-1 item 6: the multi-host recipe as API)."""
+    H, G, A, L, U, sols = _shared_batch(B=8)
+    mesh = make_mesh()
+    m1 = BatchedReLU_QP()
+    m1.setup(H, G, A, L, U, mesh=mesh, backend="xla", eps_abs=1e-4)
+    r1 = m1.solve()
+
+    m2 = BatchedReLU_QP()
+    m2.setup(H, G, A, L, U, mesh=mesh, backend="xla", eps_abs=1e-4,
+             process_local=True)
+    assert m2.B_n == 8
+    assert len(m2.Y.sharding.device_set) == 8
+    r2 = m2.solve()
+    np.testing.assert_array_equal(r2.info.iter, r1.info.iter)
+    np.testing.assert_allclose(np.asarray(r2.x, np.float64),
+                               np.asarray(r1.x, np.float64), atol=1e-6)
+
+    # full lifecycle still works after a process-local setup
+    m2.update(g=G * 1.01)
+    r3 = m2.solve()
+    assert r3.info.status.all()
+    m2.warm_start(x=np.asarray(r3.x, np.float64))
+    m2.clear_primal_dual()
+    r4 = m2.solve()
+    assert r4.info.status.all()
+
+
+def test_process_local_requires_mesh():
+    H, G, A, L, U, _ = _shared_batch(B=8)
+    m = BatchedReLU_QP()
+    with pytest.raises(ValueError, match="requires a mesh"):
+        m.setup(H, G, A, L, U, process_local=True)
+
+
+@pytest.mark.parametrize("rho_mode,n_ar", [("shared", 3),
+                                           ("per_problem", 1)])
+def test_sharded_loop_collectives_guard(rho_mode, n_ar):
+    """Guard against silent resharding regressions (VERDICT round-1 item
+    5): the sharded loop must contain NO all-gather / all-to-all (Y and
+    the per-problem stats stay sharded) and EXACTLY the intended scalar
+    all-reduces — shared mode: psum(log ρ estimates), psum(active count)
+    for the lockstep ladder walk, psum(not-done count) for the collective
+    exit; per-problem mode: psum(not-done count) only."""
+    H, G, A, L, U, _ = _shared_batch(B=8)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, rho_mode=rho_mode, eps_abs=1e-4)
+    mesh = make_mesh()
+    kw = dict(nx=m.nx, nc=m.nc, max_iter=100, check_interval=25,
+              adaptive_rho=True, adaptive_rho_tolerance=5.0,
+              eps_abs=1e-4, rho_min=1e-6, rho_max=1e6)
+
+    def run(Wt, bias, rhos, Hd, Ad, G, lo, hi, Y, ri):
+        return solve_sharded_shared(mesh, Wt, bias, rhos, Hd, Ad, G, lo,
+                                    hi, Y, ri, rho_mode=rho_mode, **kw)
+
+    ri = m.rho_ind if rho_mode == "shared" else shard_batch(m.rho_ind, mesh)
+    lowered = jax.jit(run).lower(
+        m.Wt_bank, m.bias_all, m.rhos, m.H_dev, m.A_dev,
+        shard_batch(m.G, mesh), shard_batch(m.lo, mesh),
+        shard_batch(m.hi, mesh), shard_batch(m.Y, mesh), ri)
+    stable = lowered.as_text()
+    assert stable.count("all_gather") == 0, "sharded loop gathers state"
+    assert stable.count("all_to_all") == 0
+    assert stable.count('"stablehlo.all_reduce"') == n_ar, \
+        f"expected exactly {n_ar} scalar psums in the {rho_mode} loop"
+    # and nothing the compiler materializes later either
+    compiled = lowered.compile().as_text()
+    assert "all-gather" not in compiled
+
+
 def test_sharded_batch_not_divisible_raises():
     H, G, A, L, U, _ = _shared_batch(B=6)
     m = BatchedReLU_QP()

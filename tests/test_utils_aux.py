@@ -61,3 +61,77 @@ def test_checkpoint_requires_setup(tmp_path):
     m = ReLU_QP()
     with pytest.raises(RuntimeError):
         save_solver(m, os.path.join(tmp_path, "x.npz"))
+
+
+def _hetero_batch(B=3, nx=8, n_eq=2, n_ineq=3, scale=True):
+    nc = n_eq + n_ineq
+    H = np.empty((B, nx, nx))
+    A = np.empty((B, nc, nx))
+    G = np.empty((B, nx))
+    L = np.empty((B, nc))
+    U = np.empty((B, nc))
+    for i in range(B):
+        inst = rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=30 + i,
+                       compute_sol=False)
+        s = 10.0 ** np.linspace(-1, 1, nx) if scale else np.ones(nx)
+        H[i] = inst.H * s[:, None] * s[None, :]
+        G[i] = inst.g * s
+        A[i] = inst.A * s[None, :]
+        L[i], U[i] = inst.l, inst.u
+    return H, G, A, L, U
+
+
+def test_batched_checkpoint_roundtrip_hetero(tmp_path):
+    """Hetero banks (the expensive artifact) restore bit-exact and the
+    resumed solver reproduces the same solve (VERDICT round-1 item 9)."""
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.utils.checkpoint import (load_batched_solver,
+                                             save_batched_solver)
+    H, G, A, L, U = _hetero_batch()
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, scaling=True, eps_abs=1e-5)
+    r1 = m.solve()
+    assert r1.info.status.all()
+    m.clear_primal_dual()
+
+    p = os.path.join(tmp_path, "batched.npz")
+    save_batched_solver(m, p)
+    m2 = load_batched_solver(p)
+    assert np.array_equal(np.asarray(m2.Wt_bank), np.asarray(m.Wt_bank))
+    assert np.array_equal(np.asarray(m2.Y), np.asarray(m.Y))
+    r2 = m2.solve()
+    assert r2.info.status.all()
+    np.testing.assert_array_equal(r2.info.iter, r1.info.iter)
+    np.testing.assert_allclose(np.asarray(r2.x, np.float64),
+                               np.asarray(r1.x, np.float64), atol=1e-6)
+    # resumed lifecycle: update + warm re-solve
+    m2.update(g=G * 1.05)
+    r3 = m2.solve()
+    assert r3.info.status.all()
+
+
+def test_batched_checkpoint_roundtrip_shared_mesh(tmp_path):
+    """Shared batch saved unsharded, reloaded onto a mesh."""
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.parallel import make_mesh
+    from reluqp_tpu.utils.checkpoint import (load_batched_solver,
+                                             save_batched_solver)
+    inst = rand_qp(nx=12, n_eq=3, n_ineq=3, seed=9, compute_sol=False)
+    B = 16
+    rng = np.random.RandomState(0)
+    G = np.tile(inst.g, (B, 1)) + 0.01 * rng.randn(B, 12)
+    L = np.tile(inst.l, (B, 1))
+    U = np.tile(inst.u, (B, 1))
+    m = BatchedReLU_QP()
+    m.setup(inst.H, G, inst.A, L, U, eps_abs=1e-4)
+    r1 = m.solve()
+    assert r1.info.status.all()
+    m.clear_primal_dual()
+    p = os.path.join(tmp_path, "shared.npz")
+    save_batched_solver(m, p)
+
+    m2 = load_batched_solver(p, mesh=make_mesh(4))
+    r2 = m2.solve()
+    assert r2.info.status.all()
+    np.testing.assert_allclose(np.asarray(r2.x, np.float64),
+                               np.asarray(r1.x, np.float64), atol=1e-5)
