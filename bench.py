@@ -9,6 +9,13 @@ warm-started solve loop to convergence, apply u0 to the plant.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is against the 1000 Hz north-star target (the reference repo
 publishes no numbers, BASELINE.md).
+
+Timing methodology (axon-tunnel-safe, docs/perf_notes.md): every timed
+dispatch uses FRESH input values (the tunnel memoizes repeated identical
+executions), timing ends at a scalar ``jax.device_get`` of a
+result-dependent value (``block_until_ready`` does not reliably block
+through the tunnel), and the per-dispatch overhead is cancelled by
+differencing a short and a long rollout.
 """
 import json
 import sys
@@ -22,7 +29,7 @@ def main():
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
     NX, NU, HORIZON = 100, 20, 10
-    T = 500
+    T_LO, T_HI = 100, 600
 
     Ad, Bd = random_linear_system(NX, NU, seed=0, spectral_radius=0.99)
     Q = np.eye(NX)
@@ -34,23 +41,31 @@ def main():
     rng = np.random.RandomState(1)
     x0 = 0.05 * rng.randn(NX)
 
-    # compile + correctness gate
-    xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, T)
-    xs = np.asarray(jax.block_until_ready(xs))
+    def rollout_s(x, T):
+        """Time one T-step rollout; the scalar fetch forces execution."""
+        t0 = time.perf_counter()
+        xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, T)
+        float(jax.device_get(xs[-1].sum()))
+        return time.perf_counter() - t0, xs, iters
+
+    # compile both lengths + correctness gate
+    _, xs, iters = rollout_s(x0, T_LO)
+    rollout_s(x0, T_HI)
+    xs = np.asarray(jax.device_get(xs))
     assert np.all(np.isfinite(xs)), "rollout diverged"
     max_it = int(np.max(np.asarray(iters)))
     assert max_it < ctrl.solver.settings.max_iter, \
         f"solver hit max_iter ({max_it})"
 
-    # steady-state warm timing (3 reps, best)
+    # steady-state warm rate: overhead-cancelling two-point fit, best of 3,
+    # fresh x0 per timed dispatch
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, T)
-        jax.block_until_ready(xs)
-        best = min(best, time.perf_counter() - t0)
+    for i in range(3):
+        t_lo, _, _ = rollout_s(x0 + (i + 1) * 1e-4, T_LO)
+        t_hi, _, _ = rollout_s(x0 + (i + 1) * 1e-4 + 5e-5, T_HI)
+        best = min(best, max(t_hi - t_lo, 1e-9) / (T_HI - T_LO))
 
-    hz = T / best
+    hz = 1.0 / best
     print(json.dumps({
         "metric": "mpc_solve_rate_100state_h10",
         "value": round(hz, 1),

@@ -4,12 +4,17 @@ No reference counterpart — the reference loops over QPs in Python
 (``ReLU-QP-py/benchmarks/random_qps.py:57-72``). Measures:
 
 - single-device batched throughput (QPs/s) for a shared-(H,A) batch at
-  several batch sizes;
+  several batch sizes, with FLOP accounting (model TFLOP/s and % of the
+  chip's bf16 peak, counting the MXU passes the chosen iter_precision
+  actually issues);
+- a device-timed chunk microbenchmark (per-iteration µs of the pure
+  iteration GEMM, excluding loop/residual/dispatch overhead);
 - weak-scaling efficiency over a device mesh: batch per device held
   constant, devices 1..N (virtual CPU mesh or a real slice), efficiency =
   t(1 device) / t(N devices) with N× the work.
 
-Run:  python benchmarks/batched_qps.py [--nx 50] [--batch 1024]
+Run:  python benchmarks/batched_qps.py [--nx 50] [--batches 1024 10000]
+          [--backend auto|xla|pallas] [--iter-precision highest|bf16]
           [--weak-scaling] [--devices 8]
 """
 from __future__ import annotations
@@ -23,6 +28,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# Per-chip dense peak used for the MFU column (TPU v5e ≈ 197 TFLOP/s
+# bf16; fp32 Precision.HIGHEST issues 6 bf16 passes per matmul).
+PEAK_BF16 = 197e12
+PASSES = {"highest": 6, "high": 3, "default": 1, "bf16": 1}
 
 
 def _make_batch(nx, n_eq, n_ineq, B, seed0=0):
@@ -48,6 +58,117 @@ def _make_batch(nx, n_eq, n_ineq, B, seed0=0):
     return base.H, G, base.A, L, U
 
 
+def chunk_us_per_iter(m, n_steps: int = 100) -> float:
+    """Device-timed per-iteration cost of the pure iteration chunk.
+
+    Axon-tunnel-safe methodology (see docs/perf_notes.md): every timed
+    dispatch gets FRESH input values (the tunnel memoizes repeated
+    identical executions), timing ends at a scalar ``jax.device_get``
+    (``block_until_ready`` does not reliably block through the tunnel),
+    and the per-dispatch overhead (~30 ms) is cancelled by differencing a
+    2-rep and a 12-rep dependent chain.
+    """
+    import jax
+    import jax.numpy as jnp
+    from reluqp_tpu.core.batched import _chunk_shared_rho
+    from reluqp_tpu.ops.fused_step import pallas_batched_chunk_runner
+
+    runner = (pallas_batched_chunk_runner if m._use_pallas
+              else _chunk_shared_rho)
+    ip = m.settings.iter_precision
+
+    def mk(reps):
+        @jax.jit
+        def k_chunks(Wt, bias, lo, hi, Y):
+            def body(Y, _):
+                Y = runner(Wt, bias, jnp.asarray(0, jnp.int32), lo, hi, Y,
+                           n_steps, ip)
+                return Y, ()
+            Y, _ = jax.lax.scan(body, Y, None, length=reps)
+            return jnp.sum(Y)
+        return k_chunks
+
+    f_lo, f_hi = mk(2), mk(12)
+    args = lambda eps: (m.Wt_bank, m.bias_all, m.lo, m.hi, m.Y + eps)
+    float(jax.device_get(f_lo(*args(0.0))))     # compile
+    float(jax.device_get(f_hi(*args(0.0))))
+    t0 = time.perf_counter()
+    float(jax.device_get(f_lo(*args(1e-3))))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jax.device_get(f_hi(*args(2e-3))))
+    t_hi = time.perf_counter() - t0
+    return max(t_hi - t_lo, 1e-9) / (10 * n_steps) * 1e6
+
+
+def solve_device_ms(m, reps_hi: int = 5) -> float:
+    """Per-solve device time via the same overhead-cancelling two-point
+    fetch-forced methodology as ``chunk_us_per_iter``."""
+    import jax
+    import jax.numpy as jnp
+    from reluqp_tpu.core.batched import solve_batched_shared
+    from reluqp_tpu.core.ladder import initial_rho_index
+    from reluqp_tpu.ops.fused_step import pallas_batched_chunk_runner
+
+    kw = m._solve_kw()
+    runner = pallas_batched_chunk_runner if m._use_pallas else None
+    done0 = (jnp.arange(m.B_pad) >= m.B_n) if m.B_pad != m.B_n else None
+    r0 = initial_rho_index(m.rhos_np, m.settings.rho)
+    ri0 = (jnp.asarray(r0, jnp.int32) if m.rho_mode == "shared"
+           else jnp.full((m.B_pad,), r0, jnp.int32))
+
+    def mk(reps):
+        @jax.jit
+        def k_solves(Wt, bias, rhos, H, A, G, lo, hi, Y0, Wt_hi):
+            def body(carry, _):
+                # carry-dependent start state: keeps each rep a REAL solve
+                # (a loop-invariant body would be hoisted out of the scan)
+                res = solve_batched_shared(
+                    Wt, bias, rhos, H, A, G, lo, hi,
+                    Y0 + carry * 1e-30, ri0, done0, Wt_hi,
+                    rho_mode=m.rho_mode, chunk_runner=runner, **kw)
+                return carry + res.pri_res.sum(), ()
+            c, _ = jax.lax.scan(body, jnp.asarray(0.0, m.Y.dtype), None,
+                                length=reps)
+            return c
+        return k_solves
+
+    f_lo, f_hi = mk(1), mk(reps_hi)
+    Y0 = jnp.zeros_like(m.Y)
+
+    def args(eps):
+        # fresh values every timed dispatch (eps-perturbed warm start;
+        # does not change the solve path materially)
+        return (m.Wt_bank, m.bias_all, m.rhos, m.H_dev, m.A_dev, m.G,
+                m.lo, m.hi, Y0 + eps, m._Wt_hi)
+
+    float(jax.device_get(f_lo(*args(0.0))))
+    float(jax.device_get(f_hi(*args(0.0))))
+    t0 = time.perf_counter()
+    float(jax.device_get(f_lo(*args(1e-6))))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jax.device_get(f_hi(*args(2e-6))))
+    t_hi = time.perf_counter() - t0
+    return max(t_hi - t_lo, 1e-9) / (reps_hi - 1) * 1e3
+
+
+def _flop_account(m, B, dt):
+    """Model-FLOP accounting for one batched solve."""
+    it = int(m.info.n_iter_total)
+    checks = max(it // m.settings.check_interval, 1)
+    nx, nc = m.nx, m.nc
+    gemm = 2.0 * m.B_pad * m.Dp * m.Dp * it
+    resid = checks * 2.0 * B * (2 * nc * nx + nx * nx)
+    model = gemm + resid
+    passes = PASSES[m.settings.iter_precision]
+    return dict(
+        model_tflops=model / dt / 1e12,
+        mfu_pct=100.0 * model * passes / dt / PEAK_BF16,
+        gemm_flops_per_iter=2.0 * m.B_pad * m.Dp * m.Dp,
+    )
+
+
 def run_throughput(args):
     import jax
     from reluqp_tpu.batch import BatchedReLU_QP
@@ -57,7 +178,8 @@ def run_throughput(args):
     for B in args.batches:
         H, G, A, L, U = _make_batch(args.nx, n_eq, n_ineq, B)
         m = BatchedReLU_QP()
-        m.setup(H, G, A, L, U, rho_mode=args.rho_mode, eps_abs=args.tol)
+        m.setup(H, G, A, L, U, rho_mode=args.rho_mode, eps_abs=args.tol,
+                backend=args.backend, iter_precision=args.iter_precision)
         m.solve()          # compile + converge check
         assert m.info.status.all(), f"B={B}: {m.info.status.sum()}/{B} solved"
         m.clear_primal_dual()
@@ -65,10 +187,29 @@ def run_throughput(args):
         m.solve()
         dt = time.perf_counter() - t0
         qps = B / dt
-        out.append(dict(batch=B, time_s=dt, qps=qps,
-                        n_iter_total=m.info.n_iter_total))
-        print(f"B={B:6d}  {dt*1e3:9.1f} ms  {qps:10.0f} QP/s  "
-              f"(loop ran {m.info.n_iter_total} iters)")
+        row = dict(batch=B, nx=args.nx, backend=args.backend,
+                   pallas=m._use_pallas,
+                   iter_precision=args.iter_precision, time_s=dt, qps=qps,
+                   n_iter_total=m.info.n_iter_total, Dp=m.Dp,
+                   B_pad=m.B_pad)
+        row.update(_flop_account(m, B, dt))
+        dms = solve_device_ms(m)
+        row["solve_device_ms"] = dms
+        row["qps_device"] = B / (dms * 1e-3)
+        cu = chunk_us_per_iter(m)
+        row["chunk_us_per_iter"] = cu
+        gf = row["gemm_flops_per_iter"]
+        row["chunk_tflops"] = gf / (cu * 1e-6) / 1e12
+        row["chunk_mfu_pct"] = (100.0 * gf
+                                * PASSES[args.iter_precision]
+                                / (cu * 1e-6) / PEAK_BF16)
+        out.append(row)
+        print(f"B={B:6d} nx={args.nx:4d} [{args.backend}/"
+              f"{args.iter_precision}]  host {dt*1e3:8.1f} ms | device "
+              f"{dms:8.1f} ms  {row['qps_device']:10.0f} QP/s"
+              f"  iters={m.info.n_iter_total:5d}  "
+              f"chunk {cu:7.1f} us/it {row['chunk_tflops']:.2f} TF/s"
+              f" ({row['chunk_mfu_pct']:.1f}% MFU)")
     return out
 
 
@@ -108,6 +249,10 @@ def main(argv=None):
                    default=[64, 256, 1024, 4096, 10000])
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--rho-mode", default="shared")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--iter-precision", default="highest",
+                   choices=["highest", "high", "default", "bf16"])
     p.add_argument("--weak-scaling", action="store_true")
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--batch-per-device", type=int, default=1024)

@@ -32,18 +32,27 @@ def bench_one(nx, nu, horizon, T, tol, backend):
                eps_abs=tol, backend=backend)
     x0 = 0.05 * np.random.RandomState(1).randn(nx)
 
-    # on-device rollout (compile, then best-of-3 warm)
-    xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, T)
-    jax.block_until_ready(xs)
-    assert np.all(np.isfinite(np.asarray(xs)))
-    best = float("inf")
-    for _ in range(3):
+    # On-device rollout rate via the axon-safe two-point methodology
+    # (fresh inputs per timed dispatch, scalar fetch, overhead cancelled
+    # by differencing short/long rollouts — see docs/perf_notes.md).
+    T_lo, T_hi = max(T // 5, 25), T
+
+    def rollout_s(x, n):
         t0 = time.perf_counter()
-        xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, T)
-        jax.block_until_ready(xs)
-        best = min(best, time.perf_counter() - t0)
-    hz_device = T / best
+        xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, n)
+        float(jax.device_get(xs[-1].sum()))
+        return time.perf_counter() - t0, xs, iters
+
+    _, xs, iters = rollout_s(x0, T_hi)          # compile + gate
+    rollout_s(x0, T_lo)
+    assert np.all(np.isfinite(np.asarray(jax.device_get(xs))))
     mean_iters = float(np.mean(np.asarray(iters)))
+    best = float("inf")
+    for i in range(3):
+        t_lo, _, _ = rollout_s(x0 + (i + 1) * 1e-4, T_lo)
+        t_hi, _, _ = rollout_s(x0 + (i + 1) * 1e-4 + 5e-5, T_hi)
+        best = min(best, max(t_hi - t_lo, 1e-9) / (T_hi - T_lo))
+    hz_device = 1.0 / best
 
     # host-driven cycle (reference-style): time 25 steps
     x = x0.copy()

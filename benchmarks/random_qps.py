@@ -39,12 +39,13 @@ def reluqp_solve(H, g, A, l, u, tol, backend="auto", warm=None):
 
 
 def device_loop_us(m, reps: int = 20) -> float:
-    """Honest per-solve latency: `reps` cold solves in ONE device dispatch.
+    """Honest per-solve latency via on-device K-solve scans.
 
-    Each scan step resets y to zero (cold start) and runs the full solve
-    loop; per-solve time excludes host dispatch, which dominates through
-    remote tunnels (~10-30 ms/round-trip) and would otherwise flatten the
-    size sweep.
+    Axon-tunnel-safe (docs/perf_notes.md): fresh inputs per timed
+    dispatch (the tunnel memoizes repeated identical executions), a
+    scalar ``jax.device_get`` forces execution, and the per-dispatch
+    overhead is cancelled by differencing a 2-solve and a
+    ``2+reps``-solve scan.
     """
     import jax
     import jax.numpy as jnp
@@ -53,27 +54,60 @@ def device_loop_us(m, reps: int = 20) -> float:
 
     s = m.settings
 
-    def k_solves(bank, qp_dev, y_zero):
-        def body(carry, _):
-            res = solve_loop(
-                bank, qp_dev, y_zero, 0, bank.rhos[0],
-                nx=m.nx, nc=m.nc, max_iter=s.max_iter,
-                check_interval=s.check_interval,
-                adaptive_rho=s.adaptive_rho,
-                adaptive_rho_tolerance=float(s.adaptive_rho_tolerance),
-                eps_abs=float(s.eps_abs), rho_min=float(s.rho_min),
-                rho_max=float(s.rho_max), chunk_runner=m._chunk_runner)
-            # carry a result-dependent scalar so XLA cannot elide solves
-            return carry + res.pri_res, res.iters
-        return jax.lax.scan(body, jnp.asarray(0.0, y_zero.dtype), None,
-                            length=reps)
+    def mk(n):
+        def k_solves(bank, qp_dev, y_zero):
+            def body(carry, _):
+                # carry-dependent start state keeps each rep a REAL solve
+                # (a loop-invariant body would be hoisted out of the scan)
+                res = solve_loop(
+                    bank, qp_dev, y_zero + carry * 1e-30, 0, bank.rhos[0],
+                    nx=m.nx, nc=m.nc, max_iter=s.max_iter,
+                    check_interval=s.check_interval,
+                    adaptive_rho=s.adaptive_rho,
+                    adaptive_rho_tolerance=float(s.adaptive_rho_tolerance),
+                    eps_abs=float(s.eps_abs), rho_min=float(s.rho_min),
+                    rho_max=float(s.rho_max), chunk_runner=m._chunk_runner)
+                # carry a result-dependent scalar so solves cannot be elided
+                return carry + res.pri_res, ()
+            c, _ = jax.lax.scan(body, jnp.asarray(0.0, y_zero.dtype), None,
+                                length=n)
+            return c
+        return jax.jit(k_solves)
 
-    fn = jax.jit(k_solves)
-    y_zero = jnp.zeros_like(m.y)
-    jax.block_until_ready(fn(m.bank, m.qp_dev, y_zero))
+    f_lo, f_hi = mk(2), mk(2 + reps)
+    y0 = jnp.zeros_like(m.y)
+    float(jax.device_get(f_lo(m.bank, m.qp_dev, y0)))
+    float(jax.device_get(f_hi(m.bank, m.qp_dev, y0)))
     t0 = _t.perf_counter()
-    jax.block_until_ready(fn(m.bank, m.qp_dev, y_zero))
-    return (_t.perf_counter() - t0) / reps * 1e6
+    float(jax.device_get(f_lo(m.bank, m.qp_dev, y0 + 1e-6)))
+    t_lo = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    float(jax.device_get(f_hi(m.bank, m.qp_dev, y0 + 2e-6)))
+    t_hi = _t.perf_counter() - t0
+    return max(t_hi - t_lo, 1e-9) / reps * 1e6
+
+
+def native_oracle(H, g, A, l, u, eps=1e-8):
+    """fp64 oracle from the in-repo native C++ solver (JAX-independent
+    second implementation, SURVEY.md §2 #22): bank + solve at eps 1e-8.
+
+    Plays the reference benchmark's independent-solver role
+    (``random_qps.py:68`` asserts ‖x−x_osqp‖∞ < tol) without external
+    dependencies. Returns x or None when unavailable/not converged.
+    """
+    from reluqp_tpu import native
+    from reluqp_tpu.core.bank import equality_mask
+    from reluqp_tpu.core.ladder import setup_rhos
+    if not native.available():
+        return None
+    eq = equality_mask(l, u, 1e-6)
+    rhos = setup_rhos(0.1, 1e-6, 1e6, True, 5.0)
+    W, _, b = native.build_bank(H, A, g, eq, rhos, 1e-6)
+    y, info = native.solve(H, A, g, l, u, W, b, rhos, max_iter=20000,
+                           eps_abs=eps)
+    if info.status != 1:
+        return None
+    return y[:H.shape[0]]
 
 
 def osqp_solve(H, g, A, l, u, tol):  # pragma: no cover - optional dep
@@ -112,6 +146,8 @@ def main(argv=None):
                         "K-solve scan (excludes host dispatch)")
     p.add_argument("--oracle", action="store_true",
                    help="check against the fp64 scipy oracle (slow)")
+    p.add_argument("--no-native-oracle", action="store_true",
+                   help="skip the native fp64 C++ oracle column")
     p.add_argument("--out", default="results/random_qp_benchmark.json")
     args = p.parse_args(argv)
 
@@ -168,6 +204,12 @@ def main(argv=None):
             if args.oracle and inst.x_sol is not None:
                 rec["err_vs_oracle"] = float(np.max(np.abs(x - inst.x_sol)))
                 assert rec["err_vs_oracle"] < 50 * args.tol, rec
+            if not args.no_native_oracle:
+                x_n = native_oracle(inst.H, inst.g, inst.A, inst.l, inst.u)
+                if x_n is not None:
+                    rec["err_vs_native"] = float(np.max(np.abs(x - x_n)))
+                    # the reference's acceptance gate (random_qps.py:68)
+                    assert rec["err_vs_native"] < 50 * args.tol, rec
             if have_osqp:
                 x_o, t_o = osqp_solve(inst.H, inst.g, inst.A, inst.l,
                                       inst.u, args.tol)

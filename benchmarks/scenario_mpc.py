@@ -60,17 +60,27 @@ def main(argv=None):
         m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
                 np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
                 eps_abs=args.tol, backend="xla")
-        T = args.steps
-        Xs, _, _ = scenario_rollout_scan(m, prob, X0, T)
-        Xs = np.asarray(jax.block_until_ready(Xs))
-        assert np.all(np.isfinite(Xs)), "rollout diverged"
-        best = float("inf")
-        for _ in range(3):
+        # Axon-safe two-point timing: fresh X0 per timed dispatch, scalar
+        # fetch forces execution, overhead cancelled by differencing a
+        # short and a long rollout (docs/perf_notes.md).
+        T_lo, T_hi = max(args.steps // 5, 20), args.steps
+
+        def rollout_s(X, n):
             t0 = time.perf_counter()
-            Xs, _, _ = scenario_rollout_scan(m, prob, X0, T)
-            jax.block_until_ready(Xs)
-            best = min(best, time.perf_counter() - t0)
-        hz = T / best
+            Xs, _, _ = scenario_rollout_scan(m, prob, X, n)
+            float(jax.device_get(Xs[-1].sum()))
+            return time.perf_counter() - t0, Xs
+
+        _, Xs = rollout_s(X0, T_hi)            # compile + gate
+        rollout_s(X0, T_lo)
+        assert np.all(np.isfinite(np.asarray(jax.device_get(Xs)))), \
+            "rollout diverged"
+        best = float("inf")
+        for i in range(3):
+            t_lo, _ = rollout_s(X0 + (i + 1) * 1e-4, T_lo)
+            t_hi, _ = rollout_s(X0 + (i + 1) * 1e-4 + 5e-5, T_hi)
+            best = min(best, max(t_hi - t_lo, 1e-9) / (T_hi - T_lo))
+        hz = 1.0 / best
         rec = dict(scenarios=B, steps_per_s=hz, scenario_solves_per_s=hz * B)
         records.append(rec)
         print(f"B={B:5d}  {hz:8.0f} steps/s  "

@@ -198,13 +198,10 @@ class BatchedReLU_QP:
             raise ValueError("the batched solver has no whole-solve-in-VMEM"
                              " kernel; use backend='auto', 'pallas' or "
                              "'xla'")
-        if self.hetero or self.rho_mode != "shared" \
-                or stng.iter_precision != "highest":
+        if self.hetero or self.rho_mode != "shared":
             if stng.backend == "pallas":
-                raise ValueError(
-                    "the pallas batched backend requires a shared-(H,A) "
-                    "batch with rho_mode='shared' and "
-                    "iter_precision='highest'")
+                raise ValueError("the pallas batched backend requires a "
+                                 "shared-(H,A) batch with rho_mode='shared'")
             return False
         if stng.backend == "xla":
             return False
@@ -546,23 +543,29 @@ class BatchedReLU_QP:
                 raise ValueError(f"Invalid setting: {key}")
 
     # ------------------------------------------------------------------ #
+    def _solve_kw(self):
+        """Static solver parameters of the ``core.batched`` loops."""
+        stng = self.settings
+        return dict(nx=self.nx, nc=self.nc, max_iter=stng.max_iter,
+                    check_interval=stng.check_interval,
+                    adaptive_rho=stng.adaptive_rho,
+                    adaptive_rho_tolerance=float(
+                        stng.adaptive_rho_tolerance),
+                    eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+                    rho_max=float(stng.rho_max),
+                    rho_jump=bool(stng.rho_jump),
+                    check_infeasibility=bool(stng.check_infeasibility),
+                    eps_prim_inf=float(stng.eps_prim_inf),
+                    eps_dual_inf=float(stng.eps_dual_inf),
+                    iter_precision=stng.iter_precision,
+                    refine=bool(stng.refine))
+
     def solve(self) -> BatchResults:
         """Solve the whole batch in one on-device loop."""
         self._check_ready()
         t0 = time.perf_counter()
         stng = self.settings
-        kw = dict(nx=self.nx, nc=self.nc, max_iter=stng.max_iter,
-                  check_interval=stng.check_interval,
-                  adaptive_rho=stng.adaptive_rho,
-                  adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
-                  eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-                  rho_max=float(stng.rho_max),
-                  rho_jump=bool(stng.rho_jump),
-                  check_infeasibility=bool(stng.check_infeasibility),
-                  eps_prim_inf=float(stng.eps_prim_inf),
-                  eps_dual_inf=float(stng.eps_dual_inf),
-                  iter_precision=stng.iter_precision,
-                  refine=bool(stng.refine))
+        kw = self._solve_kw()
         if self.hetero:
             res = solve_batched_hetero(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
@@ -578,22 +581,24 @@ class BatchedReLU_QP:
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
                 done0, self._Wt_hi, rho_mode=self.rho_mode,
                 chunk_runner=runner, **kw)
-        res = jax.block_until_ready(res)
-        run_time = time.perf_counter() - t0
-        self._fill_results(res, run_time)
+        self._fill_results(res, t0)
         if not stng.warm_starting:
             self.clear_primal_dual()
         return self.results
 
-    def _fill_results(self, res: BatchSolveResult, run_time: float):
+    def _fill_results(self, res: BatchSolveResult, t0: float):
         self.Y = res.Y
         self.rho_ind = res.rho_ind
         nx, nc, Bn = self.nx, self.nc, self.B_n
         # Unscale the iterate (identity vectors when scaling is off).
         x = res.Y[:Bn, :nx] * self._unx
+        # The stats fetch forces execution (block_until_ready does not
+        # reliably block through remote tunnels); run_time is captured
+        # after it.
         host = self._host_stats((res.iters, res.converged, res.pri_res,
                                  res.dua_res, res.rho_estimate,
                                  res.n_iter_total, res.status))
+        run_time = time.perf_counter() - t0
         iters, conv, pri, dua, rho_est, n_tot, scode = host
         info = self.info
         info.iter = np.asarray(iters)[:Bn]

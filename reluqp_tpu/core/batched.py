@@ -403,32 +403,47 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     tail_W, tail_prec = ((W_hi, "highest") if two_phase
                          else (Wt_bank, iter_precision))
     if two_phase:
-        # Phase A: reduced-precision iterations while some open problem
-        # still improves its RUNNING-BEST residual by ≥3% per check window
-        # (best-so-far, not previous-window: bf16 residual jitter around
-        # the noise floor must not hold the fast phase open). Phase B then
-        # polishes with HIGHEST iterations to the true tolerance.
-        inf0 = jnp.full((B,), jnp.inf, dtype=dtype)
+        # Phase A runs reduced-precision iterations while the BATCH as a
+        # whole still progresses: the running-best mean log-residual over
+        # open problems drops ≥3% per check window, or the open count
+        # shrinks. A per-problem "any improving" test does not work at
+        # large B — the chance that SOME problem's noise jitter beats its
+        # own best stays ~1 and the fast phase would burn the budget
+        # (observed at B=10k on v5e). Capped at half the budget so the
+        # HIGHEST polish phase (B) always retains iterations.
+        cap_a = (n_chunks // 2) * check_interval
+
+        def _metric(state):
+            pri, dua, done = state[4], state[5], state[6]
+            logres = jnp.where(done, 0.0,
+                               jnp.log(jnp.maximum(pri + dua, 1e-30)))
+            s = jnp.sum(logres)
+            n_open = jnp.sum(~done).astype(jnp.int32)
+            if axis_name is not None:
+                s = lax.psum(s, axis_name)
+                n_open = lax.psum(n_open, axis_name)
+            return s / jnp.maximum(n_open, 1), n_open
 
         def condA(sA):
             state, _, _, improving = sA
-            return jnp.logical_and(improving, cond(state))
+            k = state[3]
+            return jnp.logical_and(jnp.logical_and(improving, k < cap_a),
+                                   cond(state))
 
         def bodyA(sA):
-            state, best_p, best_d, _ = sA
+            state, best_m, best_open, _ = sA
             state = step(state, check_interval, Wt_bank, iter_precision)
-            pri, dua, done = state[4], state[5], state[6]
-            improved = jnp.logical_and(
-                ~done, jnp.logical_or(pri < 0.97 * best_p,
-                                      dua < 0.97 * best_d))
-            n_imp = jnp.sum(improved)
-            if axis_name is not None:
-                n_imp = lax.psum(n_imp, axis_name)
-            return (state, jnp.minimum(best_p, pri),
-                    jnp.minimum(best_d, dua), n_imp > 0)
+            mean_log, n_open = _metric(state)
+            improving = jnp.logical_or(mean_log < best_m - 0.03,
+                                       n_open < best_open)
+            return (state, jnp.minimum(best_m, mean_log),
+                    jnp.minimum(best_open, n_open), improving)
 
         state, _, _, _ = lax.while_loop(
-            condA, bodyA, (state0, inf0, inf0, jnp.asarray(True)))
+            condA, bodyA,
+            (state0, jnp.asarray(jnp.inf, dtype=dtype),
+             jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
+             jnp.asarray(True)))
         state = lax.while_loop(
             cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
     else:
@@ -557,28 +572,41 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     tail_W, tail_prec = ((W_hi, "highest") if two_phase
                          else (Wt_bank, iter_precision))
     if two_phase:
-        # Running-best stall detection — see solve_batched_shared.
-        inf0 = jnp.full((B,), jnp.inf, dtype=dtype)
+        # Aggregate stall detection + half-budget cap — see
+        # solve_batched_shared for the rationale.
+        cap_a = (n_chunks // 2) * check_interval
+
+        def _metric(state):
+            pri, dua, done = state[4], state[5], state[6]
+            logres = jnp.where(done, 0.0,
+                               jnp.log(jnp.maximum(pri + dua, 1e-30)))
+            s = jnp.sum(logres)
+            n_open = jnp.sum(~done).astype(jnp.int32)
+            if axis_name is not None:
+                s = lax.psum(s, axis_name)
+                n_open = lax.psum(n_open, axis_name)
+            return s / jnp.maximum(n_open, 1), n_open
 
         def condA(sA):
             state, _, _, improving = sA
-            return jnp.logical_and(improving, cond(state))
+            k = state[3]
+            return jnp.logical_and(jnp.logical_and(improving, k < cap_a),
+                                   cond(state))
 
         def bodyA(sA):
-            state, best_p, best_d, _ = sA
+            state, best_m, best_open, _ = sA
             state = step(state, check_interval, Wt_bank, iter_precision)
-            pri, dua, done = state[4], state[5], state[6]
-            improved = jnp.logical_and(
-                ~done, jnp.logical_or(pri < 0.97 * best_p,
-                                      dua < 0.97 * best_d))
-            n_imp = jnp.sum(improved)
-            if axis_name is not None:
-                n_imp = lax.psum(n_imp, axis_name)
-            return (state, jnp.minimum(best_p, pri),
-                    jnp.minimum(best_d, dua), n_imp > 0)
+            mean_log, n_open = _metric(state)
+            improving = jnp.logical_or(mean_log < best_m - 0.03,
+                                       n_open < best_open)
+            return (state, jnp.minimum(best_m, mean_log),
+                    jnp.minimum(best_open, n_open), improving)
 
         state, _, _, _ = lax.while_loop(
-            condA, bodyA, (state0, inf0, inf0, jnp.asarray(True)))
+            condA, bodyA,
+            (state0, jnp.asarray(jnp.inf, dtype=dtype),
+             jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
+             jnp.asarray(True)))
         state = lax.while_loop(
             cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
     else:

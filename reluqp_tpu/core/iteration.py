@@ -317,12 +317,17 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
                          else (W_fast, iter_precision))
     if two_phase:
         # Phase A: reduced-precision chunks while residuals improve ≥3%
-        # per check window; phase B: HIGHEST chunks to the true tolerance.
+        # per check window (and at most half the budget, so the polish
+        # phase always retains iterations); phase B: HIGHEST chunks to
+        # the true tolerance.
         inf0 = jnp.asarray(jnp.inf, dtype=dtype)
+        cap_a = (n_chunks // 2) * check_interval
 
         def condA(sA):
             state, _, _, improving = sA
-            return jnp.logical_and(improving, cond(state))
+            k = state[3]
+            return jnp.logical_and(jnp.logical_and(improving, k < cap_a),
+                                   cond(state))
 
         def bodyA(sA):
             state, best_p, best_d, _ = sA

@@ -339,11 +339,13 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 # --------------------------------------------------------------------- #
 
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
-                  Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, *, nx_qp: int,
+                  Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None, *,
+                  nx_qp: int,
                   nc: int, nu: int, Dp: int, n_steps: int, max_iter: int,
                   check_interval: int, adaptive_rho: bool,
                   adaptive_rho_tolerance: float, eps_abs: float,
-                  rho_min: float, rho_max: float, chunk_runner):
+                  rho_min: float, rho_max: float, chunk_runner,
+                  iter_precision: str = "highest", refine: bool = True):
     """Jitted body of ``mpc_rollout_scan``.
 
     All arrays are ARGUMENTS (not closure captures) so the weight bank is
@@ -372,11 +374,12 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
         bank = Bank(W=W_bank, B=B_bank, b=b_bank, rhos=rhos)
         qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi)
         res = solve_loop(
-            bank, qp, y, rho_ind, rhos[rho_ind],
+            bank, qp, y, rho_ind, rhos[rho_ind], W_hi,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
-            rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner)
+            rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner,
+            iter_precision=iter_precision, refine=refine)
         v0 = res.y[:nu] * v0_scale
         u = -jnp.matmul(Kg, x, precision=hp) + v0
         x_next = (jnp.matmul(Ad, x, precision=hp)
@@ -393,7 +396,8 @@ _rollout_jit = jax.jit(
     static_argnames=("nx_qp", "nc", "nu", "Dp", "n_steps", "max_iter",
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
-                     "rho_max", "chunk_runner"))
+                     "rho_max", "chunk_runner", "iter_precision",
+                     "refine"))
 
 
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
@@ -435,13 +439,15 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         cst(sc.D[:nu]),
         solver.y, solver.rho_ind,
         cst(np.asarray(x_init, np.float64).reshape(nxp)),
+        solver._W_hi,
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
         n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,
         adaptive_rho=stng.adaptive_rho,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-        rho_max=float(stng.rho_max), chunk_runner=solver._chunk_runner)
+        rho_max=float(stng.rho_max), chunk_runner=solver._chunk_runner,
+        iter_precision=stng.iter_precision, refine=bool(stng.refine))
 
 
 def solver_plant_A(prob: CondensedMPC) -> np.ndarray:
@@ -469,12 +475,14 @@ def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
 
 def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            lu_x0, Kg, Ad, Bd, v0_scale, noise, Y0,
-                           rho_ind0, X0, *,
+                           rho_ind0, X0, Wt_hi=None, *,
                            nx_qp: int, nc: int, nu: int, n_steps: int,
                            max_iter: int, check_interval: int,
                            adaptive_rho: bool,
                            adaptive_rho_tolerance: float, eps_abs: float,
-                           rho_min: float, rho_max: float, rho_jump: bool):
+                           rho_min: float, rho_max: float, rho_jump: bool,
+                           iter_precision: str = "highest",
+                           refine: bool = True):
     """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
     import jax
     import jax.numpy as jnp
@@ -495,11 +503,13 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
         bias_all = jnp.einsum("ndx,bx->nbd", B_bank, G, precision=hp)
         res = solve_batched_shared(
             Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y, rho_ind,
+            None, Wt_hi,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, rho_mode="shared",
-            rho_jump=rho_jump)
+            rho_jump=rho_jump, iter_precision=iter_precision,
+            refine=refine)
         # Unscale the first-stage variable back to plant units (identity
         # when the batch solver runs without Ruiz scaling).
         V0 = res.Y[:, :nu] * v0_scale[None, :]
@@ -519,7 +529,7 @@ _scenario_jit = jax.jit(
     static_argnames=("nx_qp", "nc", "nu", "n_steps", "max_iter",
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
-                     "rho_max", "rho_jump"))
+                     "rho_max", "rho_jump", "iter_precision", "refine"))
 
 
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
@@ -572,11 +582,12 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
         cst(sc.D[:nu]),
-        noise, m.Y, m.rho_ind, X0,
+        noise, m.Y, m.rho_ind, X0, m._Wt_hi,
         nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
         max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,
         adaptive_rho=stng.adaptive_rho,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-        rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump))
+        rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
+        iter_precision=stng.iter_precision, refine=bool(stng.refine))

@@ -59,20 +59,36 @@ def vmem_bytes_needed(dp: int, rows: int, dtype) -> int:
     return 5 * dp * dp * bs + 6 * rows * dp * bs + 4 * dp * bs
 
 
-def _kernel(n_steps, acc_dtype, unroll, rho_ref, wt_ref, b_ref, lo_ref,
-            hi_ref, y_ref, out_ref):
+_PREC = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}
+
+
+def _kernel(n_steps, acc_dtype, unroll, precision, rho_ref, wt_ref, b_ref,
+            lo_ref, hi_ref, y_ref, out_ref):
     del rho_ref  # consumed by the index_map (scalar prefetch)
     wt = wt_ref[0]
     b = b_ref[:]
     lo = lo_ref[:]
     hi = hi_ref[:]
+    bf16_in = precision == "bf16" or wt.dtype == jnp.bfloat16
+    if bf16_in:
+        wt = wt.astype(jnp.bfloat16)
 
     def body(_, y):
-        # Precision.HIGHEST: full-precision f32 MXU passes. The default
-        # (fast bf16 passes) caps residuals around 1e-2 and stalls the
-        # solver short of eps_abs — observed on TPU v5e.
-        yw = jnp.dot(y, wt, preferred_element_type=acc_dtype,
-                     precision=lax.Precision.HIGHEST)
+        # Default mode is Precision.HIGHEST: full-precision f32 MXU
+        # passes — fast bf16 passes cap residuals around 1e-2 and stall
+        # the solver short of eps_abs (observed on TPU v5e). Reduced
+        # precisions are only dispatched here by the two-phase refine
+        # solve, whose HIGHEST polish phase restores full accuracy.
+        if bf16_in:
+            yw = jnp.dot(y.astype(jnp.bfloat16), wt,
+                         preferred_element_type=acc_dtype)
+        else:
+            yw = jnp.dot(y, wt, preferred_element_type=acc_dtype,
+                         precision=_PREC[precision])
         return jnp.clip(yw.astype(y.dtype) + b, lo, hi)
 
     # Mosaic lowers fori only with unroll=1 or full unroll. Single-row
@@ -81,8 +97,9 @@ def _kernel(n_steps, acc_dtype, unroll, rho_ref, wt_ref, b_ref, lo_ref,
     out_ref[:] = lax.fori_loop(0, n_steps, body, y_ref[:], unroll=unroll)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
-def fused_chunk(wt_bank, b, lo, hi, y, rho_ind, n_steps: int):
+@functools.partial(jax.jit, static_argnames=("n_steps", "iter_precision"))
+def fused_chunk(wt_bank, b, lo, hi, y, rho_ind, n_steps: int,
+                iter_precision: str = "highest"):
     """Run ``n_steps`` iterations with bank row ``rho_ind`` held in VMEM.
 
     Args:
@@ -114,7 +131,7 @@ def fused_chunk(wt_bank, b, lo, hi, y, rho_ind, n_steps: int):
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc,
-                               min(n_steps, 1 << 30))
+                               min(n_steps, 1 << 30), iter_precision)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -136,9 +153,12 @@ def batch_tile_rows(dp: int, dtype, budget: int = 8 * 1024 * 1024) -> int:
     return int(round_up(min(rows, 1024), sub))
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "rows_tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "rows_tile",
+                                    "iter_precision", "unroll"))
 def fused_chunk_batched(wt_bank, b, lo, hi, Y, rho_ind, n_steps: int,
-                        rows_tile: int):
+                        rows_tile: int, iter_precision: str = "highest",
+                        unroll: bool = False):
     """Grid-tiled batched variant: (B, Dp) states, one shared bank row.
 
     The grid walks row tiles of the batch; the selected Wᵀ block's index map
@@ -174,7 +194,11 @@ def fused_chunk_batched(wt_bank, b, lo, hi, Y, rho_ind, n_steps: int,
         out_specs=pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc, 1)
+    # Mosaic fori lowers with unroll=1 or full unroll only; full unroll
+    # trades VMEM for per-step loop overhead (viable at small rows_tile).
+    kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc,
+                               min(n_steps, 1 << 30) if unroll else 1,
+                               iter_precision)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -195,19 +219,17 @@ def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
 
     Expects pallas layout: ``Wt_bank`` (N, Dp, Dp) transposed padded,
     ``bias_all`` (N, B, Dp), ``lo``/``hi``/``Y`` (B, Dp), B a multiple of
-    the tile size chosen at setup (inert-row padding). The in-kernel
-    matmul always runs at HIGHEST (``iter_precision`` is gated off at
-    setup for the pallas backends).
+    the tile size chosen at setup (inert-row padding). ``iter_precision``
+    selects the in-kernel MXU pass count (the refine solve dispatches the
+    fast phase here and the polish phase with "highest").
     """
-    assert iter_precision == "highest", \
-        "the pallas batched kernel only implements iter_precision='highest'"
     b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
     rows_tile = batch_tile_rows(Y.shape[1], Y.dtype)
     rows_tile = min(rows_tile, Y.shape[0])
     while Y.shape[0] % rows_tile:
         rows_tile //= 2
     return fused_chunk_batched(Wt_bank, b, lo, hi, Y, rho_ind, n_steps,
-                               max(rows_tile, 1))
+                               max(rows_tile, 1), iter_precision)
 
 
 def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,
@@ -216,11 +238,9 @@ def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,
 
     Expects the solver to have stored the bank in pallas layout: ``W_bank``
     is the **transposed padded** bank (N, Dp, Dp) and ``b_bank`` (N, Dp);
-    ``lo``/``hi``/``y`` are (Dp,). In-kernel matmuls run at HIGHEST
-    (``iter_precision`` is gated off at setup for the pallas backends).
+    ``lo``/``hi``/``y`` are (Dp,). ``iter_precision`` selects the
+    in-kernel MXU pass count.
     """
-    assert iter_precision == "highest", \
-        "the pallas chunk kernel only implements iter_precision='highest'"
     b = lax.dynamic_index_in_dim(b_bank, rho_ind, 0, keepdims=False)
     out = fused_chunk(
         W_bank,
@@ -230,5 +250,6 @@ def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,
         y.reshape(1, -1),
         rho_ind,
         n_steps,
+        iter_precision,
     )
     return out.reshape(-1)

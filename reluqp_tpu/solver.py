@@ -280,13 +280,9 @@ class ReLU_QP:
                 raise ValueError(
                     f"pallas backend needs ~{vmem_bytes_needed(dp, 1, dtype)}"
                     f" bytes of VMEM for D={self.D}; use backend='xla'")
-            if stng.iter_precision != "highest":
-                raise ValueError("backend='pallas' only implements "
-                                 "iter_precision='highest'; use "
-                                 "backend='xla'")
             return pallas_chunk_runner
         # auto
-        if _is_tpu(stng.device) and fits and stng.iter_precision == "highest":
+        if _is_tpu(stng.device) and fits:
             return pallas_chunk_runner
         return xla_chunk_runner
 
@@ -435,15 +431,17 @@ class ReLU_QP:
             eps_dual_inf=float(stng.eps_dual_inf),
             rho_jump=bool(stng.rho_jump),
             iter_precision=stng.iter_precision, refine=bool(stng.refine))
-        res = jax.block_until_ready(res)
-        run_time = time.perf_counter() - t0
 
         self.y = res.y
         # ONE bulk D2H for all scalar stats (per-field float()/int() costs a
         # tunnel round-trip each — ~7× dispatch latency on remote TPU).
+        # run_time is captured AFTER this fetch: the fetch is what forces
+        # execution (block_until_ready does not reliably block through
+        # remote tunnels — docs/perf_notes.md).
         iters, pri, dua, rho_est, rho_ind, obj, scode = jax.device_get(
             (res.iters, res.pri_res, res.dua_res,
              res.rho_estimate, res.rho_ind, res.obj_val, res.status_code))
+        run_time = time.perf_counter() - t0
         self.rho_ind = int(rho_ind)
         # Unscale the iterate (identity vectors when scaling is off).
         x = res.y[:self.nx] * self._unscale_x
@@ -484,9 +482,8 @@ class ReLU_QP:
             adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
             eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
             rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump))
-        jax.block_until_ready(y)
-        run_time = time.perf_counter() - t0
         stats_h, obj_h = jax.device_get((stats, obj))
+        run_time = time.perf_counter() - t0
         self.y = y
         self.rho_ind = int(stats_h[4])
         conv = bool(stats_h[5] > 0.5)

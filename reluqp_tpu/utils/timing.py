@@ -2,9 +2,13 @@
 
 The reference times with paired CUDA events + ``torch.cuda.synchronize``
 (``ReLU-QP-py/reluqp/reluqpth.py:99-100,297-302``). On TPU, dispatch is
-async and compile is cached per shape: honest numbers require
-``jax.block_until_ready`` around a jit-warm call. These helpers make that
-the easy path and expose ``jax.profiler`` traces for kernel-level study.
+async: honest numbers require forcing execution inside the timed region.
+
+Remote-tunnel caveat (docs/perf_notes.md): through tunneled backends
+``jax.block_until_ready`` does not reliably block, and repeated identical
+dispatches can be served from a cache. ``fetch`` / ``time_fn_fetched``
+implement the robust protocol — end timing at a scalar ``device_get`` of
+a result-dependent value, with fresh inputs per repetition.
 """
 from __future__ import annotations
 
@@ -15,7 +19,39 @@ from typing import Callable, Dict, List
 
 import jax
 
-__all__ = ["Timer", "time_fn", "trace"]
+__all__ = ["Timer", "time_fn", "time_fn_fetched", "fetch", "trace"]
+
+
+def fetch(x) -> float:
+    """Force execution of ``x``'s computation via a scalar data fetch.
+
+    Returns the sum of the first array leaf as a Python float — the fetch
+    cannot complete before the device work ran (unlike
+    ``block_until_ready`` through remote tunnels).
+    """
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jax.device_get(jnp.sum(leaf)))
+
+
+def time_fn_fetched(fn: Callable, args_maker: Callable[[int], tuple],
+                    warmup: int = 1, reps: int = 5) -> Dict[str, float]:
+    """Wall time of ``fn(*args_maker(i))`` with forced execution.
+
+    ``args_maker(i)`` must return FRESH input values per call so repeated
+    dispatches cannot be served from a tunnel-side cache.
+    """
+    for i in range(warmup):
+        fetch(fn(*args_maker(-1 - i)))
+    ts = []
+    for i in range(reps):
+        args = args_maker(i)
+        t0 = time.perf_counter()
+        fetch(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return dict(best=ts[0], median=ts[len(ts) // 2],
+                mean=sum(ts) / len(ts), reps=reps)
 
 
 @dataclass

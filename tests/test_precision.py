@@ -95,19 +95,12 @@ def test_iter_precision_matches_highest_result():
     np.testing.assert_allclose(xs["default"], xs["highest"], atol=1e-6)
 
 
-def test_pallas_backends_reject_reduced_precision():
+def test_fused_backend_rejects_reduced_precision():
+    """The whole-solve-in-VMEM kernel runs HIGHEST only; the chunked
+    pallas kernels accept every iter_precision (pass count is a kernel
+    parameter)."""
     qp = canonical_qp()
     m = ReLU_QP()
-    with pytest.raises(ValueError, match="iter_precision"):
-        m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, backend="pallas",
-                iter_precision="bf16")
-    mb = BatchedReLU_QP()
-    G = np.tile(qp.g, (4, 1))
-    L = np.tile(qp.l, (4, 1))
-    U = np.tile(qp.u, (4, 1))
-    with pytest.raises(ValueError, match="iter_precision"):
-        mb.setup(qp.H, G, qp.A, L, U, backend="pallas",
-                 iter_precision="default")
     with pytest.raises(ValueError):
         m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, backend="fused",
                 iter_precision="high")
