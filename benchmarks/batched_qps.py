@@ -190,7 +190,8 @@ def run_throughput(args):
         row = dict(batch=B, nx=args.nx, backend=args.backend,
                    pallas=m._use_pallas,
                    iter_precision=args.iter_precision, time_s=dt, qps=qps,
-                   n_iter_total=m.info.n_iter_total, Dp=m.Dp,
+                   n_iter_total=m.info.n_iter_total,
+                   n_iter_fast=m.info.n_iter_fast, Dp=m.Dp,
                    B_pad=m.B_pad)
         row.update(_flop_account(m, B, dt))
         dms = solve_device_ms(m)

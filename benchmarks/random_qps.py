@@ -28,11 +28,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def reluqp_solve(H, g, A, l, u, tol, backend="auto", warm=None):
+def reluqp_solve(H, g, A, l, u, tol, backend="auto", iter_precision="highest"):
     from reluqp_tpu import ReLU_QP
     m = ReLU_QP()
     t0 = time.perf_counter()
-    m.setup(H, g, A, l, u, eps_abs=tol, backend=backend)
+    m.setup(H, g, A, l, u, eps_abs=tol, backend=backend,
+            iter_precision=iter_precision)
     setup_t = time.perf_counter() - t0
     res = m.solve()
     return m, res, setup_t
@@ -140,6 +141,7 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--tol", type=float, default=1e-4)
     p.add_argument("--backend", default="auto")
+    p.add_argument("--iter-precision", default="highest")
     p.add_argument("--plot", action="store_true")
     p.add_argument("--device-loop", action="store_true",
                    help="also record per-solve latency from an on-device "
@@ -173,7 +175,7 @@ def main(argv=None):
                    n_ineq=max(nxs[0] // 4, 1), seed=0, compute_sol=False)
     for _ in range(2):
         reluqp_solve(inst.H, inst.g, inst.A, inst.l, inst.u, args.tol,
-                     args.backend)
+                     args.backend, args.iter_precision)
 
     records = []
     for nx in nxs:
@@ -182,7 +184,8 @@ def main(argv=None):
             inst = rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=seed,
                            compute_sol=args.oracle)
             m, res, setup_t = reluqp_solve(inst.H, inst.g, inst.A, inst.l,
-                                           inst.u, args.tol, args.backend)
+                                           inst.u, args.tol, args.backend,
+                                           args.iter_precision)
             assert res.info.status == "solved", \
                 f"nx={nx} seed={seed}: {res.info.status}"
             # warm re-solve measures the steady-state path

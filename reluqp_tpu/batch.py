@@ -62,6 +62,7 @@ class BatchInfo:
     update_time: float = 0.0
     run_time: float = 0.0
     n_iter_total: int = 0                      # chunks·interval actually run
+    n_iter_fast: int = 0                       # of which at reduced precision
 
     def status_strings(self):
         """Per-problem status strings (``core.iteration.STATUS_STRINGS``)."""
@@ -597,13 +598,15 @@ class BatchedReLU_QP:
         # after it.
         host = self._host_stats((res.iters, res.converged, res.pri_res,
                                  res.dua_res, res.rho_estimate,
-                                 res.n_iter_total, res.status))
+                                 res.n_iter_total, res.status,
+                                 res.n_iter_fast))
         run_time = time.perf_counter() - t0
-        iters, conv, pri, dua, rho_est, n_tot, scode = host
+        iters, conv, pri, dua, rho_est, n_tot, scode, n_fast = host
         info = self.info
         info.iter = np.asarray(iters)[:Bn]
         info.status = np.asarray(conv)[:Bn]
         info.status_code = np.asarray(scode)[:Bn]
+        info.n_iter_fast = int(n_fast)
         info.pri_res = np.asarray(pri)[:Bn]
         info.dua_res = np.asarray(dua)[:Bn]
         info.rho_estimate = np.asarray(rho_est)[:Bn]

@@ -66,6 +66,8 @@ class BatchSolveResult(NamedTuple):
     converged: jax.Array  # (B,) bool (status == STATUS_SOLVED)
     n_iter_total: jax.Array  # () int32 chunks·interval actually run
     status: jax.Array     # (B,) int32 per-problem STATUS_* codes
+    n_iter_fast: jax.Array   # () int32 iterations run at reduced precision
+                             #    (0 unless two-phase refine was active)
 
 
 def batched_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
@@ -425,28 +427,33 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
             return s / jnp.maximum(n_open, 1), n_open
 
         def condA(sA):
-            state, _, _, improving = sA
+            state, _, _, n_stall = sA
             k = state[3]
-            return jnp.logical_and(jnp.logical_and(improving, k < cap_a),
+            # patience: two consecutive stalled windows end the fast
+            # phase (a single flat window is often just a ρ-walk plateau)
+            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
                                    cond(state))
 
         def bodyA(sA):
-            state, best_m, best_open, _ = sA
+            state, best_m, best_open, n_stall = sA
             state = step(state, check_interval, Wt_bank, iter_precision)
             mean_log, n_open = _metric(state)
             improving = jnp.logical_or(mean_log < best_m - 0.03,
                                        n_open < best_open)
+            n_stall = jnp.where(improving, 0, n_stall + 1)
             return (state, jnp.minimum(best_m, mean_log),
-                    jnp.minimum(best_open, n_open), improving)
+                    jnp.minimum(best_open, n_open), n_stall)
 
         state, _, _, _ = lax.while_loop(
             condA, bodyA,
             (state0, jnp.asarray(jnp.inf, dtype=dtype),
              jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
-             jnp.asarray(True)))
+             jnp.asarray(0, jnp.int32)))
+        k_fast = state[3]
         state = lax.while_loop(
             cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
     else:
+        k_fast = jnp.asarray(0, jnp.int32)
         state = lax.while_loop(
             cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
             state0)
@@ -458,7 +465,8 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
                             converged=status == STATUS_SOLVED,
-                            n_iter_total=k, status=status)
+                            n_iter_total=k, status=status,
+                            n_iter_fast=k_fast)
 
 
 # --------------------------------------------------------------------- #
@@ -588,28 +596,33 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
             return s / jnp.maximum(n_open, 1), n_open
 
         def condA(sA):
-            state, _, _, improving = sA
+            state, _, _, n_stall = sA
             k = state[3]
-            return jnp.logical_and(jnp.logical_and(improving, k < cap_a),
+            # patience: two consecutive stalled windows end the fast
+            # phase (a single flat window is often just a ρ-walk plateau)
+            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
                                    cond(state))
 
         def bodyA(sA):
-            state, best_m, best_open, _ = sA
+            state, best_m, best_open, n_stall = sA
             state = step(state, check_interval, Wt_bank, iter_precision)
             mean_log, n_open = _metric(state)
             improving = jnp.logical_or(mean_log < best_m - 0.03,
                                        n_open < best_open)
+            n_stall = jnp.where(improving, 0, n_stall + 1)
             return (state, jnp.minimum(best_m, mean_log),
-                    jnp.minimum(best_open, n_open), improving)
+                    jnp.minimum(best_open, n_open), n_stall)
 
         state, _, _, _ = lax.while_loop(
             condA, bodyA,
             (state0, jnp.asarray(jnp.inf, dtype=dtype),
              jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
-             jnp.asarray(True)))
+             jnp.asarray(0, jnp.int32)))
+        k_fast = state[3]
         state = lax.while_loop(
             cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
     else:
+        k_fast = jnp.asarray(0, jnp.int32)
         state = lax.while_loop(
             cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
             state0)
@@ -620,4 +633,5 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
                             converged=status == STATUS_SOLVED,
-                            n_iter_total=k, status=status)
+                            n_iter_total=k, status=status,
+                            n_iter_fast=k_fast)

@@ -324,24 +324,27 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
         cap_a = (n_chunks // 2) * check_interval
 
         def condA(sA):
-            state, _, _, improving = sA
+            state, _, _, n_stall = sA
             k = state[3]
-            return jnp.logical_and(jnp.logical_and(improving, k < cap_a),
+            # patience: two consecutive stalled windows end the fast phase
+            # (a single flat window is often just a ρ-walk plateau)
+            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
                                    cond(state))
 
         def bodyA(sA):
-            state, best_p, best_d, _ = sA
+            state, best_p, best_d, n_stall = sA
             state = step(state, check_interval, W_fast, iter_precision)
             pri, dua = state[4], state[5]
             # best-so-far (not previous-window): reduced-precision jitter
             # around the noise floor must not hold the fast phase open.
             improving = jnp.logical_or(pri < 0.97 * best_p,
                                        dua < 0.97 * best_d)
+            n_stall = jnp.where(improving, 0, n_stall + 1)
             return (state, jnp.minimum(best_p, pri),
-                    jnp.minimum(best_d, dua), improving)
+                    jnp.minimum(best_d, dua), n_stall)
 
         out, _, _, _ = lax.while_loop(
-            condA, bodyA, (state0, inf0, inf0, jnp.asarray(True)))
+            condA, bodyA, (state0, inf0, inf0, jnp.asarray(0, jnp.int32)))
         out = lax.while_loop(
             cond, lambda s: step(s, check_interval, W_high, "highest"), out)
     else:

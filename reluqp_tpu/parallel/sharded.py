@@ -89,7 +89,8 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
     rho_spec = rep if shared else bat
     out_specs = BatchSolveResult(
         Y=bat, iters=bat, pri_res=bat, dua_res=bat, rho_estimate=bat,
-        rho_ind=rho_spec, converged=bat, n_iter_total=rep, status=bat)
+        rho_ind=rho_spec, converged=bat, n_iter_total=rep, status=bat,
+        n_iter_fast=rep)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(rep, bias_spec, rep, rep, rep, bat, bat, bat, bat,

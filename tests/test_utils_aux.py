@@ -56,6 +56,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert r4.info.status == "solved"
 
 
+def test_fetch_and_time_fn_fetched():
+    import jax
+    import jax.numpy as jnp
+    from reluqp_tpu.utils.timing import fetch, time_fn_fetched
+
+    f = jax.jit(lambda y: y * 2.0)
+    v = fetch(f(jnp.ones((4, 4))))
+    assert v == 32.0
+    stats = time_fn_fetched(f, lambda i: (jnp.ones((4, 4)) * (i + 2),),
+                            reps=3)
+    assert stats["best"] >= 0 and stats["reps"] == 3
+    assert stats["best"] <= stats["median"] <= stats["mean"] * 3
+
+
 def test_checkpoint_requires_setup(tmp_path):
     import pytest
     m = ReLU_QP()
