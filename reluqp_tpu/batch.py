@@ -157,7 +157,9 @@ class BatchedReLU_QP:
         self._use_pallas = self._pick_pallas(stng)
         if self._use_pallas:
             self.Dp = pad_dim(self.D)
-            tile = min(batch_tile_rows(self.Dp, stng.precision_dtype), B_n)
+            tile = min(batch_tile_rows(self.Dp, stng.precision_dtype,
+                                       iter_precision=stng.iter_precision),
+                       B_n)
             self.B_pad = round_up(B_n, max(tile, 8))
         else:
             self.Dp = self.D   # pure-XLA GEMMs need no lane padding
@@ -208,8 +210,8 @@ class BatchedReLU_QP:
             return False
         from .solver import _is_tpu
         dp = pad_dim(self.D)
-        fits = vmem_bytes_needed(dp, 8, stng.precision_dtype) \
-            <= 12 * 1024 * 1024
+        fits = vmem_bytes_needed(dp, 8, stng.precision_dtype,
+                                 stng.iter_precision) <= 12 * 1024 * 1024
         if stng.backend == "pallas":
             if not fits:
                 raise ValueError(f"bank too large for VMEM at D={self.D}; "

@@ -46,7 +46,8 @@ def pad_dim(d: int) -> int:
     return round_up(max(d, LANE), LANE)
 
 
-def vmem_bytes_needed(dp: int, rows: int, dtype) -> int:
+def vmem_bytes_needed(dp: int, rows: int, dtype,
+                      iter_precision: str = "highest") -> int:
     """Estimated VMEM footprint of the fused kernel.
 
     Mosaic's scoped stack holds ~5 W-sized buffers for the fully-unrolled
@@ -54,14 +55,16 @@ def vmem_bytes_needed(dp: int, rows: int, dtype) -> int:
     of 4 MB — double-buffered block + gather/copy temporaries). With the
     12 MB budget this admits Pallas up to Dp=768 (~12.3 MB real usage
     under the 16 MB hardware limit); larger banks stream through XLA.
+    ``iter_precision="high"`` holds a resident bf16 hi/lo split of W
+    (two Dp² bf16 buffers = one extra f32 W).
     """
     bs = jnp.dtype(dtype).itemsize
-    return 5 * dp * dp * bs + 6 * rows * dp * bs + 4 * dp * bs
+    n_w = 6 if iter_precision == "high" else 5
+    return n_w * dp * dp * bs + 6 * rows * dp * bs + 4 * dp * bs
 
 
 _PREC = {
     "highest": lax.Precision.HIGHEST,
-    "high": lax.Precision.HIGH,
     "default": lax.Precision.DEFAULT,
 }
 
@@ -74,18 +77,33 @@ def _kernel(n_steps, acc_dtype, unroll, precision, rho_ref, wt_ref, b_ref,
     lo = lo_ref[:]
     hi = hi_ref[:]
     bf16_in = precision == "bf16" or wt.dtype == jnp.bfloat16
+    high = precision == "high" and not bf16_in
     if bf16_in:
         wt = wt.astype(jnp.bfloat16)
+    elif high:
+        # Mosaic has no Precision.HIGH lowering — emulate XLA's 3-pass
+        # bf16x3 by splitting W (once per chunk) and y (per iteration)
+        # into bf16 hi+lo halves and dropping the lo·lo term. Matches
+        # fp32 to ~2^-21 relative, at 3 MXU passes instead of HIGHEST's 6.
+        wt_h = wt.astype(jnp.bfloat16)
+        wt_l = (wt - wt_h.astype(wt.dtype)).astype(jnp.bfloat16)
 
     def body(_, y):
         # Default mode is Precision.HIGHEST: full-precision f32 MXU
         # passes — fast bf16 passes cap residuals around 1e-2 and stall
         # the solver short of eps_abs (observed on TPU v5e). Reduced
         # precisions are only dispatched here by the two-phase refine
-        # solve, whose HIGHEST polish phase restores full accuracy.
+        # solve, whose HIGHEST polish phase restores full accuracy (and
+        # by "high", which holds ~fp32 accuracy on its own).
         if bf16_in:
             yw = jnp.dot(y.astype(jnp.bfloat16), wt,
                          preferred_element_type=acc_dtype)
+        elif high:
+            y_h = y.astype(jnp.bfloat16)
+            y_l = (y - y_h.astype(y.dtype)).astype(jnp.bfloat16)
+            yw = (jnp.dot(y_h, wt_l, preferred_element_type=acc_dtype)
+                  + jnp.dot(y_l, wt_h, preferred_element_type=acc_dtype)
+                  + jnp.dot(y_h, wt_h, preferred_element_type=acc_dtype))
         else:
             yw = jnp.dot(y, wt, preferred_element_type=acc_dtype,
                          precision=_PREC[precision])
@@ -144,11 +162,17 @@ def fused_chunk(wt_bank, b, lo, hi, y, rho_ind, n_steps: int,
     )(jnp.asarray(rho_ind, jnp.int32).reshape(1), wt_bank, b, lo, hi, y)
 
 
-def batch_tile_rows(dp: int, dtype, budget: int = 8 * 1024 * 1024) -> int:
-    """Rows per grid tile so W + 6 row-tiles (double-buffered) fit VMEM."""
+def batch_tile_rows(dp: int, dtype, budget: int = 8 * 1024 * 1024,
+                    iter_precision: str = "highest") -> int:
+    """Rows per grid tile so W + 6 row-tiles (double-buffered) fit VMEM.
+
+    ``iter_precision="high"`` reserves 2·Dp² dtype bytes for W: the block
+    itself plus its resident bf16 hi/lo split.
+    """
     bs = jnp.dtype(dtype).itemsize
     sub = _SUBLANE.get(jnp.dtype(dtype), 8)
-    avail = budget - dp * dp * bs
+    n_w = 2 if iter_precision == "high" else 1
+    avail = budget - n_w * dp * dp * bs
     rows = max(avail // (6 * dp * bs), sub)
     return int(round_up(min(rows, 1024), sub))
 
@@ -224,7 +248,8 @@ def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
     fast phase here and the polish phase with "highest").
     """
     b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
-    rows_tile = batch_tile_rows(Y.shape[1], Y.dtype)
+    rows_tile = batch_tile_rows(Y.shape[1], Y.dtype,
+                                iter_precision=iter_precision)
     rows_tile = min(rows_tile, Y.shape[0])
     while Y.shape[0] % rows_tile:
         rows_tile //= 2

@@ -274,7 +274,8 @@ class ReLU_QP:
         if stng.backend == "xla":
             return xla_chunk_runner
         dp = pad_dim(self.D)
-        fits = vmem_bytes_needed(dp, 1, dtype) <= _PALLAS_VMEM_BUDGET
+        fits = vmem_bytes_needed(dp, 1, dtype, stng.iter_precision) \
+            <= _PALLAS_VMEM_BUDGET
         if stng.backend == "pallas":
             if not fits:
                 raise ValueError(

@@ -113,7 +113,8 @@ def load_solver(path: str, device=None):
     # The saved layout fixes Dp; pallas needs the lane-padded layout, a
     # TPU, AND a bank that fits VMEM (same gate as setup's _select_runner)
     # — otherwise the XLA runner handles either layout transparently.
-    fits = vmem_bytes_needed(solver.Dp, 1, dtype) <= _PALLAS_VMEM_BUDGET
+    fits = vmem_bytes_needed(solver.Dp, 1, dtype,
+                             stng.iter_precision) <= _PALLAS_VMEM_BUDGET
     if solver.Dp == pad_dim(solver.D) and _is_tpu(device) \
             and stng.backend != "xla" and fits:
         solver._chunk_runner = pallas_chunk_runner
@@ -232,7 +233,9 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     if not m.hetero and m.rho_mode == "shared" and stng.backend != "xla" \
             and mesh is None and _is_tpu(stng.device) \
             and m.Dp == pad_dim(m.D):
-        tile = min(batch_tile_rows(m.Dp, dtype), m.B_n)
+        tile = min(batch_tile_rows(m.Dp, dtype,
+                                   iter_precision=stng.iter_precision),
+                   m.B_n)
         m._use_pallas = m.B_pad == round_up(m.B_n, max(tile, 8))
 
     put = lambda a, rep=False: m._put(jnp.asarray(a, dtype=dtype),
