@@ -111,6 +111,32 @@ def native_oracle(H, g, A, l, u, eps=1e-8):
     return y[:H.shape[0]]
 
 
+def native_solve_timed(H, g, A, l, u, tol):
+    """Time the native C++ CPU solver at the benchmark tolerance.
+
+    The comparison column for the reference's headline log-log curve
+    (``ReLU-QP-py/benchmarks/random_qps.py:83-97`` plots ReLU-QP vs
+    OSQP/ProxQP): an independent same-algorithm CPU implementation,
+    solved at the same eps/max_iter as the TPU solver, solve-phase only
+    (setup excluded, matching ``osqp_solve``'s protocol).
+    """
+    from reluqp_tpu import native
+    from reluqp_tpu.core.bank import equality_mask
+    from reluqp_tpu.core.ladder import setup_rhos
+    if not native.available():
+        return None, None
+    eq = equality_mask(l, u, 1e-6)
+    rhos = setup_rhos(0.1, 1e-6, 1e6, True, 5.0)
+    W, _, b = native.build_bank(H, A, g, eq, rhos, 1e-6)
+    t0 = time.perf_counter()
+    y, info = native.solve(H, A, g, l, u, W, b, rhos, max_iter=4000,
+                           eps_abs=tol)
+    dt = time.perf_counter() - t0
+    if info.status != 1:
+        return None, None
+    return y[:H.shape[0]], dt
+
+
 def osqp_solve(H, g, A, l, u, tol):  # pragma: no cover - optional dep
     import osqp
     from scipy import sparse
@@ -213,6 +239,10 @@ def main(argv=None):
                     rec["err_vs_native"] = float(np.max(np.abs(x - x_n)))
                     # the reference's acceptance gate (random_qps.py:68)
                     assert rec["err_vs_native"] < 50 * args.tol, rec
+                _, t_n = native_solve_timed(inst.H, inst.g, inst.A,
+                                            inst.l, inst.u, args.tol)
+                if t_n is not None:
+                    rec["native_s"] = t_n
             if have_osqp:
                 x_o, t_o = osqp_solve(inst.H, inst.g, inst.A, inst.l,
                                       inst.u, args.tol)
@@ -254,6 +284,10 @@ def _plot(records, path, have_osqp):  # pragma: no cover - visual artifact
 
     m, s = series("solve_s")
     ax.errorbar(nxs, m, yerr=s, label="ReLU-QP (TPU-native)", marker="o")
+    m, s = series("native_s")
+    if np.any(np.isfinite(m)):
+        ax.errorbar(nxs, m, yerr=s, label="ReLU-QP (native C++, CPU)",
+                    marker="^")
     if have_osqp:
         m, s = series("osqp_s")
         ax.errorbar(nxs, m, yerr=s, label="OSQP", marker="s")
