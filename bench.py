@@ -59,11 +59,9 @@ def main():
 
     # steady-state warm rate: overhead-cancelling two-point fit, best of 3,
     # fresh x0 per timed dispatch
-    best = float("inf")
-    for i in range(3):
-        t_lo, _, _ = rollout_s(x0 + (i + 1) * 1e-4, T_LO)
-        t_hi, _, _ = rollout_s(x0 + (i + 1) * 1e-4 + 5e-5, T_HI)
-        best = min(best, max(t_hi - t_lo, 1e-9) / (T_HI - T_LO))
+    from reluqp_tpu.utils.timing import two_point_step_time
+    best = two_point_step_time(lambda x, T: rollout_s(x, T)[0],
+                               lambda j: x0 + (j + 1) * 5e-5, T_LO, T_HI)
 
     hz = 1.0 / best
     print(json.dumps({

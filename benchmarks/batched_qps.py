@@ -27,6 +27,11 @@ import time
 
 import numpy as np
 
+# Two-point deltas below this are inside the axon tunnel's dispatch
+# jitter (~±1 ms observed) and cannot be trusted; the helpers lengthen
+# the chain and, failing that, report NaN rather than a fabricated 0.
+_NOISE_S = 2e-3
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # Per-chip dense peak used for the MFU column (TPU v5e ≈ 197 TFLOP/s
@@ -88,17 +93,31 @@ def chunk_us_per_iter(m, n_steps: int = 100) -> float:
             return jnp.sum(Y)
         return k_chunks
 
-    f_lo, f_hi = mk(2), mk(12)
     args = lambda eps: (m.Wt_bank, m.bias_all, m.lo, m.hi, m.Y + eps)
-    float(jax.device_get(f_lo(*args(0.0))))     # compile
-    float(jax.device_get(f_hi(*args(0.0))))
-    t0 = time.perf_counter()
-    float(jax.device_get(f_lo(*args(1e-3))))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(jax.device_get(f_hi(*args(2e-3))))
-    t_hi = time.perf_counter() - t0
-    return max(t_hi - t_lo, 1e-9) / (10 * n_steps) * 1e6
+
+    def measure(reps_delta):
+        f_lo, f_hi = mk(2), mk(2 + reps_delta)
+        float(jax.device_get(f_lo(*args(0.0))))     # compile
+        float(jax.device_get(f_hi(*args(0.0))))
+        deltas = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(jax.device_get(f_lo(*args((i + 1) * 1e-3))))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(jax.device_get(f_hi(*args((i + 1) * 1e-3 + 5e-4))))
+            t_hi = time.perf_counter() - t0
+            deltas.append(t_hi - t_lo)
+        return sorted(deltas)[1]
+
+    reps_delta = 10
+    d = measure(reps_delta)
+    if d < _NOISE_S:                      # below tunnel jitter: lengthen
+        reps_delta *= 8
+        d = measure(reps_delta)
+        if d < _NOISE_S:
+            return float("nan")           # honest: unmeasurable, not 0
+    return d / (reps_delta * n_steps) * 1e6
 
 
 def solve_device_ms(m, reps_hi: int = 5) -> float:
@@ -133,7 +152,6 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
             return c
         return k_solves
 
-    f_lo, f_hi = mk(1), mk(reps_hi)
     Y0 = jnp.zeros_like(m.Y)
 
     def args(eps):
@@ -142,30 +160,54 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
         return (m.Wt_bank, m.bias_all, m.rhos, m.H_dev, m.A_dev, m.G,
                 m.lo, m.hi, Y0 + eps, m._Wt_hi)
 
-    float(jax.device_get(f_lo(*args(0.0))))
-    float(jax.device_get(f_hi(*args(0.0))))
-    t0 = time.perf_counter()
-    float(jax.device_get(f_lo(*args(1e-6))))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(jax.device_get(f_hi(*args(2e-6))))
-    t_hi = time.perf_counter() - t0
-    return max(t_hi - t_lo, 1e-9) / (reps_hi - 1) * 1e3
+    def measure(reps):
+        f_lo, f_hi = mk(1), mk(1 + reps)
+        float(jax.device_get(f_lo(*args(0.0))))
+        float(jax.device_get(f_hi(*args(0.0))))
+        deltas = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(jax.device_get(f_lo(*args((i + 1) * 1e-6))))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(jax.device_get(f_hi(*args((i + 1) * 1e-6 + 5e-7))))
+            t_hi = time.perf_counter() - t0
+            deltas.append(t_hi - t_lo)
+        return sorted(deltas)[1]
+
+    reps = reps_hi - 1
+    d = measure(reps)
+    if d < _NOISE_S:                      # below tunnel jitter: lengthen
+        reps *= 8
+        d = measure(reps)
+        if d < _NOISE_S:
+            return float("nan")           # honest: unmeasurable, not 0
+    return d / reps * 1e3
 
 
 def _flop_account(m, B, dt):
-    """Model-FLOP accounting for one batched solve."""
+    """Model-FLOP accounting for one batched solve.
+
+    Hardware-pass accounting splits by phase: ``n_iter_fast`` iterations
+    ran at the reduced pass count, the rest (refine polish) and every
+    residual check at HIGHEST's 6 passes.
+    """
     it = int(m.info.n_iter_total)
+    it_fast = int(m.info.n_iter_fast)
     checks = max(it // m.settings.check_interval, 1)
     nx, nc = m.nx, m.nc
-    gemm = 2.0 * m.B_pad * m.Dp * m.Dp * it
+    gemm_it = 2.0 * m.B_pad * m.Dp * m.Dp
     resid = checks * 2.0 * B * (2 * nc * nx + nx * nx)
-    model = gemm + resid
-    passes = PASSES[m.settings.iter_precision]
+    model = gemm_it * it + resid
+    p_fast = PASSES[m.settings.iter_precision]
+    if not m.settings.refine:
+        it_fast = it                       # every iteration ran reduced
+    hw_passes = (gemm_it * (it_fast * p_fast + (it - it_fast) * 6)
+                 + resid * 6)
     return dict(
         model_tflops=model / dt / 1e12,
-        mfu_pct=100.0 * model * passes / dt / PEAK_BF16,
-        gemm_flops_per_iter=2.0 * m.B_pad * m.Dp * m.Dp,
+        mfu_pct=100.0 * hw_passes / dt / PEAK_BF16,
+        gemm_flops_per_iter=gemm_it,
     )
 
 

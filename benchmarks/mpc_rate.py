@@ -35,7 +35,9 @@ def bench_one(nx, nu, horizon, T, tol, backend):
     # On-device rollout rate via the axon-safe two-point methodology
     # (fresh inputs per timed dispatch, scalar fetch, overhead cancelled
     # by differencing short/long rollouts — see docs/perf_notes.md).
-    T_lo, T_hi = max(T // 5, 25), T
+    if T < 10:
+        raise SystemExit("--steps must be >= 10 for the two-point fit")
+    T_lo, T_hi = max(T // 5, min(25, T // 2)), T
 
     def rollout_s(x, n):
         t0 = time.perf_counter()
@@ -47,11 +49,9 @@ def bench_one(nx, nu, horizon, T, tol, backend):
     rollout_s(x0, T_lo)
     assert np.all(np.isfinite(np.asarray(jax.device_get(xs))))
     mean_iters = float(np.mean(np.asarray(iters)))
-    best = float("inf")
-    for i in range(3):
-        t_lo, _, _ = rollout_s(x0 + (i + 1) * 1e-4, T_lo)
-        t_hi, _, _ = rollout_s(x0 + (i + 1) * 1e-4 + 5e-5, T_hi)
-        best = min(best, max(t_hi - t_lo, 1e-9) / (T_hi - T_lo))
+    from reluqp_tpu.utils.timing import two_point_step_time
+    best = two_point_step_time(lambda x, T: rollout_s(x, T)[0],
+                               lambda j: x0 + (j + 1) * 5e-5, T_lo, T_hi)
     hz_device = 1.0 / best
 
     # host-driven cycle (reference-style): time 25 steps

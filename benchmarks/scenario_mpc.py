@@ -66,7 +66,10 @@ def main(argv=None):
         # Axon-safe two-point timing: fresh X0 per timed dispatch, scalar
         # fetch forces execution, overhead cancelled by differencing a
         # short and a long rollout (docs/perf_notes.md).
-        T_lo, T_hi = max(args.steps // 5, 20), args.steps
+        if args.steps < 10:
+            raise SystemExit("--steps must be >= 10 for the two-point fit")
+        T_lo = max(args.steps // 5, min(20, args.steps // 2))
+        T_hi = args.steps
 
         def rollout_s(X, n):
             t0 = time.perf_counter()
@@ -78,11 +81,9 @@ def main(argv=None):
         rollout_s(X0, T_lo)
         assert np.all(np.isfinite(np.asarray(jax.device_get(Xs)))), \
             "rollout diverged"
-        best = float("inf")
-        for i in range(3):
-            t_lo, _ = rollout_s(X0 + (i + 1) * 1e-4, T_lo)
-            t_hi, _ = rollout_s(X0 + (i + 1) * 1e-4 + 5e-5, T_hi)
-            best = min(best, max(t_hi - t_lo, 1e-9) / (T_hi - T_lo))
+        from reluqp_tpu.utils.timing import two_point_step_time
+        best = two_point_step_time(lambda X, T: rollout_s(X, T)[0],
+                                   lambda j: X0 + (j + 1) * 5e-5, T_lo, T_hi)
         hz = 1.0 / best
         rec = dict(scenarios=B, steps_per_s=hz, scenario_solves_per_s=hz * B)
         records.append(rec)

@@ -458,8 +458,13 @@ class BatchedReLU_QP:
         """
         import os
         cap = int(float(os.environ.get("RELUQP_MAX_BANK_BYTES", 8 << 30)))
-        per_problem = n_rho * (self.D * self.D + self.D * self.nx + self.D)
-        total = self.B_n * per_problem * jnp.dtype(dtype).itemsize
+        bs = jnp.dtype(dtype).itemsize
+        w_bs = jnp.dtype(self._w_dtype(dtype)).itemsize
+        if self.settings.iter_precision == "bf16" and self.settings.refine:
+            # the fp32 polish copy (_Wt_hi) is held alongside the bf16 bank
+            w_bs += bs
+        total = self.B_n * n_rho * (self.D * self.D * w_bs
+                                    + (self.D * self.nx + self.D) * bs)
         if total > cap:
             raise ValueError(
                 f"heterogeneous bank needs ~{total / 2**30:.1f} GiB on "
@@ -642,11 +647,30 @@ class BatchedReLU_QP:
         mode, like ``setup``/``update``)."""
         self._check_ready()
         dtype = self.settings.precision_dtype
-        eB = self.B_local if self._multi else self.B_n
-        Y = self._local_rows(self.Y)
         sc = self.scal
         # sc vectors are (n,) shared or (B,n) hetero; sc.c scalar or (B,).
         c_col = np.reshape(sc.c, (-1, 1))
+        if not self._multi:
+            # single-process: on-device segment updates only (no full
+            # (B_pad, Dp) host round-trip — that is the multi-host path)
+            Y = self.Y
+            if x is not None:
+                xs = np.asarray(x, dtype=np.float64) * sc.Dinv
+                Y = Y.at[:self.B_n, :self.nx].set(
+                    jnp.asarray(xs, dtype=dtype))
+            if z is not None:
+                zs = np.asarray(z, dtype=np.float64) * sc.E
+                Y = Y.at[:self.B_n, self.nx:self.nx + self.nc].set(
+                    jnp.asarray(zs, dtype=dtype))
+            if lam is not None:
+                ls = np.asarray(lam, dtype=np.float64) * (c_col * sc.Einv)
+                Y = Y.at[:self.B_n,
+                         self.nx + self.nc:self.nx + 2 * self.nc].set(
+                    jnp.asarray(ls, dtype=dtype))
+            self.Y = Y
+            return
+        eB = self.B_local
+        Y = self._local_rows(self.Y)
         if x is not None:
             x = np.asarray(x, dtype=np.float64) * sc.Dinv
             Y[:eB, :self.nx] = x

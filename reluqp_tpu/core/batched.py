@@ -252,6 +252,82 @@ def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int,
 # shared-(H, A) batch                                                   #
 # --------------------------------------------------------------------- #
 
+
+def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
+                 iter_precision, n_chunks, check_interval, rem, dtype,
+                 axis_name):
+    """Drive the chunked while-loop to completion, in two phases when a
+    reduced iteration precision is refined (shared by the shared-ρ and
+    hetero batched loops).
+
+    Phase A runs reduced-precision iterations while the BATCH as a whole
+    still progresses: the running-best mean log-residual over open
+    problems drops ≥3% per check window, or the open count shrinks, with
+    a patience of two consecutive stalled windows (a single flat window
+    is often just a ρ-walk plateau). A per-problem "any improving" test
+    does not work at large B — the chance that SOME problem's noise
+    jitter beats its own best stays ~1 and the fast phase would burn the
+    budget (observed at B=10k on v5e). Capped at half the budget so the
+    HIGHEST polish phase (B) always retains iterations. Under shard_map
+    the stall metric is psum'd so every shard switches phase together.
+
+    Returns ``(state, k_fast)`` with ``k_fast`` the iterations run at
+    reduced precision.
+    """
+    two_phase = refine and iter_precision != "highest"
+    W_hi = Wt_bank if Wt_bank_hi is None else Wt_bank_hi
+    tail_W, tail_prec = ((W_hi, "highest") if two_phase
+                         else (Wt_bank, iter_precision))
+    if two_phase:
+        cap_a = (n_chunks // 2) * check_interval
+
+        def _metric(state):
+            pri, dua, done = state[4], state[5], state[6]
+            logres = jnp.where(done, 0.0,
+                               jnp.log(jnp.maximum(pri + dua, 1e-30)))
+            s = jnp.sum(logres)
+            n_open = jnp.sum(~done).astype(jnp.int32)
+            if axis_name is not None:
+                s = lax.psum(s, axis_name)
+                n_open = lax.psum(n_open, axis_name)
+            return s / jnp.maximum(n_open, 1), n_open
+
+        def condA(sA):
+            state, _, _, n_stall = sA
+            k = state[3]
+            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
+                                   cond(state))
+
+        def bodyA(sA):
+            state, best_m, best_open, n_stall = sA
+            state = step(state, check_interval, Wt_bank, iter_precision)
+            mean_log, n_open = _metric(state)
+            improving = jnp.logical_or(mean_log < best_m - 0.03,
+                                       n_open < best_open)
+            n_stall = jnp.where(improving, 0, n_stall + 1)
+            return (state, jnp.minimum(best_m, mean_log),
+                    jnp.minimum(best_open, n_open), n_stall)
+
+        state, _, _, _ = lax.while_loop(
+            condA, bodyA,
+            (state0, jnp.asarray(jnp.inf, dtype=dtype),
+             jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
+             jnp.asarray(0, jnp.int32)))
+        k_fast = state[3]
+        state = lax.while_loop(
+            cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
+    else:
+        k_fast = jnp.asarray(0, jnp.int32)
+        state = lax.while_loop(
+            cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
+            state0)
+    if rem > 0:
+        # max_iter % check_interval tail, like solve_loop's rem path.
+        state = lax.cond(state[-1], lambda s: s,
+                         lambda s: step(s, rem, tail_W, tail_prec), state)
+    return state, k_fast
+
+
 @partial(
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
@@ -400,67 +476,11 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         state0 = state0 + (Y0[:, :nx], Y0[:, nx + nc:nx + 2 * nc])
     state0 = state0 + (jnp.asarray(False),)
 
-    two_phase = refine and iter_precision != "highest"
-    W_hi = Wt_bank if Wt_bank_hi is None else Wt_bank_hi
-    tail_W, tail_prec = ((W_hi, "highest") if two_phase
-                         else (Wt_bank, iter_precision))
-    if two_phase:
-        # Phase A runs reduced-precision iterations while the BATCH as a
-        # whole still progresses: the running-best mean log-residual over
-        # open problems drops ≥3% per check window, or the open count
-        # shrinks. A per-problem "any improving" test does not work at
-        # large B — the chance that SOME problem's noise jitter beats its
-        # own best stays ~1 and the fast phase would burn the budget
-        # (observed at B=10k on v5e). Capped at half the budget so the
-        # HIGHEST polish phase (B) always retains iterations.
-        cap_a = (n_chunks // 2) * check_interval
-
-        def _metric(state):
-            pri, dua, done = state[4], state[5], state[6]
-            logres = jnp.where(done, 0.0,
-                               jnp.log(jnp.maximum(pri + dua, 1e-30)))
-            s = jnp.sum(logres)
-            n_open = jnp.sum(~done).astype(jnp.int32)
-            if axis_name is not None:
-                s = lax.psum(s, axis_name)
-                n_open = lax.psum(n_open, axis_name)
-            return s / jnp.maximum(n_open, 1), n_open
-
-        def condA(sA):
-            state, _, _, n_stall = sA
-            k = state[3]
-            # patience: two consecutive stalled windows end the fast
-            # phase (a single flat window is often just a ρ-walk plateau)
-            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
-                                   cond(state))
-
-        def bodyA(sA):
-            state, best_m, best_open, n_stall = sA
-            state = step(state, check_interval, Wt_bank, iter_precision)
-            mean_log, n_open = _metric(state)
-            improving = jnp.logical_or(mean_log < best_m - 0.03,
-                                       n_open < best_open)
-            n_stall = jnp.where(improving, 0, n_stall + 1)
-            return (state, jnp.minimum(best_m, mean_log),
-                    jnp.minimum(best_open, n_open), n_stall)
-
-        state, _, _, _ = lax.while_loop(
-            condA, bodyA,
-            (state0, jnp.asarray(jnp.inf, dtype=dtype),
-             jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
-             jnp.asarray(0, jnp.int32)))
-        k_fast = state[3]
-        state = lax.while_loop(
-            cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
-    else:
-        k_fast = jnp.asarray(0, jnp.int32)
-        state = lax.while_loop(
-            cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
-            state0)
-    if rem > 0:
-        # max_iter % check_interval tail, like solve_loop's rem path.
-        state = lax.cond(state[-1], lambda s: s,
-                         lambda s: step(s, rem, tail_W, tail_prec), state)
+    state, k_fast = _run_refined(
+        step, cond, state0, Wt_bank, Wt_bank_hi, refine=refine,
+        iter_precision=iter_precision, n_chunks=n_chunks,
+        check_interval=check_interval, rem=rem, dtype=dtype,
+        axis_name=axis_name)
     Y, rho_ind, rho, k, pri, dua, done, iters, status = state[:9]
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
@@ -575,60 +595,11 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
         state0 = state0 + (Y0[:, :nx], Y0[:, nx + nc:nx + 2 * nc])
     state0 = state0 + (jnp.asarray(False),)
 
-    two_phase = refine and iter_precision != "highest"
-    W_hi = Wt_bank if Wt_bank_hi is None else Wt_bank_hi
-    tail_W, tail_prec = ((W_hi, "highest") if two_phase
-                         else (Wt_bank, iter_precision))
-    if two_phase:
-        # Aggregate stall detection + half-budget cap — see
-        # solve_batched_shared for the rationale.
-        cap_a = (n_chunks // 2) * check_interval
-
-        def _metric(state):
-            pri, dua, done = state[4], state[5], state[6]
-            logres = jnp.where(done, 0.0,
-                               jnp.log(jnp.maximum(pri + dua, 1e-30)))
-            s = jnp.sum(logres)
-            n_open = jnp.sum(~done).astype(jnp.int32)
-            if axis_name is not None:
-                s = lax.psum(s, axis_name)
-                n_open = lax.psum(n_open, axis_name)
-            return s / jnp.maximum(n_open, 1), n_open
-
-        def condA(sA):
-            state, _, _, n_stall = sA
-            k = state[3]
-            # patience: two consecutive stalled windows end the fast
-            # phase (a single flat window is often just a ρ-walk plateau)
-            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
-                                   cond(state))
-
-        def bodyA(sA):
-            state, best_m, best_open, n_stall = sA
-            state = step(state, check_interval, Wt_bank, iter_precision)
-            mean_log, n_open = _metric(state)
-            improving = jnp.logical_or(mean_log < best_m - 0.03,
-                                       n_open < best_open)
-            n_stall = jnp.where(improving, 0, n_stall + 1)
-            return (state, jnp.minimum(best_m, mean_log),
-                    jnp.minimum(best_open, n_open), n_stall)
-
-        state, _, _, _ = lax.while_loop(
-            condA, bodyA,
-            (state0, jnp.asarray(jnp.inf, dtype=dtype),
-             jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
-             jnp.asarray(0, jnp.int32)))
-        k_fast = state[3]
-        state = lax.while_loop(
-            cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
-    else:
-        k_fast = jnp.asarray(0, jnp.int32)
-        state = lax.while_loop(
-            cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
-            state0)
-    if rem > 0:
-        state = lax.cond(state[-1], lambda s: s,
-                         lambda s: step(s, rem, tail_W, tail_prec), state)
+    state, k_fast = _run_refined(
+        step, cond, state0, Wt_bank, Wt_bank_hi, refine=refine,
+        iter_precision=iter_precision, n_chunks=n_chunks,
+        check_interval=check_interval, rem=rem, dtype=dtype,
+        axis_name=axis_name)
     Y, rho_ind, rho, k, pri, dua, done, iters, status = state[:9]
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,

@@ -63,15 +63,22 @@ def replicate(arr, mesh: Mesh):
 
 
 def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
-                         lo, hi, Y0, rho_ind0, *, axis_name: str = "qp",
+                         lo, hi, Y0, rho_ind0, *, done0=None,
+                         Wt_bank_hi=None, axis_name: str = "qp",
                          rho_mode: str = "shared",
                          **solve_kw) -> BatchSolveResult:
     """Explicit ``shard_map`` batched solve with psum convergence exit.
 
-    Shardings: the bank, ``rhos``, ``H``, ``A`` are replicated; ``G``,
-    ``lo``, ``hi``, ``Y0`` (and ``rho_ind0`` in per-problem mode) are
-    sharded on the batch axis. ``bias_all`` is (N_rho, B, D): batch axis 1.
-    The global batch size must divide by the mesh axis size.
+    Shardings: the bank, ``rhos``, ``H``, ``A`` (and ``Wt_bank_hi``) are
+    replicated; ``G``, ``lo``, ``hi``, ``Y0`` (and ``rho_ind0`` in
+    per-problem mode, and ``done0``) are sharded on the batch axis.
+    ``bias_all`` is (N_rho, B, D): batch axis 1. The global batch size
+    must divide by the mesh axis size.
+
+    ``done0`` pre-marks inert padding rows; ``Wt_bank_hi`` is the fp32
+    polish bank required when ``Wt_bank`` is stored bfloat16 with the
+    two-phase refine (same channel as ``BatchedReLU_QP._Wt_hi`` — without
+    it a bf16 bank can never reach eps_abs in the polish phase).
 
     ``solve_kw`` are the static solver parameters of
     ``core.batched.solve_batched_shared`` (nx, nc, max_iter, …).
@@ -92,17 +99,30 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
         rho_ind=rho_spec, converged=bat, n_iter_total=rep, status=bat,
         n_iter_fast=rep)
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(rep, bias_spec, rep, rep, rep, bat, bat, bat, bat,
-                       rho_spec),
+    in_specs = [rep, bias_spec, rep, rep, rep, bat, bat, bat, bat,
+                rho_spec]
+    args = [Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
+            jnp.asarray(rho_ind0, jnp.int32)]
+    has_done, has_hi = done0 is not None, Wt_bank_hi is not None
+    if has_done:
+        in_specs.append(bat)
+        args.append(done0)
+    if has_hi:
+        in_specs.append(rep)
+        args.append(Wt_bank_hi)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=tuple(in_specs),
              out_specs=out_specs, check_vma=False)
-    def run(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0, rho_ind0):
+    def run(*a):
+        i = 10
+        d0 = a[i] if has_done else None
+        i += int(has_done)
+        w_hi = a[i] if has_hi else None
         return solve_batched_shared(
-            Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0, rho_ind0,
+            *a[:10], d0, w_hi,
             rho_mode=rho_mode, axis_name=axis_name, **solve_kw)
 
-    return run(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
-               jnp.asarray(rho_ind0, jnp.int32))
+    return run(*args)
 
 
 def init_distributed(coordinator_address: Optional[str] = None,

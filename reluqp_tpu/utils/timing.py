@@ -19,7 +19,8 @@ from typing import Callable, Dict, List
 
 import jax
 
-__all__ = ["Timer", "time_fn", "time_fn_fetched", "fetch", "trace"]
+__all__ = ["Timer", "time_fn", "time_fn_fetched", "fetch",
+           "two_point_step_time", "trace"]
 
 
 def fetch(x) -> float:
@@ -97,6 +98,29 @@ def time_fn(fn: Callable, *args, warmup: int = 1, reps: int = 10,
     ts.sort()
     return dict(best=ts[0], median=ts[len(ts) // 2],
                 mean=sum(ts) / len(ts), reps=reps)
+
+
+
+def two_point_step_time(timed: Callable[[object, int], float],
+                        fresh_input: Callable[[int], object],
+                        n_lo: int, n_hi: int, reps: int = 3) -> float:
+    """Best per-step time via the axon-safe two-point fit.
+
+    ``timed(x, n)`` runs an n-step on-device chain on input ``x`` and
+    returns elapsed seconds (it must force execution with a scalar
+    ``jax.device_get``); ``fresh_input(j)`` must return a NEW input value
+    for every call (the tunnel memoizes repeated identical dispatches).
+    The fixed per-dispatch overhead cancels in ``t(n_hi) − t(n_lo)``.
+    Callers compile both lengths before timing.
+    """
+    if n_hi <= n_lo:
+        raise ValueError(f"need n_hi > n_lo, got {n_lo} >= {n_hi}")
+    best = float("inf")
+    for i in range(reps):
+        t_lo = timed(fresh_input(2 * i), n_lo)
+        t_hi = timed(fresh_input(2 * i + 1), n_hi)
+        best = min(best, max(t_hi - t_lo, 1e-9) / (n_hi - n_lo))
+    return best
 
 
 @contextlib.contextmanager

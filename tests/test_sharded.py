@@ -156,3 +156,66 @@ def test_sharded_batch_not_divisible_raises():
             nx=m.nx, nc=m.nc, max_iter=100, check_interval=25,
             adaptive_rho=True, adaptive_rho_tolerance=5.0,
             eps_abs=1e-4, rho_min=1e-6, rho_max=1e6)
+
+
+def test_shard_map_bf16_refine_with_done0():
+    """Wt_bank_hi + done0 through the shard_map API: a bf16-stored bank
+    must still reach eps_abs via the replicated fp32 polish bank, with
+    pre-marked inert padding rows."""
+    H, G, A, L, U, sols = _shared_batch(B=6)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, eps_abs=1e-4, iter_precision="bf16")
+    assert m._Wt_hi is not None          # bf16 storage keeps an fp32 copy
+
+    mesh = make_mesh()
+    B_pad = 8
+    dtype = jnp.float32
+    pad = lambda a, fill: jnp.concatenate(
+        [jnp.asarray(a, dtype),
+         jnp.full((B_pad - 6,) + a.shape[1:], fill, dtype)], axis=0)
+    G_p = pad(m.G, 0.0)
+    lo_p = pad(m.lo, -jnp.inf)
+    hi_p = pad(m.hi, jnp.inf)
+    bias_p = jnp.concatenate(
+        [m.bias_all, jnp.zeros((m.bias_all.shape[0], B_pad - 6,
+                                m.bias_all.shape[2]), dtype)], axis=1)
+    Y0 = jnp.zeros((B_pad, m.Dp), dtype)
+    done0 = jnp.arange(B_pad) >= 6
+    kw = dict(nx=m.nx, nc=m.nc, max_iter=m.settings.max_iter,
+              check_interval=m.settings.check_interval,
+              adaptive_rho=True, adaptive_rho_tolerance=5.0,
+              eps_abs=1e-4, rho_min=1e-6, rho_max=1e6,
+              iter_precision="bf16", refine=True)
+    res = solve_sharded_shared(
+        mesh, replicate(m.Wt_bank, mesh),
+        jax.device_put(bias_p,
+                       jax.sharding.NamedSharding(
+                           mesh, jax.sharding.PartitionSpec(None, "qp"))),
+        replicate(m.rhos, mesh), replicate(m.H_dev, mesh),
+        replicate(m.A_dev, mesh), shard_batch(G_p, mesh),
+        shard_batch(lo_p, mesh), shard_batch(hi_p, mesh),
+        shard_batch(Y0, mesh),
+        jnp.asarray(int(np.argmin(np.abs(m.rhos_np - 0.1))), jnp.int32),
+        done0=shard_batch(done0, mesh),
+        Wt_bank_hi=replicate(m._Wt_hi, mesh), **kw)
+    conv = np.asarray(jax.device_get(res.converged))
+    assert conv[:6].all()
+    x = np.asarray(jax.device_get(res.Y))[:6, :m.nx]
+    assert np.max(np.abs(x - sols)) < 1e-2
+
+
+def test_batched_warm_start_on_device():
+    """Single-process warm_start stays on device and injects correctly."""
+    H, G, A, L, U, sols = _shared_batch(B=4)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, eps_abs=1e-4, warm_starting=True)
+    m.solve()
+    x_prev = np.asarray(m.results.x, np.float64)
+    m.clear_primal_dual()
+    m.warm_start(x=x_prev)
+    got = np.asarray(jax.device_get(m.Y))[:4, :m.nx]
+    sc = m.scal
+    np.testing.assert_allclose(got, x_prev * np.asarray(sc.Dinv),
+                               rtol=1e-5, atol=1e-6)
+    res = m.solve()
+    assert res.info.status.all()
