@@ -248,13 +248,23 @@ def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
     fast phase here and the polish phase with "highest").
     """
     b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
-    rows_tile = batch_tile_rows(Y.shape[1], Y.dtype,
-                                iter_precision=iter_precision)
-    rows_tile = min(rows_tile, Y.shape[0])
-    while Y.shape[0] % rows_tile:
-        rows_tile //= 2
+    rows = Y.shape[0]
+    cap = batch_tile_rows(Y.shape[1], Y.dtype,
+                          iter_precision=iter_precision)
+    if rows <= cap:
+        rows_tile = rows             # whole batch in one tile
+    else:
+        # largest sublane-aligned divisor of the padded batch under the
+        # VMEM cap (a halving search can land on a non-multiple-of-8
+        # tile, which Mosaic rejects; the batch was padded to a multiple
+        # of the setup tile, itself a multiple of 8, so this terminates)
+        rows_tile = cap - cap % 8
+        while rows_tile > 8 and rows % rows_tile:
+            rows_tile -= 8
+        if rows % rows_tile:
+            rows_tile = rows
     return fused_chunk_batched(Wt_bank, b, lo, hi, Y, rho_ind, n_steps,
-                               max(rows_tile, 1), iter_precision)
+                               rows_tile, iter_precision)
 
 
 def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,
