@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--iter-precision", default="highest",
                    help="solver iteration precision (highest|high|bf16)")
+    p.add_argument("--backend", default="xla",
+                   help="batch solver backend (xla|pallas — pallas needs "
+                        "B within one VMEM tile so the batch stays "
+                        "unpadded)")
     p.add_argument("--out", default="results/scenario_mpc.json")
     args = p.parse_args(argv)
 
@@ -61,7 +65,7 @@ def main(argv=None):
         m = BatchedReLU_QP()
         m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
                 np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
-                eps_abs=args.tol, backend="xla",
+                eps_abs=args.tol, backend=args.backend,
                 iter_precision=args.iter_precision)
         # Axon-safe two-point timing: fresh X0 per timed dispatch, scalar
         # fetch forces execution, overhead cancelled by differencing a

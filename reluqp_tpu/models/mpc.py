@@ -482,7 +482,7 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            adaptive_rho_tolerance: float, eps_abs: float,
                            rho_min: float, rho_max: float, rho_jump: bool,
                            iter_precision: str = "highest",
-                           refine: bool = True):
+                           refine: bool = True, use_pallas: bool = False):
     """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
     import jax
     import jax.numpy as jnp
@@ -491,6 +491,10 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
     B_n, Dp = Y0.shape
     dtype = Y0.dtype
     hp = jax.lax.Precision.HIGHEST
+    if use_pallas:
+        from ..ops.fused_step import pallas_batched_chunk_runner as runner
+    else:
+        runner = None
     pad_lo = jnp.full((B_n, Dp), -jnp.inf, dtype=dtype)
     pad_hi = jnp.full((B_n, Dp), jnp.inf, dtype=dtype)
 
@@ -509,7 +513,7 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, rho_mode="shared",
             rho_jump=rho_jump, iter_precision=iter_precision,
-            refine=refine)
+            refine=refine, chunk_runner=runner)
         # Unscale the first-stage variable back to plant units (identity
         # when the batch solver runs without Ruiz scaling).
         V0 = res.Y[:, :nu] * v0_scale[None, :]
@@ -529,7 +533,8 @@ _scenario_jit = jax.jit(
     static_argnames=("nx_qp", "nc", "nu", "n_steps", "max_iter",
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
-                     "rho_max", "rho_jump", "iter_precision", "refine"))
+                     "rho_max", "rho_jump", "iter_precision", "refine",
+                     "use_pallas"))
 
 
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
@@ -590,4 +595,5 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
         rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
-        iter_precision=stng.iter_precision, refine=bool(stng.refine))
+        iter_precision=stng.iter_precision, refine=bool(stng.refine),
+        use_pallas=bool(m._use_pallas))
