@@ -63,6 +63,15 @@ def _make_batch(nx, n_eq, n_ineq, B, seed0=0):
     return base.H, G, base.A, L, U
 
 
+def _make_hetero_batch(nx, n_eq, n_ineq, B, seed0=0):
+    """B fully distinct QPs (per-problem H and A — per-problem banks)."""
+    from reluqp_tpu.utils.problems import rand_qp
+    insts = [rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=seed0 + i,
+                     compute_sol=False) for i in range(B)]
+    stack = lambda k: np.stack([getattr(i, k) for i in insts])
+    return stack("H"), stack("g"), stack("A"), stack("l"), stack("u")
+
+
 def chunk_us_per_iter(m, n_steps: int = 100) -> float:
     """Device-timed per-iteration cost of the pure iteration chunk.
 
@@ -218,7 +227,8 @@ def run_throughput(args):
     n_eq = n_ineq = max(args.nx // 4, 1)
     out = []
     for B in args.batches:
-        H, G, A, L, U = _make_batch(args.nx, n_eq, n_ineq, B)
+        mk = _make_hetero_batch if args.hetero else _make_batch
+        H, G, A, L, U = mk(args.nx, n_eq, n_ineq, B)
         m = BatchedReLU_QP()
         m.setup(H, G, A, L, U, rho_mode=args.rho_mode, eps_abs=args.tol,
                 backend=args.backend, iter_precision=args.iter_precision)
@@ -236,6 +246,20 @@ def run_throughput(args):
                    n_iter_fast=m.info.n_iter_fast, Dp=m.Dp,
                    B_pad=m.B_pad)
         row.update(_flop_account(m, B, dt))
+        if args.hetero:
+            # per-problem banks: the loop is bank-bandwidth-bound (reads
+            # B·Dp² of W per iteration); the shared-bank device-timing
+            # helpers do not apply. Report the HBM roofline instead.
+            row["hetero"] = True
+            bank_gb_per_iter = (m.B_pad * m.Dp * m.Dp
+                                * np.dtype(np.float32).itemsize / 1e9)
+            row["bank_gb_per_iter"] = bank_gb_per_iter
+            out.append(row)
+            print(f"B={B:6d} nx={args.nx:4d} [hetero/{args.backend}/"
+                  f"{args.iter_precision}]  host {dt*1e3:8.1f} ms  "
+                  f"{qps:10.0f} QP/s  iters={m.info.n_iter_total:5d}  "
+                  f"bank stream {bank_gb_per_iter:.3f} GB/iter")
+            continue
         dms = solve_device_ms(m)
         row["solve_device_ms"] = dms
         row["qps_device"] = B / (dms * 1e-3)
@@ -294,6 +318,8 @@ def main(argv=None):
     p.add_argument("--rho-mode", default="shared")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--hetero", action="store_true",
+                   help="B fully distinct QPs (per-problem banks)")
     p.add_argument("--iter-precision", default="highest",
                    choices=["highest", "high", "default", "bf16"])
     p.add_argument("--weak-scaling", action="store_true")
