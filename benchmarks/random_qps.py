@@ -208,7 +208,7 @@ def main(argv=None):
         n_eq = n_ineq = max(int(nx // 4), 1)
         for seed in range(args.seeds):
             inst = rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=seed,
-                           compute_sol=args.oracle)
+                           compute_sol=False)
             m, res, setup_t = reluqp_solve(inst.H, inst.g, inst.A, inst.l,
                                            inst.u, args.tol, args.backend,
                                            args.iter_precision)
@@ -230,8 +230,16 @@ def main(argv=None):
             rec["primal_violation"] = float(pri_feas)
             if args.device_loop and seed == 0:
                 rec["solve_device_us"] = device_loop_us(m)
-            if args.oracle and inst.x_sol is not None:
-                rec["err_vs_oracle"] = float(np.max(np.abs(x - inst.x_sol)))
+            if args.oracle:
+                # Independent scipy fp64 solve. Warm-started at OUR x —
+                # the QP is strictly convex with a unique optimum, so the
+                # start point cannot bias where trust-constr converges,
+                # only how fast (cold trust-constr at nx=500 takes >10
+                # min/instance; warm it is seconds).
+                from reluqp_tpu.utils.problems import solve_qp_oracle
+                x_sol = solve_qp_oracle(inst.H, inst.g, inst.A, inst.l,
+                                        inst.u, x0=x, tol=1e-9)
+                rec["err_vs_oracle"] = float(np.max(np.abs(x - x_sol)))
                 assert rec["err_vs_oracle"] < 50 * args.tol, rec
             if not args.no_native_oracle:
                 x_n, t_n = native_check(inst.H, inst.g, inst.A, inst.l,
@@ -256,10 +264,12 @@ def main(argv=None):
         print(f"nx={nx:4d}  solve {np.mean(ms)*1e3:8.2f} ± "
               f"{np.std(ms)*1e3:6.2f} ms   "
               f"iters {np.mean([r['iters'] for r in records if r['nx']==nx]):6.0f}")
+        # incremental flush: a timeout can no longer lose finished sizes
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"config": vars(args), "records": records}, f,
+                      indent=1)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump({"config": vars(args), "records": records}, f, indent=1)
     print("wrote", args.out)
 
     if args.plot:
