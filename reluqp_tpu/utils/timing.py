@@ -103,8 +103,9 @@ def time_fn(fn: Callable, *args, warmup: int = 1, reps: int = 10,
 
 def two_point_step_time(timed: Callable[[object, int], float],
                         fresh_input: Callable[[int], object],
-                        n_lo: int, n_hi: int, reps: int = 3) -> float:
-    """Best per-step time via the axon-safe two-point fit.
+                        n_lo: int, n_hi: int, reps: int = 3,
+                        noise_s: float = 2e-3) -> float:
+    """Per-step time via the axon-safe two-point fit.
 
     ``timed(x, n)`` runs an n-step on-device chain on input ``x`` and
     returns elapsed seconds (it must force execution with a scalar
@@ -112,15 +113,38 @@ def two_point_step_time(timed: Callable[[object, int], float],
     for every call (the tunnel memoizes repeated identical dispatches).
     The fixed per-dispatch overhead cancels in ``t(n_hi) − t(n_lo)``.
     Callers compile both lengths before timing.
+
+    When the median delta sits inside the tunnel's dispatch jitter
+    (``noise_s``), the long chain is stretched 8× (one untimed compile
+    pass first) and the fit retried; still-unmeasurable returns NaN —
+    never a clamped fabrication.
     """
     if n_hi <= n_lo:
         raise ValueError(f"need n_hi > n_lo, got {n_lo} >= {n_hi}")
-    best = float("inf")
-    for i in range(reps):
-        t_lo = timed(fresh_input(2 * i), n_lo)
-        t_hi = timed(fresh_input(2 * i + 1), n_hi)
-        best = min(best, max(t_hi - t_lo, 1e-9) / (n_hi - n_lo))
-    return best
+    ctr = [0]
+
+    def fresh():
+        ctr[0] += 1
+        return fresh_input(ctr[0])
+
+    def measure(nh):
+        deltas = []
+        for _ in range(reps):
+            t_lo = timed(fresh(), n_lo)
+            t_hi = timed(fresh(), nh)
+            deltas.append(t_hi - t_lo)
+        return sorted(deltas)[len(deltas) // 2]
+
+    span = n_hi - n_lo
+    d = measure(n_hi)
+    if d < noise_s:
+        n_big = n_lo + span * 8
+        timed(fresh(), n_big)        # compile pass, untimed
+        span = n_big - n_lo
+        d = measure(n_big)
+        if d < noise_s:
+            return float("nan")
+    return d / span
 
 
 @contextlib.contextmanager
