@@ -177,7 +177,17 @@ def main(argv=None):
     p.add_argument("--no-native-oracle", action="store_true",
                    help="skip the native fp64 C++ oracle column")
     p.add_argument("--out", default="results/random_qp_benchmark.json")
+    p.add_argument("--replot", metavar="JSON",
+                   help="regenerate the plot from an existing results "
+                        "file and exit (no solving)")
     args = p.parse_args(argv)
+
+    if args.replot:
+        with open(args.replot) as f:
+            records = json.load(f)["records"]
+        _plot(records, os.path.splitext(args.replot)[0] + ".png",
+              any("osqp_s" in r for r in records))
+        return
 
     from reluqp_tpu.utils.problems import rand_qp, kkt_error
     import jax

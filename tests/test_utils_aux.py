@@ -149,3 +149,53 @@ def test_batched_checkpoint_roundtrip_shared_mesh(tmp_path):
     assert r2.info.status.all()
     np.testing.assert_allclose(np.asarray(r2.x, np.float64),
                                np.asarray(r1.x, np.float64), atol=1e-5)
+
+
+def test_two_point_step_time_paths():
+    import math
+    from reluqp_tpu.utils.timing import two_point_step_time
+
+    # measurable slope: returns it
+    v = two_point_step_time(lambda x, n: 0.030 + n * 1e-4, lambda j: j,
+                            100, 600)
+    assert abs(v - 1e-4) < 1e-8
+    # sub-noise slope: escalates 8x, still unmeasurable -> NaN (never 0)
+    v = two_point_step_time(lambda x, n: 0.030 + n * 1e-10, lambda j: j,
+                            100, 600)
+    assert math.isnan(v)
+    # slope that only clears the noise floor on the stretched chain
+    v = two_point_step_time(lambda x, n: 0.030 + n * 1e-6, lambda j: j,
+                            100, 600)
+    assert abs(v - 1e-6) < 1e-9
+    import pytest
+    with pytest.raises(ValueError):
+        two_point_step_time(lambda x, n: 0.0, lambda j: j, 10, 10)
+
+
+def test_hetero_bank_memory_guard_counts_refine_copy(monkeypatch):
+    import pytest
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.utils.problems import rand_qp
+
+    B, nx = 4, 12
+    insts = [rand_qp(nx=nx, n_eq=3, n_ineq=3, seed=s, compute_sol=False)
+             for s in range(B)]
+    H = np.stack([i.H for i in insts])
+    A = np.stack([i.A for i in insts])
+    G = np.stack([i.g for i in insts])
+    L = np.stack([i.l for i in insts])
+    U = np.stack([i.u for i in insts])
+
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U)                  # fits under the default cap
+    D, N = m.D, len(m.rhos_np)
+    base = B * N * (D * D * 4 + (D * nx + D) * 4)
+    # cap sized between the fp32-only estimate and bf16+refine's (W at
+    # 2+4 bytes): fp32 setup passes, bf16+refine must refuse
+    cap = int(base * 1.25)
+    monkeypatch.setenv("RELUQP_MAX_BANK_BYTES", str(cap))
+    m2 = BatchedReLU_QP()
+    m2.setup(H, G, A, L, U)                 # 1.0x base < cap: ok
+    m3 = BatchedReLU_QP()
+    with pytest.raises(ValueError, match="exceeds"):
+        m3.setup(H, G, A, L, U, iter_precision="bf16", refine=True)
