@@ -21,7 +21,7 @@ from .core.batched import (BatchSolveResult, solve_batched_hetero,
 from .core.ladder import initial_rho_index, setup_rhos
 from . import models, parallel
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ReLU_QP", "QP", "Settings", "Info", "Results",
