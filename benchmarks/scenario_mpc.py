@@ -33,6 +33,10 @@ def main(argv=None):
                    help="batch solver backend (xla|pallas — pallas needs "
                         "B within one VMEM tile so the batch stays "
                         "unpadded)")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="independent measurements per batch size; the "
+                        "record carries the median (tunnel run-to-run "
+                        "variance is ~1.7x, docs/perf_notes.md)")
     p.add_argument("--out", default="results/scenario_mpc.json")
     args = p.parse_args(argv)
 
@@ -86,13 +90,20 @@ def main(argv=None):
         assert np.all(np.isfinite(np.asarray(jax.device_get(Xs)))), \
             "rollout diverged"
         from reluqp_tpu.utils.timing import two_point_step_time
-        best = two_point_step_time(lambda X, T: rollout_s(X, T)[0],
-                                   lambda j: X0 + (j + 1) * 5e-5, T_lo, T_hi)
-        hz = 1.0 / best
-        rec = dict(scenarios=B, steps_per_s=hz, scenario_solves_per_s=hz * B)
+        samples = []
+        for r in range(args.repeats):
+            Xr = X0 + r * 3e-4   # fresh values per repeat (tunnel memoizes)
+            best = two_point_step_time(
+                lambda X, T: rollout_s(X, T)[0],
+                lambda j: Xr + (j + 1) * 5e-5, T_lo, T_hi)
+            samples.append(1.0 / best)
+        hz = float(np.median(samples))
+        rec = dict(scenarios=B, steps_per_s=hz, scenario_solves_per_s=hz * B,
+                   steps_per_s_samples=samples)
         records.append(rec)
         print(f"B={B:5d}  {hz:8.0f} steps/s  "
-              f"{hz * B:12.0f} scenario-solves/s")
+              f"{hz * B:12.0f} scenario-solves/s  "
+              f"(median of {len(samples)})")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
