@@ -566,7 +566,8 @@ class BatchedReLU_QP:
                     eps_prim_inf=float(stng.eps_prim_inf),
                     eps_dual_inf=float(stng.eps_dual_inf),
                     iter_precision=stng.iter_precision,
-                    refine=bool(stng.refine))
+                    refine=bool(stng.refine),
+                    adaptive_rho_interval=int(stng.adaptive_rho_interval))
 
     def solve(self) -> BatchResults:
         """Solve the whole batch in one on-device loop."""

@@ -107,8 +107,12 @@ class Settings:
 
     ``device``/``precision`` are JAX-flavored: ``device`` is a jax.Device or
     None (default device), ``precision`` any spec accepted by ``as_dtype``.
-    ``adaptive_rho_interval`` is accepted for API parity but, like the
-    reference, the residual check cadence is ``check_interval``.
+    ``adaptive_rho_interval`` is FUNCTIONAL (the reference accepts but
+    ignores it, ``reluqpth.py:110``): it is the number of ITERATIONS
+    between ρ-ladder updates, rounded up to the ``check_interval`` cadence
+    (ρ updates can only happen at residual checks); 0 (OSQP "automatic")
+    or anything ≤ ``check_interval`` means every check — the
+    reference-equivalent default.
     """
 
     verbose: bool = False
@@ -179,6 +183,8 @@ class Settings:
             raise ValueError("max_iter must be >= 1")
         if self.adaptive_rho_tolerance <= 1.0:
             raise ValueError("adaptive_rho_tolerance must be > 1")
+        if self.adaptive_rho_interval < 0:
+            raise ValueError("adaptive_rho_interval must be >= 0")
         if self.backend not in ("auto", "xla", "pallas", "fused"):
             raise ValueError(f"Invalid backend {self.backend!r}")
         if self.iter_precision not in ("highest", "high", "default", "bf16"):

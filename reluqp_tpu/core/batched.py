@@ -40,7 +40,7 @@ from jax import lax
 
 from .iteration import (STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER,
                         STATUS_PRIMAL_INFEASIBLE, STATUS_SOLVED,
-                        iter_dot, rho_ladder_step)
+                        iter_dot, rho_ladder_step, rho_update_stride)
 
 __all__ = [
     "BatchSolveResult",
@@ -334,7 +334,7 @@ def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
                      "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
                      "rho_mode", "chunk_runner", "axis_name", "rho_jump",
                      "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
-                     "iter_precision", "refine"),
+                     "iter_precision", "refine", "adaptive_rho_interval"),
 )
 def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          rho_ind0, done0=None, Wt_bank_hi=None, *,
@@ -350,7 +350,8 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          eps_prim_inf: float = 1e-4,
                          eps_dual_inf: float = 1e-4,
                          iter_precision: str = "highest",
-                         refine: bool = True
+                         refine: bool = True,
+                         adaptive_rho_interval: int = 1
                          ) -> BatchSolveResult:
     """Solve a batch of QPs sharing (H, A) fully on device.
 
@@ -381,6 +382,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     n_chunks = max_iter // check_interval
     rem = max_iter - n_chunks * check_interval
 
+    rho_stride = rho_update_stride(adaptive_rho_interval, check_interval)
     shared = rho_mode == "shared"
     if chunk_runner is None:
         if shared:
@@ -424,11 +426,18 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                     n_act = lax.psum(n_act, axis_name)
                 rho_gm = jnp.exp(logr / jnp.maximum(n_act, 1))
                 rho_gm = jnp.where(n_act > 0, rho_gm, rho_k)
-                rho_ind = rho_ladder_step(rhos_t, rho_ind, rho_gm, tol,
+                new_ind = rho_ladder_step(rhos_t, rho_ind, rho_gm, tol,
                                           rho_jump)
             else:
-                rho_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
+                new_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
                                           rho_jump, done=done)
+            if rho_stride > 1:
+                # ρ updates only every rho_stride-th check window
+                # (functional adaptive_rho_interval — see
+                # iteration.rho_update_stride).
+                adapt = ((k + n_steps) // check_interval) % rho_stride == 0
+                new_ind = jnp.where(adapt, new_ind, rho_ind)
+            rho_ind = new_ind
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps
@@ -499,7 +508,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
                      "rho_max", "axis_name", "rho_jump",
                      "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
-                     "iter_precision", "refine"),
+                     "iter_precision", "refine", "adaptive_rho_interval"),
 )
 def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
                          rho_ind0, Wt_bank_hi=None, *, nx: int, nc: int,
@@ -513,7 +522,8 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
                          eps_prim_inf: float = 1e-4,
                          eps_dual_inf: float = 1e-4,
                          iter_precision: str = "highest",
-                         refine: bool = True
+                         refine: bool = True,
+                         adaptive_rho_interval: int = 1
                          ) -> BatchSolveResult:
     """Solve a batch of QPs with per-problem (H, A) fully on device.
 
@@ -533,6 +543,7 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     n_chunks = max_iter // check_interval
     rem = max_iter - n_chunks * check_interval
     rhos_t = jnp.asarray(rhos, dtype=dtype)
+    rho_stride = rho_update_stride(adaptive_rho_interval, check_interval)
 
     def split(Y):
         return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
@@ -552,8 +563,12 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
         dua = jnp.where(done, dua, dua_n)
         rho = jnp.where(done, rho, rho_new)
         if adaptive_rho:
-            rho_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
+            new_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
                                       rho_jump, done=done)
+            if rho_stride > 1:
+                adapt = ((k + n_steps) // check_interval) % rho_stride == 0
+                new_ind = jnp.where(adapt, new_ind, rho_ind)
+            rho_ind = new_ind
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + n_steps

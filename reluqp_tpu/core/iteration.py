@@ -211,6 +211,20 @@ def rho_ladder_step(rhos, rho_ind, rho_est, tol, jump: bool, done=None):
     return new
 
 
+def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
+    """Checks between ρ-ladder updates for an iteration-count interval.
+
+    ``adaptive_rho_interval`` counts ITERATIONS between ρ updates; updates
+    can only happen at residual checks (every ``check_interval``
+    iterations), so the interval is rounded up to the check cadence.
+    0 (OSQP "automatic") and anything ≤ ``check_interval`` mean "every
+    check" — the reference-equivalent default.
+    """
+    if adaptive_rho_interval <= check_interval:
+        return 1
+    return -(-adaptive_rho_interval // check_interval)  # ceil div
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -218,6 +232,7 @@ def rho_ladder_step(rhos, rho_ind, rho_est, tol, jump: bool, done=None):
         "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
         "chunk_runner", "verbose", "check_infeasibility", "eps_prim_inf",
         "eps_dual_inf", "rho_jump", "iter_precision", "refine",
+        "adaptive_rho_interval",
     ),
 )
 def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
@@ -231,7 +246,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
                eps_dual_inf: float = 1e-4,
                rho_jump: bool = False,
                iter_precision: str = "highest",
-               refine: bool = True) -> SolveResult:
+               refine: bool = True,
+               adaptive_rho_interval: int = 1) -> SolveResult:
     """Run the solver to convergence or ``max_iter`` fully on device.
 
     Semantics match the reference loop (``reluqpth.py:214-248``): iterations
@@ -246,7 +262,12 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
     - the returned state always reflects the final iterate;
     - ``check_infeasibility=True`` additionally tests OSQP-style
       primal/dual infeasibility certificates on iterate deltas at every
-      check (the reference cannot detect infeasibility at all).
+      check (the reference cannot detect infeasibility at all);
+    - ``adaptive_rho_interval`` is FUNCTIONAL (the reference accepts but
+      ignores it, ``reluqpth.py:110``): it sets the number of iterations
+      between ρ-ladder updates, rounded up to the check cadence
+      (``rho_update_stride``). Residual/convergence checks still run
+      every ``check_interval`` iterations regardless.
     """
     dtype = y0.dtype
     eps = jnp.asarray(eps_abs, dtype=dtype)
@@ -256,6 +277,7 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
     n_rhos = bank.rhos.shape[0]
     n_chunks = max_iter // check_interval
     rem = max_iter - n_chunks * check_interval
+    rho_stride = rho_update_stride(adaptive_rho_interval, check_interval)
 
     def split(y):
         return y[:nx], y[nx:nx + nc], y[nx + nc:nx + 2 * nc]
@@ -280,8 +302,13 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
                          n_steps, precision)
         pri, dua, rho_new = check(y, rho)
         if adaptive_rho:
-            rho_ind = rho_ladder_step(bank.rhos, rho_ind, rho_new, tol,
+            new_ind = rho_ladder_step(bank.rhos, rho_ind, rho_new, tol,
                                       rho_jump)
+            if rho_stride > 1:
+                # ρ updates only every rho_stride-th check window.
+                adapt = ((k + n_steps) // check_interval) % rho_stride == 0
+                new_ind = jnp.where(adapt, new_ind, rho_ind)
+            rho_ind = new_ind
         if verbose:
             jax.debug.print(
                 "Iter: {k}, rho: {r:.2e}, res_p: {p:.2e}, res_d: {d:.2e}",

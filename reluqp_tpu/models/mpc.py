@@ -345,7 +345,8 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                   check_interval: int, adaptive_rho: bool,
                   adaptive_rho_tolerance: float, eps_abs: float,
                   rho_min: float, rho_max: float, chunk_runner,
-                  iter_precision: str = "highest", refine: bool = True):
+                  iter_precision: str = "highest", refine: bool = True,
+                  rho_jump: bool = False, adaptive_rho_interval: int = 1):
     """Jitted body of ``mpc_rollout_scan``.
 
     All arrays are ARGUMENTS (not closure captures) so the weight bank is
@@ -379,7 +380,8 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner,
-            iter_precision=iter_precision, refine=refine)
+            iter_precision=iter_precision, refine=refine,
+            rho_jump=rho_jump, adaptive_rho_interval=adaptive_rho_interval)
         v0 = res.y[:nu] * v0_scale
         u = -jnp.matmul(Kg, x, precision=hp) + v0
         x_next = (jnp.matmul(Ad, x, precision=hp)
@@ -397,7 +399,7 @@ _rollout_jit = jax.jit(
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
                      "rho_max", "chunk_runner", "iter_precision",
-                     "refine"))
+                     "refine", "rho_jump", "adaptive_rho_interval"))
 
 
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
@@ -447,7 +449,9 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
         rho_max=float(stng.rho_max), chunk_runner=solver._chunk_runner,
-        iter_precision=stng.iter_precision, refine=bool(stng.refine))
+        iter_precision=stng.iter_precision, refine=bool(stng.refine),
+        rho_jump=bool(stng.rho_jump),
+        adaptive_rho_interval=int(stng.adaptive_rho_interval))
 
 
 def solver_plant_A(prob: CondensedMPC) -> np.ndarray:
@@ -482,7 +486,8 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            adaptive_rho_tolerance: float, eps_abs: float,
                            rho_min: float, rho_max: float, rho_jump: bool,
                            iter_precision: str = "highest",
-                           refine: bool = True, use_pallas: bool = False):
+                           refine: bool = True, use_pallas: bool = False,
+                           adaptive_rho_interval: int = 1):
     """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
     import jax
     import jax.numpy as jnp
@@ -513,7 +518,8 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, rho_mode="shared",
             rho_jump=rho_jump, iter_precision=iter_precision,
-            refine=refine, chunk_runner=runner)
+            refine=refine, chunk_runner=runner,
+            adaptive_rho_interval=adaptive_rho_interval)
         # Unscale the first-stage variable back to plant units (identity
         # when the batch solver runs without Ruiz scaling).
         V0 = res.Y[:, :nu] * v0_scale[None, :]
@@ -534,7 +540,7 @@ _scenario_jit = jax.jit(
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
                      "rho_max", "rho_jump", "iter_precision", "refine",
-                     "use_pallas"))
+                     "use_pallas", "adaptive_rho_interval"))
 
 
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
@@ -596,4 +602,5 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
         rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
         iter_precision=stng.iter_precision, refine=bool(stng.refine),
-        use_pallas=bool(m._use_pallas))
+        use_pallas=bool(m._use_pallas),
+        adaptive_rho_interval=int(stng.adaptive_rho_interval))

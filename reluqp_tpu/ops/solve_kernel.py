@@ -89,7 +89,7 @@ def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
 
 
 def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
-            tol, eps_abs, rho_min, rho_max, rho_jump, unroll,
+            tol, eps_abs, rho_min, rho_max, rho_jump, rho_stride, unroll,
             # refs
             rho0_ref, wt_ref, b_ref, rhos_ref, mres_ref, g_ref, lo_ref,
             hi_ref, y_ref, yout_ref, stats_ref):
@@ -141,6 +141,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         y = chunk(y, k_idx, check_interval)
         pri, dua, rho_new = residuals(y, rho)
         if adaptive_rho:
+            old_idx = k_idx
             rho_k = rhos_ref[k_idx]
             if rho_jump:
                 moved = jnp.logical_or(rho_new > rho_k * tol,
@@ -166,6 +167,11 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
                 dn = jnp.logical_and(
                     jnp.logical_and(rho_new < rho_k / tol, k_idx > 0), ~up)
                 k_idx = k_idx + up.astype(jnp.int32) - dn.astype(jnp.int32)
+            if rho_stride > 1:
+                # functional adaptive_rho_interval: ρ updates only every
+                # rho_stride-th check window (iteration.rho_update_stride).
+                adapt = ((k // check_interval) + 1) % rho_stride == 0
+                k_idx = jnp.where(adapt, k_idx, old_idx)
         done = jnp.logical_and(pri < eps_pri, dua < eps_dua)
         return (y, k_idx, rho_new, k + check_interval, pri, dua, done)
 
@@ -206,22 +212,25 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     jax.jit,
     static_argnames=("nx", "nc", "nxp", "ncp", "max_iter", "check_interval",
                      "adaptive_rho", "adaptive_rho_tolerance", "eps_abs",
-                     "rho_min", "rho_max", "rho_jump"))
+                     "rho_min", "rho_max", "rho_jump",
+                     "adaptive_rho_interval"))
 def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
                nxp: int, ncp: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
-               rho_jump: bool = False):
+               rho_jump: bool = False, adaptive_rho_interval: int = 1):
     """One-launch full solve. Returns ``(y (Dp,), stats (8,))`` with stats
     ``[iters, pri, dua, rho_estimate, rho_ind, converged, 0, 0]`` as f32
     (the last two slots are padding)."""
+    from ..core.iteration import rho_update_stride
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
     unroll = True if dp <= 512 else 1
     kernel = functools.partial(
         _kernel, nx, nc, nxp, ncp, max_iter, check_interval,
         bool(adaptive_rho), float(adaptive_rho_tolerance), float(eps_abs),
-        float(rho_min), float(rho_max), bool(rho_jump), unroll)
+        float(rho_min), float(rho_max), bool(rho_jump),
+        rho_update_stride(adaptive_rho_interval, check_interval), unroll)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

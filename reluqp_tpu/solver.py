@@ -431,7 +431,8 @@ class ReLU_QP:
             eps_prim_inf=float(stng.eps_prim_inf),
             eps_dual_inf=float(stng.eps_dual_inf),
             rho_jump=bool(stng.rho_jump),
-            iter_precision=stng.iter_precision, refine=bool(stng.refine))
+            iter_precision=stng.iter_precision, refine=bool(stng.refine),
+            adaptive_rho_interval=int(stng.adaptive_rho_interval))
 
         self.y = res.y
         # ONE bulk D2H for all scalar stats (per-field float()/int() costs a
@@ -482,7 +483,8 @@ class ReLU_QP:
             adaptive_rho=stng.adaptive_rho,
             adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
             eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-            rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump))
+            rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
+            adaptive_rho_interval=int(stng.adaptive_rho_interval))
         stats_h, obj_h = jax.device_get((stats, obj))
         run_time = time.perf_counter() - t0
         self.y = y
@@ -553,11 +555,12 @@ class ReLU_QP:
 
 @partial(jax.jit, static_argnames=(
     "nx", "nc", "nxp", "ncp", "max_iter", "check_interval", "adaptive_rho",
-    "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max", "rho_jump"))
+    "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max", "rho_jump",
+    "adaptive_rho_interval"))
 def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
                  rho_ind0, *, nx, nc, nxp, ncp, max_iter, check_interval,
                  adaptive_rho, adaptive_rho_tolerance, eps_abs, rho_min,
-                 rho_max, rho_jump):
+                 rho_max, rho_jump, adaptive_rho_interval=1):
     from .core.iteration import compute_objective
     op = FullSolveOperand(Wt_bank=Wt_bank, b_bank=b_bank, rhos=rhos,
                           M_res=M_res, g_row=g_row, lo=lo, hi=hi)
@@ -566,7 +569,8 @@ def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
         max_iter=max_iter, check_interval=check_interval,
         adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
-        rho_min=rho_min, rho_max=rho_max, rho_jump=rho_jump)
+        rho_min=rho_min, rho_max=rho_max, rho_jump=rho_jump,
+        adaptive_rho_interval=adaptive_rho_interval)
     obj = compute_objective(H, g, y[:nx])
     return y, stats, obj
 
