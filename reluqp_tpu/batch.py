@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classes import Settings
-from .core.bank import build_bank_np, clamp_bounds, equality_mask, stacked_dim
+from .core.bank import build_bank_np, equality_mask, stacked_dim
 from .core.batched import (BatchSolveResult, solve_batched_hetero,
                            solve_batched_shared)
 from .core.ladder import initial_rho_index, setup_rhos
@@ -67,6 +67,8 @@ class BatchInfo:
     def status_strings(self):
         """Per-problem status strings (``core.iteration.STATUS_STRINGS``)."""
         from .core.iteration import STATUS_STRINGS
+        if self.status_code is None:
+            raise RuntimeError("no solve has run yet — call solve() first")
         return [STATUS_STRINGS[int(c)] for c in self.status_code]
 
 

@@ -432,11 +432,14 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                 new_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
                                           rho_jump, done=done)
             if rho_stride > 1:
-                # ρ updates only every rho_stride-th check window
-                # (functional adaptive_rho_interval — see
-                # iteration.rho_update_stride).
-                adapt = ((k + n_steps) // check_interval) % rho_stride == 0
-                new_ind = jnp.where(adapt, new_ind, rho_ind)
+                # ρ updates only every rho_stride-th check (functional
+                # adaptive_rho_interval, iteration.rho_update_stride).
+                # Ceil-div: the max_iter%check_interval rem tail counts as
+                # its own check ordinal, not a repeat of the last window's
+                # (else stride-2 at max_iter=60/check=25 would move the
+                # ladder at both k=50 and k=60).
+                chk = -((-(k + n_steps)) // check_interval)
+                new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
             rho_ind = new_ind
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
@@ -566,8 +569,9 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
             new_ind = rho_ladder_step(rhos_t, rho_ind, rho_new, tol,
                                       rho_jump, done=done)
             if rho_stride > 1:
-                adapt = ((k + n_steps) // check_interval) % rho_stride == 0
-                new_ind = jnp.where(adapt, new_ind, rho_ind)
+                # ceil-div check ordinal — see solve_batched_shared.
+                chk = -((-(k + n_steps)) // check_interval)
+                new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
             rho_ind = new_ind
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))

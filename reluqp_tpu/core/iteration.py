@@ -305,9 +305,11 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
             new_ind = rho_ladder_step(bank.rhos, rho_ind, rho_new, tol,
                                       rho_jump)
             if rho_stride > 1:
-                # ρ updates only every rho_stride-th check window.
-                adapt = ((k + n_steps) // check_interval) % rho_stride == 0
-                new_ind = jnp.where(adapt, new_ind, rho_ind)
+                # ρ updates only every rho_stride-th check (ceil-div check
+                # ordinal, same formula as the batched loops; here step()
+                # only ever runs full windows so it is an exact division).
+                chk = -((-(k + n_steps)) // check_interval)
+                new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
             rho_ind = new_ind
         if verbose:
             jax.debug.print(

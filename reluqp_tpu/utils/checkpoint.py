@@ -160,6 +160,17 @@ def save_batched_solver(m, path: str) -> None:
     """
     if not getattr(m, "_ready", False):
         raise RuntimeError("solver not set up")
+    if jax.process_count() > 1 and getattr(m, "_local_setup", False):
+        # The batch arrays of a process_local solver span devices this host
+        # cannot address; jax.device_get would raise an opaque RuntimeError
+        # deep inside. Saving a globally-sharded multi-host batch needs an
+        # all-gather to every host first — not supported yet.
+        raise NotImplementedError(
+            "save_batched_solver does not support multi-host "
+            "process_local solvers: the batch spans non-addressable "
+            "devices. Checkpoint per-host shards from the host data "
+            "instead, or gather with "
+            "jax.experimental.multihost_utils.process_allgather first.")
     stng = {k: getattr(m.settings, k) for k in _SETTINGS_KEYS}
     stng["precision"] = str(np.dtype(m.settings.precision_dtype))
     get = lambda a: np.asarray(jax.device_get(a))

@@ -72,6 +72,42 @@ def test_solve_loop_update_cadence(interval, expected_moves):
     assert int(res.rho_ind) == expected_moves
 
 
+def test_batched_rem_tail_is_own_check_ordinal():
+    """max_iter=60, check=25, interval=50 (stride 2): checks at k=25(1),
+    50(2), 60(3 — the rem tail). Only check 2 may move the ladder; the
+    tail must NOT count as a repeat of check 2 (regression: double ρ
+    update 10 iterations apart)."""
+    from reluqp_tpu.core.batched import solve_batched_shared
+    from reluqp_tpu.core.bank import (build_bank_np, clamp_bounds,
+                                      equality_mask, stacked_dim)
+    from reluqp_tpu.solver import prepare_bank
+
+    inst = rand_qp(nx=12, n_eq=3, n_ineq=3, seed=3, compute_sol=False)
+    nx, nc = 12, inst.A.shape[0]
+    rhos = setup_rhos(1e-6, 1e-6, 1e6, True, 5.0)
+    eq = equality_mask(inst.l, inst.u, 1e-6)
+    W, B_, b = build_bank_np(inst.H, inst.g, inst.A, eq, rhos, 1e-6)
+    D = stacked_dim(nx, nc)
+    bank = prepare_bank(W, B_, b, rhos, jnp.float32, D)
+    lo, hi = clamp_bounds(inst.l, inst.u, nx, nc, xp=np)
+    B = 3
+    res = solve_batched_shared(
+        bank.W, jnp.broadcast_to(bank.b[:, None, :],
+                                 (bank.b.shape[0], B, D)),
+        bank.rhos, jnp.asarray(inst.H, jnp.float32),
+        jnp.asarray(inst.A, jnp.float32),
+        jnp.broadcast_to(jnp.asarray(inst.g, jnp.float32), (B, nx)),
+        jnp.broadcast_to(jnp.asarray(lo, jnp.float32), (B, D)),
+        jnp.broadcast_to(jnp.asarray(hi, jnp.float32), (B, D)),
+        jnp.zeros((B, D), jnp.float32), jnp.zeros((B,), jnp.int32),
+        nx=nx, nc=nc, max_iter=60, check_interval=25,
+        adaptive_rho=True, adaptive_rho_tolerance=5.0, eps_abs=1e-12,
+        rho_min=1e-6, rho_max=1e6, rho_mode="per_problem",
+        adaptive_rho_interval=50)
+    # exactly ONE ladder move (at check 2), none at the k=60 tail
+    np.testing.assert_array_equal(np.asarray(res.rho_ind), 1)
+
+
 def test_solver_api_frozen_rho():
     """A huge interval freezes the ladder index for the whole solve."""
     inst = rand_qp(nx=16, n_eq=4, n_ineq=4, seed=1, compute_sol=True)
