@@ -152,6 +152,12 @@ class BatchedReLU_QP:
         self.D = stacked_dim(nx, nc)
         self.rho_mode = "per_problem" if self.hetero else rho_mode
         self.mesh, self.axis_name = mesh, axis_name
+        self._rho_mode_req = rho_mode
+        self._bank_build = bank_build
+        # Unscaled fp64 masters: update_matrices() rebuilds from these
+        # instead of round-tripping the scaled iteration-dtype device
+        # copies through the fp64 factorization.
+        self._H_np, self._A_np, self._g_np = H.copy(), A.copy(), g.copy()
 
         # Backend: the Pallas grid-tiled kernel handles shared-(H,A)
         # shared-ρ batches on TPU (bank row held in VMEM across the whole
@@ -506,6 +512,7 @@ class BatchedReLU_QP:
                 raise ValueError(f"g must be ({eB}, {self.nx})"
                                  + (" — process-local rows"
                                     if self._multi else ""))
+            self._g_np = g.copy()
             rows = eB if self._multi else self.B_pad
             g_pad = np.zeros((rows, self.nx))
             # sc.D is (nx,) shared or (B,nx) hetero; sc.c scalar or (B,).
@@ -537,6 +544,62 @@ class BatchedReLU_QP:
             self._l_np, self._u_np = l_np.copy(), u_np.copy()
             self._set_bounds(l_np * sc.E, u_np * sc.E, dtype)
         jax.block_until_ready((self.bias_all, self.lo))
+        self.info.update_time = time.perf_counter() - t0
+
+    def update_matrices(self, H=None, A=None):
+        """Replace H and/or A, re-factorizing the bank(s) at one setup's
+        cost while PRESERVING warm state, ladder position and settings.
+
+        Batched analogue of ``ReLU_QP.update_matrices`` (the reference
+        asserts matrix updates unsupported, ``reluqpth.py:177``). Accepts
+        shared ``(nx,nx)``/``(nc,nx)`` or per-problem batched
+        ``(B,nx,nx)``/``(B,nc,nx)`` arrays; passing a batched array to a
+        previously shared batch switches it to the heterogeneous regime.
+        The warm state carries in UNSCALED units (the rebuild may compute
+        a different equilibration). Not supported for multi-host batches.
+        """
+        self._check_ready()
+        if H is None and A is None:
+            return
+        if self._multi:
+            raise NotImplementedError(
+                "update_matrices is not supported for multi-host batches — "
+                "re-run setup(process_local=True) with the new matrices")
+        t0 = time.perf_counter()
+        old = self.scal
+        nx, nc = self.nx, self.nc
+        Y = np.asarray(jax.device_get(self.Y), np.float64)[:self.B_n]
+        x_u = Y[:, :nx] * old.D
+        z_u = Y[:, nx:nx + nc] * old.Einv
+        lam_u = Y[:, nx + nc:nx + 2 * nc] * old.E \
+            * np.reshape(old.cinv, (-1, 1))
+        old_mode = self.rho_mode
+        old_ind = np.asarray(jax.device_get(self.rho_ind))
+        stng = self.settings
+        kw = {k: getattr(stng, k) for k in (
+            "verbose", "warm_starting", "scaling", "rho", "rho_min",
+            "rho_max", "sigma", "adaptive_rho", "adaptive_rho_interval",
+            "adaptive_rho_tolerance", "max_iter", "eps_abs", "eq_tol",
+            "check_interval", "check_infeasibility", "eps_prim_inf",
+            "eps_dual_inf", "rho_jump", "iter_precision", "refine",
+            "device", "precision", "backend")}
+        self.setup(self._H_np if H is None else H, self._g_np,
+                   self._A_np if A is None else A, self._l_np, self._u_np,
+                   rho_mode=self._rho_mode_req, mesh=self.mesh,
+                   axis_name=self.axis_name, bank_build=self._bank_build,
+                   **kw)
+        self.warm_start(x=x_u, z=z_u, lam=lam_u)
+        if self.rho_mode == old_mode:
+            if self.rho_mode == "shared":
+                self.rho_ind = jnp.asarray(int(old_ind), jnp.int32)
+            else:
+                self.rho_ind = self._put(jnp.asarray(old_ind, jnp.int32))
+        elif self.rho_mode == "per_problem":
+            # shared → hetero switch: every problem resumes at the old
+            # shared ladder index. (The reverse switch cannot keep
+            # per-problem positions; the fresh setup default stands.)
+            self.rho_ind = self._put(
+                jnp.full((self.B_n,), int(old_ind), jnp.int32))
         self.info.update_time = time.perf_counter() - t0
 
     def update_settings(self, **kwargs):
