@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .classes import Settings
+from .classes import SETTINGS_FIELDS, Settings
 from .core.bank import build_bank_np, equality_mask, stacked_dim
 from .core.batched import (BatchSolveResult, solve_batched_hetero,
                            solve_batched_shared)
@@ -133,6 +133,12 @@ class BatchedReLU_QP:
         u = np.asarray(u, dtype=np.float64)
         H = np.asarray(H, dtype=np.float64)
         A = np.asarray(A, dtype=np.float64)
+        # Unscaled fp64 masters in their PRE-promotion shapes (a shared
+        # (nx,nx) matrix is not repeated B times here — setup re-promotes
+        # on an update_matrices rebuild anyway): update()/update_matrices()
+        # rebuild from these instead of round-tripping the scaled
+        # iteration-dtype device copies through the fp64 factorization.
+        self._H_np, self._A_np, self._g_np = H.copy(), A.copy(), g.copy()
         self.hetero = H.ndim == 3 or A.ndim == 3
         if process_local and self.hetero and jax.process_count() > 1:
             raise NotImplementedError(
@@ -154,10 +160,6 @@ class BatchedReLU_QP:
         self.mesh, self.axis_name = mesh, axis_name
         self._rho_mode_req = rho_mode
         self._bank_build = bank_build
-        # Unscaled fp64 masters: update_matrices() rebuilds from these
-        # instead of round-tripping the scaled iteration-dtype device
-        # copies through the fp64 factorization.
-        self._H_np, self._A_np, self._g_np = H.copy(), A.copy(), g.copy()
 
         # Backend: the Pallas grid-tiled kernel handles shared-(H,A)
         # shared-ρ batches on TPU (bank row held in VMEM across the whole
@@ -576,13 +578,7 @@ class BatchedReLU_QP:
         old_mode = self.rho_mode
         old_ind = np.asarray(jax.device_get(self.rho_ind))
         stng = self.settings
-        kw = {k: getattr(stng, k) for k in (
-            "verbose", "warm_starting", "scaling", "rho", "rho_min",
-            "rho_max", "sigma", "adaptive_rho", "adaptive_rho_interval",
-            "adaptive_rho_tolerance", "max_iter", "eps_abs", "eq_tol",
-            "check_interval", "check_infeasibility", "eps_prim_inf",
-            "eps_dual_inf", "rho_jump", "iter_precision", "refine",
-            "device", "precision", "backend")}
+        kw = {k: getattr(stng, k) for k in SETTINGS_FIELDS}
         self.setup(self._H_np if H is None else H, self._g_np,
                    self._A_np if A is None else A, self._l_np, self._u_np,
                    rho_mode=self._rho_mode_req, mesh=self.mesh,

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["QP", "Settings", "Info", "Results", "as_dtype"]
+__all__ = ["QP", "Settings", "Info", "Results", "as_dtype",
+           "SETTINGS_FIELDS"]
 
 
 _DTYPE_ALIASES = {
@@ -190,6 +191,12 @@ class Settings:
         if self.iter_precision not in ("highest", "high", "default", "bf16"):
             raise ValueError(
                 f"Invalid iter_precision {self.iter_precision!r}")
+
+
+# Every Settings field name — the single source for code that must carry a
+# full settings snapshot (update_matrices rebuilds, checkpoint
+# serialization); a new field is picked up here automatically.
+SETTINGS_FIELDS = tuple(f.name for f in dataclasses.fields(Settings))
 
 
 @dataclasses.dataclass

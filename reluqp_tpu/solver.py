@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .classes import QP, Info, Results, Settings
+from .classes import QP, SETTINGS_FIELDS, Info, Results, Settings
 from .core.bank import (Bank, DeviceQP, build_bank_np, clamp_bounds,
                         equality_mask, stacked_dim)
 from .core.iteration import solve_loop, xla_chunk_runner
@@ -377,14 +377,7 @@ class ReLU_QP:
                    self.QP.g_np,
                    self.QP.A_np if A is None else A,
                    self.QP.l_np, self.QP.u_np,
-                   **{k: getattr(stng, k) for k in (
-                       "verbose", "warm_starting", "scaling", "rho",
-                       "rho_min", "rho_max", "sigma", "adaptive_rho",
-                       "adaptive_rho_interval", "adaptive_rho_tolerance",
-                       "max_iter", "eps_abs", "eq_tol", "check_interval",
-                       "check_infeasibility", "eps_prim_inf",
-                       "eps_dual_inf", "rho_jump", "iter_precision",
-                       "refine", "device", "precision", "backend")})
+                   **{k: getattr(stng, k) for k in SETTINGS_FIELDS})
         self.warm_start(x=x_u, z=z_u, lam=lam_u)
         self.rho_ind = rho_ind_keep
 

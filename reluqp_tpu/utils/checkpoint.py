@@ -21,17 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..classes import SETTINGS_FIELDS
+
 __all__ = ["save_solver", "load_solver",
            "save_batched_solver", "load_batched_solver"]
 
-_SETTINGS_KEYS = [
-    "verbose", "warm_starting", "scaling", "rho", "rho_min", "rho_max",
-    "sigma", "adaptive_rho", "adaptive_rho_interval",
-    "adaptive_rho_tolerance", "max_iter", "eps_abs", "eq_tol",
-    "check_interval", "check_infeasibility", "eps_prim_inf",
-    "eps_dual_inf", "rho_jump", "iter_precision", "refine", "precision",
-    "backend",
-]
+# Every Settings field except `device` (runtime placement, not state —
+# and not JSON-serializable); new fields serialize automatically.
+_SETTINGS_KEYS = [k for k in SETTINGS_FIELDS if k != "device"]
 
 
 def _w_to_np(W):
@@ -160,8 +157,8 @@ def save_batched_solver(m, path: str) -> None:
     """
     if not getattr(m, "_ready", False):
         raise RuntimeError("solver not set up")
-    if jax.process_count() > 1 and getattr(m, "_local_setup", False):
-        # The batch arrays of a process_local solver span devices this host
+    if getattr(m, "_multi", False):
+        # The batch arrays of a multi-host solver span devices this host
         # cannot address; jax.device_get would raise an opaque RuntimeError
         # deep inside. Saving a globally-sharded multi-host batch needs an
         # all-gather to every host first — not supported yet.

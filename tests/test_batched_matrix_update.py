@@ -133,6 +133,24 @@ def test_hetero_update_matrices():
                                atol=5e-4)
 
 
+def test_masters_stay_pre_promotion():
+    """A shared matrix in a hetero setup is not replicated B times in the
+    host masters (only the device copies are promoted)."""
+    H, G, A, L, U = _shared_batch(B=4)
+    B = G.shape[0]
+    As = np.stack([A * (1 + 0.01 * i) for i in range(B)])
+    m = BatchedReLU_QP()
+    m.setup(H, G, As, L, U, eps_abs=1e-5)   # H shared, A batched -> hetero
+    assert m.hetero
+    assert m._H_np.ndim == 2 and m._A_np.ndim == 3
+    m.update_matrices(H=H + 0.2 * np.eye(H.shape[0]))
+    res = m.solve()
+    assert res.info.status.all()
+    x_fresh = _solve_fresh(H + 0.2 * np.eye(H.shape[0]), G, As, L, U)
+    np.testing.assert_allclose(np.asarray(res.x, np.float64), x_fresh,
+                               atol=5e-4)
+
+
 def test_update_matrices_noop_and_masters():
     H, G, A, L, U = _shared_batch()
     m = BatchedReLU_QP()
