@@ -29,6 +29,31 @@ def test_batched_api_with_mesh(rho_mode):
     assert np.max(np.abs(np.asarray(res.x, np.float64) - sols)) < 1e-2
 
 
+def test_batched_api_with_mesh_hetero():
+    """Hetero regime over a mesh: the per-problem banks shard over the
+    batch axis (each device holds its problems' banks) and the sharded
+    solve matches the unsharded one."""
+    H, G, A, L, U, _ = _shared_batch(B=8)
+    B = G.shape[0]
+    Hs = np.stack([H + 0.05 * (i + 1) * np.eye(H.shape[0])
+                   for i in range(B)])
+
+    ref = BatchedReLU_QP()
+    ref.setup(Hs, G, A, L, U, eps_abs=1e-4)
+    r0 = ref.solve()
+    assert r0.info.status.all()
+
+    mesh = make_mesh()
+    m = BatchedReLU_QP()
+    m.setup(Hs, G, A, L, U, mesh=mesh, eps_abs=1e-4)
+    assert m.hetero
+    assert len(m.Wt_bank.sharding.device_set) == 8
+    res = m.solve()
+    assert res.info.status.all()
+    np.testing.assert_allclose(np.asarray(res.x, np.float64),
+                               np.asarray(r0.x, np.float64), atol=1e-5)
+
+
 @pytest.mark.parametrize("rho_mode", ["shared", "per_problem"])
 def test_shard_map_solve_matches_unsharded(rho_mode):
     """Explicit shard_map solve gives the same answer as single-device."""
