@@ -283,6 +283,8 @@ class BatchedReLU_QP:
                        "_unx", "_unz", "_unlam"]
         if self._Wt_hi is not None:
             (batch_led if self.hetero else shared).append("_Wt_hi")
+        if getattr(self, "_rho_boost", None) is not None:
+            (batch_led if self.hetero else shared).append("_rho_boost")
         for name in batch_led:
             setattr(self, name, glob(getattr(self, name)))
         for name in shared:
@@ -335,6 +337,11 @@ class BatchedReLU_QP:
                 "bank would be wrong — pass batched H/A (hetero mode)")
         self._eq_pattern = eq
         self._l_np, self._u_np = l.copy(), u.copy()
+        self._rho_boost = None
+        if self.settings.alpha != 1.0:
+            self._rho_boost = self._put(
+                jnp.asarray(np.where(eq, 1e3, 1.0), dtype=dtype),
+                replicated=True)
 
         # Optional Ruiz equilibration (shared matrices; cost normalized by
         # the batch-mean |g|). Everything below operates on scaled copies;
@@ -354,7 +361,8 @@ class BatchedReLU_QP:
         self._unlam = jnp.asarray(sc.E * sc.cinv, dtype=dtype)
 
         W, Bm, _ = build_bank_np(H, np.zeros(self.nx), A, eq, self.rhos_np,
-                                 self.settings.sigma)
+                                 self.settings.sigma,
+                                 alpha=float(self.settings.alpha))
         # Runtime layout: Wᵀ per rung, lane-padded to Dp for pallas.
         Wt = np.swapaxes(W, 1, 2)
         if self.Dp != self.D:
@@ -384,6 +392,10 @@ class BatchedReLU_QP:
         eq_masks = equality_mask(l, u, self.settings.eq_tol)   # (B, nc)
         self._eq_pattern = None
         self._l_np, self._u_np = l.copy(), u.copy()
+        self._rho_boost = None
+        if self.settings.alpha != 1.0:
+            self._rho_boost = self._put(
+                jnp.asarray(np.where(eq_masks, 1e3, 1.0), dtype=dtype))
         if self.settings.scaling:
             self.scal = ruiz_equilibrate_batch(H, A, g)
         else:
@@ -410,7 +422,9 @@ class BatchedReLU_QP:
         self._check_bank_memory(N, dtype)
         if bank_build == "host":
             from . import native as _native
-            use_native = _native.available()
+            # The C++ builder produces the reference parametrization only;
+            # relaxed (alpha != 1) banks build on the numpy path.
+            use_native = _native.available() and self.settings.alpha == 1.0
             zero_g = np.zeros(self.nx)
             Wt = np.empty((self.B_n, N, self.D, self.D))
             Bb = np.empty((self.B_n, N, self.D, self.nx))
@@ -422,7 +436,9 @@ class BatchedReLU_QP:
                 else:
                     W, Bm, _ = build_bank_np(H[i], zero_g, A[i], eq_masks[i],
                                              self.rhos_np,
-                                             self.settings.sigma)
+                                             self.settings.sigma,
+                                             alpha=float(
+                                                 self.settings.alpha))
                 Wt[i] = np.swapaxes(W, 1, 2)
                 Bb[i] = Bm
             self.Wt_bank = self._put(
@@ -436,7 +452,8 @@ class BatchedReLU_QP:
             def one(Hi, Ai, eqi):
                 bank = build_bank_jnp(Hi, jnp.zeros((self.nx,), dtype=dtype),
                                       Ai, eqi, self.rhos_np,
-                                      self.settings.sigma)
+                                      self.settings.sigma,
+                                      alpha=float(self.settings.alpha))
                 return jnp.swapaxes(bank.W, 1, 2), bank.B
 
             Wt, Bb = jax.jit(jax.vmap(one))(
@@ -571,10 +588,14 @@ class BatchedReLU_QP:
         old = self.scal
         nx, nc = self.nx, self.nc
         Y = np.asarray(jax.device_get(self.Y), np.float64)[:self.B_n]
+        z_s = Y[:, nx:nx + nc]
+        last = Y[:, nx + nc:nx + 2 * nc]
+        if self.settings.alpha != 1.0:
+            # decode p → λ at the current rungs before the rebuild
+            last = self._rho_vec_rows(self.B_n) * (last - z_s)
         x_u = Y[:, :nx] * old.D
-        z_u = Y[:, nx:nx + nc] * old.Einv
-        lam_u = Y[:, nx + nc:nx + 2 * nc] * old.E \
-            * np.reshape(old.cinv, (-1, 1))
+        z_u = z_s * old.Einv
+        lam_u = last * old.E * np.reshape(old.cinv, (-1, 1))
         old_mode = self.rho_mode
         old_ind = np.asarray(jax.device_get(self.rho_ind))
         stng = self.settings
@@ -584,7 +605,8 @@ class BatchedReLU_QP:
                    rho_mode=self._rho_mode_req, mesh=self.mesh,
                    axis_name=self.axis_name, bank_build=self._bank_build,
                    **kw)
-        self.warm_start(x=x_u, z=z_u, lam=lam_u)
+        # Restore the ladder position BEFORE re-injecting the warm state:
+        # under alpha != 1 the p slot is encoded against the current rung.
         if self.rho_mode == old_mode:
             if self.rho_mode == "shared":
                 self.rho_ind = jnp.asarray(int(old_ind), jnp.int32)
@@ -596,6 +618,7 @@ class BatchedReLU_QP:
             # per-problem positions; the fresh setup default stands.)
             self.rho_ind = self._put(
                 jnp.full((self.B_n,), int(old_ind), jnp.int32))
+        self.warm_start(x=x_u, z=z_u, lam=lam_u)
         self.info.update_time = time.perf_counter() - t0
 
     def update_settings(self, **kwargs):
@@ -606,7 +629,7 @@ class BatchedReLU_QP:
                 setattr(self.settings, key, value)
             elif key in ("rho", "rho_min", "rho_max", "sigma",
                          "adaptive_rho", "adaptive_rho_interval",
-                         "adaptive_rho_tolerance"):
+                         "adaptive_rho_tolerance", "alpha"):
                 raise ValueError(f"Cannot change {key} after setup")
             else:
                 raise ValueError(f"Invalid setting: {key}")
@@ -628,7 +651,8 @@ class BatchedReLU_QP:
                     eps_dual_inf=float(stng.eps_dual_inf),
                     iter_precision=stng.iter_precision,
                     refine=bool(stng.refine),
-                    adaptive_rho_interval=int(stng.adaptive_rho_interval))
+                    adaptive_rho_interval=int(stng.adaptive_rho_interval),
+                    alpha=float(stng.alpha))
 
     def solve(self) -> BatchResults:
         """Solve the whole batch in one on-device loop."""
@@ -640,7 +664,7 @@ class BatchedReLU_QP:
             res = solve_batched_hetero(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                self._Wt_hi, **kw)
+                self._Wt_hi, self._rho_boost, **kw)
         else:
             runner = pallas_batched_chunk_runner if self._use_pallas else None
             done0 = None
@@ -649,7 +673,7 @@ class BatchedReLU_QP:
             res = solve_batched_shared(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                done0, self._Wt_hi, rho_mode=self.rho_mode,
+                done0, self._Wt_hi, self._rho_boost, rho_mode=self.rho_mode,
                 chunk_runner=runner, **kw)
         self._fill_results(res, t0)
         if not stng.warm_starting:
@@ -684,8 +708,17 @@ class BatchedReLU_QP:
         info.run_time = run_time
         info.solve_time = info.update_time + run_time
         self.results.x = x
-        self.results.z = res.Y[:Bn, nx:nx + nc] * self._unz
-        self.results.lam = res.Y[:Bn, nx + nc:nx + 2 * nc] * self._unlam
+        z_s = res.Y[:Bn, nx:nx + nc]
+        self.results.z = z_s * self._unz
+        last = res.Y[:Bn, nx + nc:nx + 2 * nc]
+        if self.settings.alpha != 1.0:
+            # λ = ρ⃗(p − z) at each problem's final rung (relaxed
+            # parametrization, core.batched.lam_of).
+            rk = self.rhos[res.rho_ind]
+            if self.rho_mode != "shared":
+                rk = rk[:Bn, None]
+            last = rk * self._rho_boost * (last - z_s)
+        self.results.lam = last * self._unlam
         self.results.info = info
 
     def objective(self) -> np.ndarray:
@@ -704,14 +737,52 @@ class BatchedReLU_QP:
         return np.asarray(self._host_stats(obj_s)) * self.scal.cinv
 
     # ------------------------------------------------------------------ #
+    def _rho_vec_rows(self, rows: int) -> np.ndarray:
+        """(rows, nc) per-problem ρ⃗ at the current ladder indices (host) —
+        the λ ↔ p conversion factor of the relaxed parametrization."""
+        if self.rho_mode == "shared":
+            rho_vals = np.full((rows, 1),
+                               self.rhos_np[int(jax.device_get(self.rho_ind))])
+        else:
+            ind = np.asarray(self._local_rows(self.rho_ind))[:rows]
+            rho_vals = self.rhos_np[ind][:, None]
+        if self.hetero:
+            boost = np.asarray(self._local_rows(self._rho_boost),
+                               np.float64)[:rows]
+        else:
+            boost = np.asarray(jax.device_get(self._rho_boost),
+                               np.float64)[None, :]
+        return rho_vals * boost
+
     def warm_start(self, x=None, z=None, lam=None):
         """Inject primal/dual state (process-local rows in multi-host
         mode, like ``setup``/``update``)."""
         self._check_ready()
-        dtype = self.settings.precision_dtype
+        stng = self.settings
+        dtype = stng.precision_dtype
         sc = self.scal
         # sc vectors are (n,) shared or (B,n) hetero; sc.c scalar or (B,).
         c_col = np.reshape(sc.c, (-1, 1))
+        if stng.alpha != 1.0:
+            # Relaxed parametrization: p encodes λ against BOTH z and the
+            # current rung — decode to λ-space on host, apply the updates,
+            # re-encode (warm_start is not a hot path).
+            nx, nc = self.nx, self.nc
+            eB = self.B_local if self._multi else self.B_n
+            Y = np.asarray(self._local_rows(self.Y), np.float64)
+            rv = self._rho_vec_rows(eB)
+            z_s = Y[:eB, nx:nx + nc]
+            lam_s = rv * (Y[:eB, nx + nc:nx + 2 * nc] - z_s)
+            if x is not None:
+                Y[:eB, :nx] = np.asarray(x, np.float64) * sc.Dinv
+            if z is not None:
+                z_s = np.asarray(z, np.float64) * sc.E
+                Y[:eB, nx:nx + nc] = z_s
+            if lam is not None:
+                lam_s = np.asarray(lam, np.float64) * (c_col * sc.Einv)
+            Y[:eB, nx + nc:nx + 2 * nc] = z_s + lam_s / rv
+            self.Y = self._place_rows(Y, dtype)
+            return
         if not self._multi:
             # single-process: on-device segment updates only (no full
             # (B_pad, Dp) host round-trip — that is the multi-host path)

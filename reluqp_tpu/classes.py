@@ -144,6 +144,16 @@ class Settings:
     # TPU extension (opt-in): jump straight to the ladder rung nearest the
     # ρ estimate instead of the reference's ±1 walk per check window.
     rho_jump: bool = False
+    # ADMM over-relaxation (OSQP §5.2; opt-in TPU extension — the
+    # reference has no relaxation). alpha=1.0 is the reference iteration
+    # and parametrizes the stacked state as [x; z; λ]; alpha≠1 switches
+    # to an equivalent [x; z; p] parametrization (p = pre-clip z, so
+    # λ = ρ⃗(p − z) stays affine-recoverable and the relaxed iteration is
+    # still one clamp(Wy + b) map of the SAME dimension). alpha=1.6
+    # cut total iterations ~20% (0-50% by problem) on the calibration
+    # set (measured: docs/perf_notes.md). Bank-invalidating (immutable
+    # after setup); range (0, 2).
+    alpha: float = 1.0
     # Mixed-precision iteration (TPU extension). Applies ONLY to the hot
     # iteration GEMM y ← clip(Wy+b); residuals, ρ estimates and
     # infeasibility certificates always run in the storage dtype at
@@ -186,6 +196,8 @@ class Settings:
             raise ValueError("adaptive_rho_tolerance must be > 1")
         if self.adaptive_rho_interval < 0:
             raise ValueError("adaptive_rho_interval must be >= 0")
+        if not (0.0 < self.alpha < 2.0):
+            raise ValueError("alpha must be in (0, 2)")
         if self.backend not in ("auto", "xla", "pallas", "fused"):
             raise ValueError(f"Invalid backend {self.backend!r}")
         if self.iter_precision not in ("highest", "high", "default", "bf16"):

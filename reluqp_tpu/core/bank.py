@@ -79,8 +79,21 @@ def clamp_bounds(l, u, nx: int, nc: int, xp=np):
     return lo, hi
 
 
-def _bank_blocks_np(H, A, rho_vec, sigma):
-    """One ladder rung in fp64 numpy. Returns (W, B) blocks."""
+def _bank_blocks_np(H, A, rho_vec, sigma, alpha=1.0):
+    """One ladder rung in fp64 numpy. Returns (W, B) blocks.
+
+    ``alpha == 1``: the reference parametrization ``y = [x; z; λ]`` (with
+    the λ slot lagging one update — see module docstring). ``alpha != 1``:
+    the over-relaxed iteration in the ``y = [x; z; p]`` parametrization
+    (p = pre-clip z, λ = R(p − z)), where both the z- and p-rows are the
+    SAME affine map ``α A x⁺ + p − α z`` — z clamps, p passes through —
+    so relaxation costs no extra state dimension:
+
+        W = [[ σK,        2 K Aᵀ R,          −K Aᵀ R        ],
+             [ ασ A K,  2α A K Aᵀ R − αI,  −α A K Aᵀ R + I ],
+             [ ασ A K,  2α A K Aᵀ R − αI,  −α A K Aᵀ R + I ]]
+        B = [−K; −α A K; −α A K]
+    """
     nx = H.shape[0]
     nc = A.shape[0]
     M = H + sigma * np.eye(nx) + A.T @ (rho_vec[:, None] * A)
@@ -95,12 +108,28 @@ def _bank_blocks_np(H, A, rho_vec, sigma):
     KAt = K @ A.T                      # (nx, nc)
     AK = KAt.T                         # A K  (K symmetric)
     KAtR = KAt * rho_vec               # K Aᵀ R
-    S = sigma * K - KAtR @ A           # K (σI − AᵀRA)
-    AS = A @ S
-    AKAt = A @ KAt
     Ic = np.eye(nc)
     D = nx + 2 * nc
     W = np.empty((D, D), dtype=np.float64)
+    if alpha != 1.0:
+        AKAtR = A @ KAtR               # A K Aᵀ R
+        W[:nx, :nx] = sigma * K
+        W[:nx, nx:nx + nc] = 2.0 * KAtR
+        W[:nx, nx + nc:] = -KAtR
+        zrow_x = alpha * sigma * AK
+        zrow_z = 2.0 * alpha * AKAtR - alpha * Ic
+        zrow_p = -alpha * AKAtR + Ic
+        W[nx:nx + nc, :nx] = zrow_x
+        W[nx:nx + nc, nx:nx + nc] = zrow_z
+        W[nx:nx + nc, nx + nc:] = zrow_p
+        W[nx + nc:, :nx] = zrow_x
+        W[nx + nc:, nx:nx + nc] = zrow_z
+        W[nx + nc:, nx + nc:] = zrow_p
+        B = np.concatenate([-K, -alpha * AK, -alpha * AK], axis=0)
+        return W, B
+    S = sigma * K - KAtR @ A           # K (σI − AᵀRA)
+    AS = A @ S
+    AKAt = A @ KAt
     W[:nx, :nx] = S
     W[:nx, nx:nx + nc] = 2.0 * KAtR
     W[:nx, nx + nc:] = -KAt
@@ -126,10 +155,13 @@ def _cho_solve(cf, I):
 
 
 def build_bank_np(H: np.ndarray, g: np.ndarray, A: np.ndarray,
-                  eq_mask: np.ndarray, rhos: np.ndarray, sigma: float):
+                  eq_mask: np.ndarray, rhos: np.ndarray, sigma: float,
+                  alpha: float = 1.0):
     """fp64 host bank build over the whole ladder.
 
     Returns numpy ``(W, B, b)`` with shapes (N,D,D), (N,D,nx), (N,D).
+    ``alpha != 1`` builds the over-relaxed [x; z; p] parametrization
+    (see ``_bank_blocks_np``).
     """
     H = np.asarray(H, dtype=np.float64)
     g = np.asarray(g, dtype=np.float64).reshape(-1)
@@ -143,16 +175,18 @@ def build_bank_np(H: np.ndarray, g: np.ndarray, A: np.ndarray,
     for k, rho in enumerate(rhos):
         rho_vec = np.full((nc,), rho, dtype=np.float64)
         rho_vec[eq_mask] = rho * 1e3
-        W[k], B[k] = _bank_blocks_np(H, A, rho_vec, sigma)
+        W[k], B[k] = _bank_blocks_np(H, A, rho_vec, sigma, alpha)
     b = np.einsum("kdx,x->kd", B, g)
     return W, B, b
 
 
-def build_bank_jnp(H, g, A, eq_mask, rhos, sigma):
+def build_bank_jnp(H, g, A, eq_mask, rhos, sigma, alpha: float = 1.0):
     """On-device bank build: one vmapped batched solve over the ladder.
 
     jit-friendly; dtype follows the inputs. Used for building banks for many
-    problems at once (vmap this over a problem batch).
+    problems at once (vmap this over a problem batch). ``alpha`` must be a
+    static Python float; ``alpha != 1`` builds the over-relaxed [x; z; p]
+    parametrization (see ``_bank_blocks_np``).
     """
     H = jnp.asarray(H)
     g = jnp.asarray(g)
@@ -172,6 +206,16 @@ def build_bank_jnp(H, g, A, eq_mask, rhos, sigma):
         KAt = K @ A.T
         AK = KAt.T
         KAtR = KAt * rho_vec
+        if alpha != 1.0:
+            AKAtR = A @ KAtR
+            zrow = jnp.concatenate(
+                [alpha * sigma * AK, 2.0 * alpha * AKAtR - alpha * Ic,
+                 -alpha * AKAtR + Ic], axis=1)
+            W = jnp.concatenate([
+                jnp.concatenate([sigma * K, 2.0 * KAtR, -KAtR], axis=1),
+                zrow, zrow], axis=0)
+            B = jnp.concatenate([-K, -alpha * AK, -alpha * AK], axis=0)
+            return W, B, B @ g
         S = sigma * K - KAtR @ A
         AKAt = A @ KAt
         W = jnp.block([

@@ -334,10 +334,12 @@ def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
                      "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
                      "rho_mode", "chunk_runner", "axis_name", "rho_jump",
                      "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
-                     "iter_precision", "refine", "adaptive_rho_interval"),
+                     "iter_precision", "refine", "adaptive_rho_interval",
+                     "alpha"),
 )
 def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
-                         rho_ind0, done0=None, Wt_bank_hi=None, *,
+                         rho_ind0, done0=None, Wt_bank_hi=None,
+                         rho_boost=None, *,
                          nx: int, nc: int,
                          max_iter: int, check_interval: int,
                          adaptive_rho: bool, adaptive_rho_tolerance: float,
@@ -351,7 +353,8 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          eps_dual_inf: float = 1e-4,
                          iter_precision: str = "highest",
                          refine: bool = True,
-                         adaptive_rho_interval: int = 1
+                         adaptive_rho_interval: int = 1,
+                         alpha: float = 1.0
                          ) -> BatchSolveResult:
     """Solve a batch of QPs sharing (H, A) fully on device.
 
@@ -396,9 +399,23 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     def split(Y):
         return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
 
-    def check(Y, rho):
-        X, Z, Lam = split(Y)
-        return batched_residuals(H, A, G, X, Z, Lam, rho, rho_min, rho_max)
+    def rung_rho(rho_ind):
+        """Current rung value, shaped to broadcast over (B, nc)."""
+        rk = rhos_t[rho_ind]
+        return rk if shared else rk[:, None]
+
+    def lam_of(Y, rho_ind):
+        """True λ: the slot (alpha=1) or ρ⃗(p − z) of the relaxed
+        parametrization (see ``iteration.solve_loop``)."""
+        X, Z, last = split(Y)
+        if alpha == 1.0:
+            return last
+        return rung_rho(rho_ind) * rho_boost * (last - Z)
+
+    def check(Y, rho, rho_ind):
+        X, Z, _ = split(Y)
+        return batched_residuals(H, A, G, X, Z, lam_of(Y, rho_ind), rho,
+                                 rho_min, rho_max)
 
     def step(state, n_steps: int, W_op, precision: str):
         if check_infeasibility:
@@ -408,7 +425,9 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
             Y, rho_ind, rho, k, pri, dua, done, iters, status, _ = state
         Y = chunk_runner(W_op, bias_all, rho_ind, lo, hi, Y, n_steps,
                          precision)
-        pri_n, dua_n, rho_new = check(Y, rho)
+        pri_n, dua_n, rho_new = check(Y, rho, rho_ind)
+        if check_infeasibility or alpha != 1.0:
+            lam_now = lam_of(Y, rho_ind)
         # Freeze stats for already-converged problems.
         pri = jnp.where(done, pri, pri_n)
         dua = jnp.where(done, dua, dua_n)
@@ -440,6 +459,16 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                 # ladder at both k=50 and k=60).
                 chk = -((-(k + n_steps)) // check_interval)
                 new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
+            if alpha != 1.0:
+                # Re-encode p for the new rung (scale 1 where it held;
+                # done rows froze new_ind so they are no-ops too).
+                scale = rhos_t[rho_ind] / rhos_t[new_ind]
+                if not shared:
+                    scale = scale[:, None]
+                Z_cur = Y[:, nx:nx + nc]
+                P_cur = Y[:, nx + nc:nx + 2 * nc]
+                Y = Y.at[:, nx + nc:nx + 2 * nc].set(
+                    Z_cur + scale * (P_cur - Z_cur))
             rho_ind = new_ind
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
@@ -449,7 +478,8 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         done = jnp.logical_or(done, newly)
         extra = ()
         if check_infeasibility:
-            X, Z, Lam = split(Y)
+            X = Y[:, :nx]
+            Lam = lam_now
             l_v = lo[:, nx:nx + nc]
             u_v = hi[:, nx:nx + nc]
             pinf, dinf = batched_infeasibility_certificates(
@@ -485,7 +515,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     state0 = (Y0, rho_ind0, rho0, jnp.asarray(0, jnp.int32), zeros, zeros,
               done_init, iters_init, status_init)
     if check_infeasibility:
-        state0 = state0 + (Y0[:, :nx], Y0[:, nx + nc:nx + 2 * nc])
+        state0 = state0 + (Y0[:, :nx], lam_of(Y0, rho_ind0))
     state0 = state0 + (jnp.asarray(False),)
 
     state, k_fast = _run_refined(
@@ -511,10 +541,12 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
                      "rho_max", "axis_name", "rho_jump",
                      "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
-                     "iter_precision", "refine", "adaptive_rho_interval"),
+                     "iter_precision", "refine", "adaptive_rho_interval",
+                     "alpha"),
 )
 def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
-                         rho_ind0, Wt_bank_hi=None, *, nx: int, nc: int,
+                         rho_ind0, Wt_bank_hi=None, rho_boost=None, *,
+                         nx: int, nc: int,
                          max_iter: int,
                          check_interval: int, adaptive_rho: bool,
                          adaptive_rho_tolerance: float, eps_abs: float,
@@ -526,7 +558,8 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
                          eps_dual_inf: float = 1e-4,
                          iter_precision: str = "highest",
                          refine: bool = True,
-                         adaptive_rho_interval: int = 1
+                         adaptive_rho_interval: int = 1,
+                         alpha: float = 1.0
                          ) -> BatchSolveResult:
     """Solve a batch of QPs with per-problem (H, A) fully on device.
 
@@ -551,6 +584,14 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     def split(Y):
         return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
 
+    def lam_of(Y, rho_ind):
+        """True λ: the slot (alpha=1) or ρ⃗(p − z) — rho_boost is (B, nc)
+        here (per-problem equality patterns)."""
+        X, Z, last = split(Y)
+        if alpha == 1.0:
+            return last
+        return rhos_t[rho_ind][:, None] * rho_boost * (last - Z)
+
     def step(state, n_steps: int, W_op, precision: str):
         if check_infeasibility:
             (Y, rho_ind, rho, k, pri, dua, done, iters, status,
@@ -559,7 +600,8 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
             Y, rho_ind, rho, k, pri, dua, done, iters, status, _ = state
         Y = _chunk_hetero(W_op, bias_bank, rho_ind, lo, hi, Y, n_steps,
                           precision)
-        X, Z, Lam = split(Y)
+        X, Z, _ = split(Y)
+        Lam = lam_of(Y, rho_ind)
         pri_n, dua_n, rho_new = _hetero_residuals(
             H, A, G, X, Z, Lam, rho, rho_min, rho_max)
         pri = jnp.where(done, pri, pri_n)
@@ -572,6 +614,13 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
                 # ceil-div check ordinal — see solve_batched_shared.
                 chk = -((-(k + n_steps)) // check_interval)
                 new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
+            if alpha != 1.0:
+                # p re-encodes for each problem's new rung (see
+                # solve_batched_shared).
+                scale = (rhos_t[rho_ind] / rhos_t[new_ind])[:, None]
+                P_cur = Y[:, nx + nc:nx + 2 * nc]
+                Y = Y.at[:, nx + nc:nx + 2 * nc].set(
+                    Z + scale * (P_cur - Z))
             rho_ind = new_ind
         newly = jnp.logical_and(~done,
                                 jnp.logical_and(pri < eps_pri, dua < eps_dua))
@@ -611,7 +660,7 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
               jnp.full((B,), max_iter, dtype=jnp.int32),
               jnp.full((B,), STATUS_MAX_ITER, dtype=jnp.int32))
     if check_infeasibility:
-        state0 = state0 + (Y0[:, :nx], Y0[:, nx + nc:nx + 2 * nc])
+        state0 = state0 + (Y0[:, :nx], lam_of(Y0, rho_ind0))
     state0 = state0 + (jnp.asarray(False),)
 
     state, k_fast = _run_refined(

@@ -232,10 +232,11 @@ def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
         "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
         "chunk_runner", "verbose", "check_infeasibility", "eps_prim_inf",
         "eps_dual_inf", "rho_jump", "iter_precision", "refine",
-        "adaptive_rho_interval",
+        "adaptive_rho_interval", "alpha",
     ),
 )
-def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
+def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
+               rho_boost=None, *,
                nx: int, nc: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
@@ -247,7 +248,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
                rho_jump: bool = False,
                iter_precision: str = "highest",
                refine: bool = True,
-               adaptive_rho_interval: int = 1) -> SolveResult:
+               adaptive_rho_interval: int = 1,
+               alpha: float = 1.0) -> SolveResult:
     """Run the solver to convergence or ``max_iter`` fully on device.
 
     Semantics match the reference loop (``reluqpth.py:214-248``): iterations
@@ -268,6 +270,12 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
       between ρ-ladder updates, rounded up to the check cadence
       (``rho_update_stride``). Residual/convergence checks still run
       every ``check_interval`` iterations regardless.
+
+    ``alpha != 1`` (ADMM over-relaxation, OSQP §5.2) runs the bank built
+    in the [x; z; p] parametrization (``bank._bank_blocks_np``): λ is
+    reconstructed as ``ρ⃗ (p − z)`` for residuals/certificates using
+    ``rho_boost`` (the (nc,) equality-row ×1e3 boost vector), and a rung
+    switch rescales p by the scalar ρ_old/ρ_new (the boost cancels).
     """
     dtype = y0.dtype
     eps = jnp.asarray(eps_abs, dtype=dtype)
@@ -282,10 +290,18 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
     def split(y):
         return y[:nx], y[nx:nx + nc], y[nx + nc:nx + 2 * nc]
 
-    def check(y, rho):
-        x, z, lam = split(y)
-        return compute_residuals(qp.H, qp.A, qp.g, x, z, lam, rho,
-                                 rho_min, rho_max)
+    def lam_of(y, rho_ind):
+        """True λ at the current rung: the slot itself (alpha=1) or the
+        affine reconstruction ρ⃗(p − z) of the relaxed parametrization."""
+        x, z, last = split(y)
+        if alpha == 1.0:
+            return last
+        return bank.rhos[rho_ind] * rho_boost * (last - z)
+
+    def check(y, rho, rho_ind):
+        x, z, _ = split(y)
+        return compute_residuals(qp.H, qp.A, qp.g, x, z,
+                                 lam_of(y, rho_ind), rho, rho_min, rho_max)
 
     RUNNING = jnp.asarray(-1, jnp.int32)
 
@@ -300,7 +316,9 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
             y, rho_ind, rho, k, pri, dua, status = state
         y = chunk_runner(W_op, bank.b, rho_ind, qp.lo, qp.hi, y,
                          n_steps, precision)
-        pri, dua, rho_new = check(y, rho)
+        pri, dua, rho_new = check(y, rho, rho_ind)
+        if check_infeasibility or alpha != 1.0:
+            lam_now = lam_of(y, rho_ind)
         if adaptive_rho:
             new_ind = rho_ladder_step(bank.rhos, rho_ind, rho_new, tol,
                                       rho_jump)
@@ -310,6 +328,15 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
                 # only ever runs full windows so it is an exact division).
                 chk = -((-(k + n_steps)) // check_interval)
                 new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
+            if alpha != 1.0:
+                # p is rung-scaled (p = z + R⁻¹λ): re-encode for the new
+                # rung. The eq-row boost cancels, so the scale is the
+                # scalar ρ_old/ρ_new (exactly 1 when the rung held).
+                scale = bank.rhos[rho_ind] / bank.rhos[new_ind]
+                z_cur = y[nx:nx + nc]
+                p_cur = y[nx + nc:nx + 2 * nc]
+                y = y.at[nx + nc:nx + 2 * nc].set(
+                    z_cur + scale * (p_cur - z_cur))
             rho_ind = new_ind
         if verbose:
             jax.debug.print(
@@ -318,26 +345,27 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
         solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
         status = jnp.where(solved, STATUS_SOLVED, RUNNING)
         if check_infeasibility:
-            x, z, lam = split(y)
+            x = y[:nx]
             l_v = qp.lo[nx:nx + nc]
             u_v = qp.hi[nx:nx + nc]
             pinf, dinf = infeasibility_certificates(
-                qp.H, qp.A, qp.g, l_v, u_v, x - x_prev, lam - lam_prev,
-                eps_prim_inf, eps_dual_inf)
+                qp.H, qp.A, qp.g, l_v, u_v, x - x_prev,
+                lam_now - lam_prev, eps_prim_inf, eps_dual_inf)
             status = jnp.where(jnp.logical_and(status < 0, pinf),
                                STATUS_PRIMAL_INFEASIBLE, status)
             status = jnp.where(jnp.logical_and(status < 0, dinf),
                                STATUS_DUAL_INFEASIBLE, status)
             return (y, rho_ind, rho_new, k + n_steps, pri, dua,
-                    status, x, lam)
+                    status, x, lam_now)
         return (y, rho_ind, rho_new, k + n_steps, pri, dua, status)
 
     zero = jnp.asarray(0, dtype=dtype)
-    state0 = (y0, jnp.asarray(rho_ind0, dtype=jnp.int32),
+    rho_ind0 = jnp.asarray(rho_ind0, dtype=jnp.int32)
+    state0 = (y0, rho_ind0,
               jnp.asarray(rho0, dtype=dtype), jnp.asarray(0, jnp.int32),
               zero, zero, RUNNING)
     if check_infeasibility:
-        state0 = state0 + (y0[:nx], y0[nx + nc:nx + 2 * nc])
+        state0 = state0 + (y0[:nx], lam_of(y0, rho_ind0))
 
     two_phase = refine and iter_precision != "highest"
     W_fast = bank.W
@@ -389,7 +417,7 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None, *,
             y, rho_ind, rho, k, pri, dua, status = args
             y = chunk_runner(tail_W, bank.b, rho_ind, qp.lo, qp.hi, y, rem,
                              tail_prec)
-            pri, dua, rho = check(y, rho)
+            pri, dua, rho = check(y, rho, rho_ind)
             solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
             status = jnp.where(solved, STATUS_SOLVED, status)
             return (y, rho_ind, rho, k + rem, pri, dua, status)

@@ -339,14 +339,16 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 # --------------------------------------------------------------------- #
 
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
-                  Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None, *,
+                  Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None,
+                  rho_boost=None, *,
                   nx_qp: int,
                   nc: int, nu: int, Dp: int, n_steps: int, max_iter: int,
                   check_interval: int, adaptive_rho: bool,
                   adaptive_rho_tolerance: float, eps_abs: float,
                   rho_min: float, rho_max: float, chunk_runner,
                   iter_precision: str = "highest", refine: bool = True,
-                  rho_jump: bool = False, adaptive_rho_interval: int = 1):
+                  rho_jump: bool = False, adaptive_rho_interval: int = 1,
+                  alpha: float = 1.0):
     """Jitted body of ``mpc_rollout_scan``.
 
     All arrays are ARGUMENTS (not closure captures) so the weight bank is
@@ -375,13 +377,14 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
         bank = Bank(W=W_bank, B=B_bank, b=b_bank, rhos=rhos)
         qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi)
         res = solve_loop(
-            bank, qp, y, rho_ind, rhos[rho_ind], W_hi,
+            bank, qp, y, rho_ind, rhos[rho_ind], W_hi, rho_boost,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner,
             iter_precision=iter_precision, refine=refine,
-            rho_jump=rho_jump, adaptive_rho_interval=adaptive_rho_interval)
+            rho_jump=rho_jump, adaptive_rho_interval=adaptive_rho_interval,
+            alpha=alpha)
         v0 = res.y[:nu] * v0_scale
         u = -jnp.matmul(Kg, x, precision=hp) + v0
         x_next = (jnp.matmul(Ad, x, precision=hp)
@@ -399,7 +402,8 @@ _rollout_jit = jax.jit(
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
                      "rho_max", "chunk_runner", "iter_precision",
-                     "refine", "rho_jump", "adaptive_rho_interval"))
+                     "refine", "rho_jump", "adaptive_rho_interval",
+                     "alpha"))
 
 
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
@@ -441,7 +445,7 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         cst(sc.D[:nu]),
         solver.y, solver.rho_ind,
         cst(np.asarray(x_init, np.float64).reshape(nxp)),
-        solver._W_hi,
+        solver._W_hi, solver._rho_boost,
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
         n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,
@@ -451,7 +455,8 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         rho_max=float(stng.rho_max), chunk_runner=solver._chunk_runner,
         iter_precision=stng.iter_precision, refine=bool(stng.refine),
         rho_jump=bool(stng.rho_jump),
-        adaptive_rho_interval=int(stng.adaptive_rho_interval))
+        adaptive_rho_interval=int(stng.adaptive_rho_interval),
+        alpha=float(stng.alpha))
 
 
 def solver_plant_A(prob: CondensedMPC) -> np.ndarray:
@@ -479,7 +484,7 @@ def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
 
 def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            lu_x0, Kg, Ad, Bd, v0_scale, noise, Y0,
-                           rho_ind0, X0, Wt_hi=None, *,
+                           rho_ind0, X0, Wt_hi=None, rho_boost=None, *,
                            nx_qp: int, nc: int, nu: int, n_steps: int,
                            max_iter: int, check_interval: int,
                            adaptive_rho: bool,
@@ -487,7 +492,8 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            rho_min: float, rho_max: float, rho_jump: bool,
                            iter_precision: str = "highest",
                            refine: bool = True, use_pallas: bool = False,
-                           adaptive_rho_interval: int = 1):
+                           adaptive_rho_interval: int = 1,
+                           alpha: float = 1.0):
     """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
     import jax
     import jax.numpy as jnp
@@ -512,14 +518,14 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
         bias_all = jnp.einsum("ndx,bx->nbd", B_bank, G, precision=hp)
         res = solve_batched_shared(
             Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y, rho_ind,
-            None, Wt_hi,
+            None, Wt_hi, rho_boost,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
             rho_min=rho_min, rho_max=rho_max, rho_mode="shared",
             rho_jump=rho_jump, iter_precision=iter_precision,
             refine=refine, chunk_runner=runner,
-            adaptive_rho_interval=adaptive_rho_interval)
+            adaptive_rho_interval=adaptive_rho_interval, alpha=alpha)
         # Unscale the first-stage variable back to plant units (identity
         # when the batch solver runs without Ruiz scaling).
         V0 = res.Y[:, :nu] * v0_scale[None, :]
@@ -540,7 +546,7 @@ _scenario_jit = jax.jit(
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "eps_abs", "rho_min",
                      "rho_max", "rho_jump", "iter_precision", "refine",
-                     "use_pallas", "adaptive_rho_interval"))
+                     "use_pallas", "adaptive_rho_interval", "alpha"))
 
 
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
@@ -593,7 +599,7 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
         cst(sc.D[:nu]),
-        noise, m.Y, m.rho_ind, X0, m._Wt_hi,
+        noise, m.Y, m.rho_ind, X0, m._Wt_hi, m._rho_boost,
         nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
         max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,
@@ -603,4 +609,5 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
         iter_precision=stng.iter_precision, refine=bool(stng.refine),
         use_pallas=bool(m._use_pallas),
-        adaptive_rho_interval=int(stng.adaptive_rho_interval))
+        adaptive_rho_interval=int(stng.adaptive_rho_interval),
+        alpha=float(stng.alpha))

@@ -64,7 +64,8 @@ def replicate(arr, mesh: Mesh):
 
 def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
                          lo, hi, Y0, rho_ind0, *, done0=None,
-                         Wt_bank_hi=None, axis_name: str = "qp",
+                         Wt_bank_hi=None, rho_boost=None,
+                         axis_name: str = "qp",
                          rho_mode: str = "shared",
                          **solve_kw) -> BatchSolveResult:
     """Explicit ``shard_map`` batched solve with psum convergence exit.
@@ -104,12 +105,17 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
     args = [Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
             jnp.asarray(rho_ind0, jnp.int32)]
     has_done, has_hi = done0 is not None, Wt_bank_hi is not None
+    has_boost = rho_boost is not None
     if has_done:
         in_specs.append(bat)
         args.append(done0)
     if has_hi:
         in_specs.append(rep)
         args.append(Wt_bank_hi)
+    if has_boost:
+        # (nc,) equality-row boost for λ reconstruction under alpha != 1
+        in_specs.append(rep)
+        args.append(rho_boost)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=tuple(in_specs),
              out_specs=out_specs, check_vma=False)
@@ -118,8 +124,10 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
         d0 = a[i] if has_done else None
         i += int(has_done)
         w_hi = a[i] if has_hi else None
+        i += int(has_hi)
+        boost = a[i] if has_boost else None
         return solve_batched_shared(
-            *a[:10], d0, w_hi,
+            *a[:10], d0, w_hi, boost,
             rho_mode=rho_mode, axis_name=axis_name, **solve_kw)
 
     return run(*args)

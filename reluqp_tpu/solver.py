@@ -111,6 +111,7 @@ class ReLU_QP:
               eps_prim_inf=1e-4,
               eps_dual_inf=1e-4,
               rho_jump=False,
+              alpha=1.0,
               iter_precision="highest",
               refine=True,
               device=None,
@@ -137,8 +138,9 @@ class ReLU_QP:
             check_interval=check_interval,
             check_infeasibility=check_infeasibility,
             eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf,
-            rho_jump=rho_jump, iter_precision=iter_precision, refine=refine,
-            device=device, precision=precision, backend=backend)
+            rho_jump=rho_jump, alpha=alpha, iter_precision=iter_precision,
+            refine=refine, device=device, precision=precision,
+            backend=backend)
         stng = self.settings
         dtype = stng.precision_dtype
 
@@ -185,6 +187,14 @@ class ReLU_QP:
         if bank_backend == "auto":
             from . import native as _native
             use_native = _native.available()
+        if use_native and stng.alpha != 1.0:
+            # The C++ builder produces the reference [x; z; λ] blocks only;
+            # the relaxed [x; z; p] parametrization builds on the numpy
+            # path (same fp64 factorizations, serial over rungs).
+            if bank_backend == "native":
+                raise ValueError(
+                    "bank_backend='native' does not support alpha != 1")
+            use_native = False
         if use_native:
             from . import native as _native
             W_np, B_np, b_np = _native.build_bank(
@@ -193,7 +203,7 @@ class ReLU_QP:
         else:
             W_np, B_np, b_np = build_bank_np(
                 self._H_s, self._g_s, self._A_s, self.eq_mask,
-                self.rhos_np, stng.sigma)
+                self.rhos_np, stng.sigma, alpha=float(stng.alpha))
         w_dtype = jnp.bfloat16 if stng.iter_precision == "bf16" else None
         self.bank = prepare_bank(W_np, B_np, b_np, self.rhos_np, dtype,
                                  self.Dp, stng.device, w_dtype=w_dtype)
@@ -218,6 +228,12 @@ class ReLU_QP:
         self._unscale_z = put(jnp.asarray(self.scal.Einv, dtype=dtype))
         self._unscale_lam = put(jnp.asarray(self.scal.E * self.scal.cinv,
                                             dtype=dtype))
+        # Equality-row ρ-boost vector, needed on device to reconstruct
+        # λ = ρ⃗(p − z) under the relaxed (alpha != 1) parametrization.
+        self._rho_boost = None
+        if stng.alpha != 1.0:
+            self._rho_boost = put(jnp.asarray(
+                np.where(self.eq_mask, 1e3, 1.0), dtype=dtype))
 
         # Whole-solve kernel operands (residual operator + padded g row).
         if self._fused:
@@ -239,11 +255,13 @@ class ReLU_QP:
         stng = self.settings
         if stng.backend in ("xla", "pallas"):
             return False
-        # verbose prints, infeasibility certificates and non-HIGHEST
-        # iteration precision run at the XLA level; the in-kernel loop
-        # does not support them.
+        # verbose prints, infeasibility certificates, non-HIGHEST
+        # iteration precision and over-relaxation run at the XLA level;
+        # the in-kernel loop does not support them (alpha: the kernel's
+        # in-SMEM ladder walk has no p-rescale step).
         unsupported = (stng.verbose or stng.check_infeasibility
-                       or stng.iter_precision != "highest")
+                       or stng.iter_precision != "highest"
+                       or stng.alpha != 1.0)
         dp = pad_dim(self.D)
         from .ops.fused_step import LANE, round_up
         nxp = round_up(max(self.nx, LANE), LANE)
@@ -254,8 +272,8 @@ class ReLU_QP:
         if stng.backend == "fused":
             if unsupported:
                 raise ValueError("backend='fused' does not support verbose, "
-                                 "check_infeasibility or iter_precision "
-                                 "other than 'highest'")
+                                 "check_infeasibility, alpha != 1, or "
+                                 "iter_precision other than 'highest'")
             if not fits:
                 raise ValueError(
                     f"whole bank does not fit VMEM at D={self.D} "
@@ -368,9 +386,12 @@ class ReLU_QP:
         old = self.scal
         y_np = np.asarray(jax.device_get(self.y), dtype=np.float64)
         x_u = y_np[:self.nx] * old.D
-        z_u = y_np[self.nx:self.nx + self.nc] * old.Einv
-        lam_u = y_np[self.nx + self.nc:self.nx + 2 * self.nc] \
-            * old.E * old.cinv
+        z_s = y_np[self.nx:self.nx + self.nc]
+        z_u = z_s * old.Einv
+        last = y_np[self.nx + self.nc:self.nx + 2 * self.nc]
+        if self.settings.alpha != 1.0:
+            last = self._rho_vec_np(self.rho_ind) * (last - z_s)
+        lam_u = last * old.E * old.cinv
         rho_ind_keep = self.rho_ind
         stng = self.settings
         self.setup(self.QP.H_np if H is None else H,
@@ -378,8 +399,10 @@ class ReLU_QP:
                    self.QP.A_np if A is None else A,
                    self.QP.l_np, self.QP.u_np,
                    **{k: getattr(stng, k) for k in SETTINGS_FIELDS})
-        self.warm_start(x=x_u, z=z_u, lam=lam_u)
+        # Restore the ladder position BEFORE re-injecting the warm state:
+        # under alpha != 1 the p slot is encoded against the current rung.
         self.rho_ind = rho_ind_keep
+        self.warm_start(x=x_u, z=z_u, lam=lam_u)
 
     def update_settings(self, **kwargs):
         """Update runtime-mutable settings (reference ``reluqpth.py:185-199``).
@@ -395,7 +418,8 @@ class ReLU_QP:
             if key in ("max_iter", "eps_abs", "verbose", "check_interval"):
                 setattr(self.settings, key, value)
             elif key in ("rho", "rho_min", "rho_max", "sigma", "adaptive_rho",
-                         "adaptive_rho_interval", "adaptive_rho_tolerance"):
+                         "adaptive_rho_interval", "adaptive_rho_tolerance",
+                         "alpha"):
                 raise ValueError(f"Cannot change {key} after setup")
             else:
                 raise ValueError(f"Invalid setting: {key}")
@@ -413,6 +437,7 @@ class ReLU_QP:
         rho0 = self.rhos_np[self.rho_ind]
         res = solve_loop(
             self.bank, self.qp_dev, self.y, self.rho_ind, rho0, self._W_hi,
+            self._rho_boost,
             nx=self.nx, nc=self.nc, max_iter=stng.max_iter,
             check_interval=stng.check_interval,
             adaptive_rho=stng.adaptive_rho,
@@ -425,7 +450,8 @@ class ReLU_QP:
             eps_dual_inf=float(stng.eps_dual_inf),
             rho_jump=bool(stng.rho_jump),
             iter_precision=stng.iter_precision, refine=bool(stng.refine),
-            adaptive_rho_interval=int(stng.adaptive_rho_interval))
+            adaptive_rho_interval=int(stng.adaptive_rho_interval),
+            alpha=float(stng.alpha))
 
         self.y = res.y
         # ONE bulk D2H for all scalar stats (per-field float()/int() costs a
@@ -440,9 +466,15 @@ class ReLU_QP:
         self.rho_ind = int(rho_ind)
         # Unscale the iterate (identity vectors when scaling is off).
         x = res.y[:self.nx] * self._unscale_x
-        z = res.y[self.nx:self.nx + self.nc] * self._unscale_z
-        lam = res.y[self.nx + self.nc:self.nx + 2 * self.nc] \
-            * self._unscale_lam
+        z_s = res.y[self.nx:self.nx + self.nc]
+        z = z_s * self._unscale_z
+        last = res.y[self.nx + self.nc:self.nx + 2 * self.nc]
+        if stng.alpha != 1.0:
+            # λ = ρ⃗(p − z) in the relaxed parametrization, at the rung the
+            # solve finished on.
+            last = (float(self.rhos_np[self.rho_ind]) * self._rho_boost
+                    * (last - z_s))
+        lam = last * self._unscale_lam
 
         from .core.iteration import STATUS_STRINGS
         info = self.info
@@ -508,12 +540,40 @@ class ReLU_QP:
     # ------------------------------------------------------------------ #
     # warm start / reset                                                 #
     # ------------------------------------------------------------------ #
+    def _rho_vec_np(self, rho_ind: int) -> np.ndarray:
+        """ρ⃗ at a rung: ladder value with the eq-row ×1e3 boost (host)."""
+        return self.rhos_np[rho_ind] * np.where(self.eq_mask, 1e3, 1.0)
+
     def warm_start(self, x=None, z=None, lam=None, rho: Optional[float] = None):
         """Inject primal/dual state and/or re-pick ρ (reference
         ``reluqpth.py:251-276``; fixed to re-pack the stacked state)."""
         self._check_ready()
-        dtype = self.settings.precision_dtype
+        stng = self.settings
+        dtype = stng.precision_dtype
         sc = self.scal
+        if stng.alpha != 1.0:
+            # Relaxed parametrization: the p slot encodes λ against BOTH z
+            # and the current rung, so decode to λ-space, apply the
+            # updates, and re-encode against the (possibly re-picked) rung.
+            nx, nc = self.nx, self.nc
+            y_np = np.asarray(jax.device_get(self.y), dtype=np.float64)
+            z_s = y_np[nx:nx + nc]
+            lam_s = self._rho_vec_np(self.rho_ind) \
+                * (y_np[nx + nc:nx + 2 * nc] - z_s)
+            if x is not None:
+                y_np[:nx] = sc.Dinv * np.asarray(x, dtype=np.float64)
+            if z is not None:
+                z_s = sc.E * np.asarray(z, dtype=np.float64)
+                y_np[nx:nx + nc] = z_s
+            if lam is not None:
+                lam_s = sc.c * sc.Einv * np.asarray(lam, dtype=np.float64)
+            if rho is not None:
+                self.rho_ind = initial_rho_index(self.rhos_np, rho)
+            y_np[nx + nc:nx + 2 * nc] = \
+                z_s + lam_s / self._rho_vec_np(self.rho_ind)
+            self.y = jax.device_put(jnp.asarray(y_np, dtype=dtype),
+                                    stng.device)
+            return
         y = self.y
         if x is not None:
             x = jnp.asarray(sc.Dinv * np.asarray(x, dtype=np.float64),

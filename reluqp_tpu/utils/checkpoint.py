@@ -137,6 +137,8 @@ def load_solver(path: str, device=None):
     solver._unscale_x = put(solver.scal.D)
     solver._unscale_z = put(solver.scal.Einv)
     solver._unscale_lam = put(solver.scal.E * solver.scal.cinv)
+    solver._rho_boost = put(np.where(solver.eq_mask, 1e3, 1.0)) \
+        if stng.alpha != 1.0 else None
     solver.y = put(data["y"])
     jax.block_until_ready((solver.bank, solver.qp_dev, solver.y))
     solver.info.setup_time = time.perf_counter() - t0
@@ -190,6 +192,11 @@ def save_batched_solver(m, path: str) -> None:
         scal_D=np.asarray(m.scal.D), scal_E=np.asarray(m.scal.E),
         scal_c=np.asarray(m.scal.c),
         eq_pattern=eq, l_np=m._l_np, u_np=m._u_np,
+        # fp64 pre-promotion masters + setup modes, so update_matrices()
+        # works on a restored solver without precision loss.
+        H_np=m._H_np, A_np=m._A_np, g_np=m._g_np,
+        rho_mode_req=np.asarray(m._rho_mode_req),
+        bank_build=np.asarray(m._bank_build),
     )
 
 
@@ -234,6 +241,11 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     eq = np.asarray(data["eq_pattern"])
     m._eq_pattern = None if eq.size == 0 else eq
     m._l_np, m._u_np = data["l_np"], data["u_np"]
+    m._H_np, m._A_np, m._g_np = (np.asarray(data["H_np"]),
+                                 np.asarray(data["A_np"]),
+                                 np.asarray(data["g_np"]))
+    m._rho_mode_req = str(data["rho_mode_req"])
+    m._bank_build = str(data["bank_build"])
 
     # Pallas batched kernel only when the saved layout matches what a
     # fresh setup would have padded to (same gate as _pick_pallas).
@@ -272,6 +284,13 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
                                                            dtype=dtype)
     m._unlam = put(data["unlam"]) if m.hetero \
         else jnp.asarray(data["unlam"], dtype=dtype)
+    m._rho_boost = None
+    if stng.alpha != 1.0:
+        from ..core.bank import equality_mask as _eqm
+        eq_b = (_eqm(m._l_np, m._u_np, stng.eq_tol) if m.hetero
+                else m._eq_pattern)
+        m._rho_boost = put(np.where(eq_b, 1e3, 1.0),
+                           rep=not m.hetero)
     m.bias_all = (_bias_all_hetero if m.hetero
                   else _bias_all_shared)(m.B_bank, m.G)
     jax.block_until_ready((m.Wt_bank, m.bias_all, m.Y))
