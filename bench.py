@@ -59,9 +59,10 @@ def main():
 
     # steady-state warm rate: overhead-cancelling two-point fit, best of 3,
     # fresh x0 per timed dispatch
-    from reluqp_tpu.utils.timing import two_point_step_time
-    best = two_point_step_time(lambda x, T: rollout_s(x, T)[0],
-                               lambda j: x0 + (j + 1) * 5e-5, T_LO, T_HI)
+    from reluqp_tpu.utils.timing import two_point_step_time_or_coarse
+    best, method = two_point_step_time_or_coarse(
+        lambda x, T: rollout_s(x, T)[0],
+        lambda j: x0 + (j + 1) * 5e-5, T_LO, T_HI)
 
     hz = 1.0 / best
     print(json.dumps({
@@ -69,6 +70,7 @@ def main():
         "value": round(hz, 1),
         "unit": "Hz",
         "vs_baseline": round(hz / 1000.0, 3),
+        "timing": method,
     }))
 
 

@@ -49,9 +49,10 @@ def bench_one(nx, nu, horizon, T, tol, backend):
     rollout_s(x0, T_lo)
     assert np.all(np.isfinite(np.asarray(jax.device_get(xs))))
     mean_iters = float(np.mean(np.asarray(iters)))
-    from reluqp_tpu.utils.timing import two_point_step_time
-    best = two_point_step_time(lambda x, T: rollout_s(x, T)[0],
-                               lambda j: x0 + (j + 1) * 5e-5, T_lo, T_hi)
+    from reluqp_tpu.utils.timing import two_point_step_time_or_coarse
+    best, method = two_point_step_time_or_coarse(
+        lambda x, T: rollout_s(x, T)[0],
+        lambda j: x0 + (j + 1) * 5e-5, T_lo, T_hi)
     hz_device = 1.0 / best
 
     # host-driven cycle (reference-style): time 25 steps
@@ -65,7 +66,7 @@ def bench_one(nx, nu, horizon, T, tol, backend):
     hz_host = n_host / (time.perf_counter() - t0)
     return dict(nx=nx, nu=nu, horizon=horizon, qp_vars=horizon * nu,
                 hz_device=hz_device, hz_host=hz_host,
-                mean_iters=mean_iters)
+                mean_iters=mean_iters, timing=method)
 
 
 def main(argv=None):

@@ -89,17 +89,18 @@ def main(argv=None):
         rollout_s(X0, T_lo)
         assert np.all(np.isfinite(np.asarray(jax.device_get(Xs)))), \
             "rollout diverged"
-        from reluqp_tpu.utils.timing import two_point_step_time
-        samples = []
+        from reluqp_tpu.utils.timing import two_point_step_time_or_coarse
+        samples, methods = [], []
         for r in range(args.repeats):
             Xr = X0 + r * 3e-4   # fresh values per repeat (tunnel memoizes)
-            best = two_point_step_time(
+            best, method = two_point_step_time_or_coarse(
                 lambda X, T: rollout_s(X, T)[0],
                 lambda j: Xr + (j + 1) * 5e-5, T_lo, T_hi)
             samples.append(1.0 / best)
+            methods.append(method)
         hz = float(np.median(samples))
         rec = dict(scenarios=B, steps_per_s=hz, scenario_solves_per_s=hz * B,
-                   steps_per_s_samples=samples)
+                   steps_per_s_samples=samples, timing=methods)
         records.append(rec)
         print(f"B={B:5d}  {hz:8.0f} steps/s  "
               f"{hz * B:12.0f} scenario-solves/s  "

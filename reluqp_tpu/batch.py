@@ -492,13 +492,21 @@ class BatchedReLU_QP:
             w_bs += bs
         total = self.B_n * n_rho * (self.D * self.D * w_bs
                                     + (self.D * self.nx + self.D) * bs)
-        if total > cap:
+        # The banks are batch-sharded over the mesh axis, so the cap is
+        # PER DEVICE; a mesh divides the footprint.
+        n_shards = 1
+        if self.mesh is not None and not self._local_setup:
+            n_shards = int(self.mesh.shape[self.axis_name])
+        per_dev = total / n_shards
+        if per_dev > cap:
+            hint = ("reduce the batch size, shard over (more) devices with "
+                    "mesh=, or raise RELUQP_MAX_BANK_BYTES")
             raise ValueError(
-                f"heterogeneous bank needs ~{total / 2**30:.1f} GiB on "
-                f"device (B={self.B_n}, N_rho={n_rho}, D={self.D}) which "
-                f"exceeds the {cap / 2**30:.1f} GiB cap — shard the batch "
-                "over a mesh, reduce the batch size, or raise "
-                "RELUQP_MAX_BANK_BYTES")
+                f"heterogeneous bank needs ~{per_dev / 2**30:.1f} GiB per "
+                f"device (B={self.B_n}, N_rho={n_rho}, D={self.D}"
+                + (f", {n_shards} mesh shards" if n_shards > 1 else "")
+                + f") which exceeds the {cap / 2**30:.1f} GiB cap — "
+                + hint)
 
     def _set_bounds(self, l, u, dtype):
         # Padding (extra lanes AND extra batch rows) is ±inf — inert; the

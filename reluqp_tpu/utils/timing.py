@@ -13,6 +13,7 @@ a result-dependent value, with fresh inputs per repetition.
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List
@@ -145,6 +146,23 @@ def two_point_step_time(timed: Callable[[object, int], float],
         if d < noise_s:
             return float("nan")
     return d / span
+
+
+def two_point_step_time_or_coarse(timed, fresh_input, n_lo, n_hi,
+                                  **kw):
+    """``two_point_step_time`` with a finite fallback for JSON emitters.
+
+    Returns ``(sec_per_step, method)``. When the two-point fit is
+    unmeasurable (NaN — the delta never cleared the tunnel's dispatch
+    jitter), falls back to the overhead-INCLUSIVE long-chain time
+    ``timed(x, n_hi) / n_hi`` — a biased-slow but finite upper bound,
+    tagged ``method="coarse"`` so consumers can tell it apart from the
+    overhead-cancelled ``method="two_point"`` number. Benchmark scripts
+    that print machine-read JSON must stay valid JSON (NaN is not)."""
+    d = two_point_step_time(timed, fresh_input, n_lo, n_hi, **kw)
+    if math.isfinite(d):
+        return d, "two_point"
+    return timed(fresh_input(10 ** 6), n_hi) / n_hi, "coarse"
 
 
 @contextlib.contextmanager
