@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classes import SETTINGS_FIELDS, Settings
-from .core.bank import build_bank_np, equality_mask, stacked_dim
+from .core.bank import (EQ_RHO_BOOST, build_bank_np, equality_mask,
+                        stacked_dim)
 from .core.batched import (BatchSolveResult, solve_batched_hetero,
                            solve_batched_shared)
 from .core.ladder import initial_rho_index, setup_rhos
@@ -340,7 +341,7 @@ class BatchedReLU_QP:
         self._rho_boost = None
         if self.settings.alpha != 1.0:
             self._rho_boost = self._put(
-                jnp.asarray(np.where(eq, 1e3, 1.0), dtype=dtype),
+                jnp.asarray(np.where(eq, EQ_RHO_BOOST, 1.0), dtype=dtype),
                 replicated=True)
 
         # Optional Ruiz equilibration (shared matrices; cost normalized by
@@ -395,7 +396,7 @@ class BatchedReLU_QP:
         self._rho_boost = None
         if self.settings.alpha != 1.0:
             self._rho_boost = self._put(
-                jnp.asarray(np.where(eq_masks, 1e3, 1.0), dtype=dtype))
+                jnp.asarray(np.where(eq_masks, EQ_RHO_BOOST, 1.0), dtype=dtype))
         if self.settings.scaling:
             self.scal = ruiz_equilibrate_batch(H, A, g)
         else:
@@ -592,6 +593,11 @@ class BatchedReLU_QP:
             raise NotImplementedError(
                 "update_matrices is not supported for multi-host batches — "
                 "re-run setup(process_local=True) with the new matrices")
+        if self._H_np is None:
+            raise ValueError(
+                "update_matrices needs the fp64 master problem data, which "
+                "this solver (loaded from a pre-0.2 checkpoint) does not "
+                "carry — re-run setup with the full problem instead")
         t0 = time.perf_counter()
         old = self.scal
         nx, nc = self.nx, self.nc

@@ -35,12 +35,21 @@ import numpy as np
 __all__ = [
     "Bank",
     "DeviceQP",
+    "EQ_RHO_BOOST",
     "equality_mask",
     "build_bank_np",
     "build_bank_jnp",
     "clamp_bounds",
     "stacked_dim",
 ]
+
+# Equality-row penalty boost: ρ⃗ = ρ · EQ_RHO_BOOST on rows with u−l ≤ eq_tol
+# (reference ``reluqpth.py:54,65``). The bank build and every λ = ρ⃗(p − z)
+# reconstruction site (results, warm starts, certificates, checkpoints) MUST
+# use the same value — import this constant, never re-literal it. The native
+# C++ builder (``native/reluqp_native.cpp:143``) mirrors it and is
+# cross-checked against the numpy bank in ``tests/test_native.py``.
+EQ_RHO_BOOST = 1e3
 
 
 class Bank(NamedTuple):
@@ -174,7 +183,7 @@ def build_bank_np(H: np.ndarray, g: np.ndarray, A: np.ndarray,
     B = np.empty((N, D, nx), dtype=np.float64)
     for k, rho in enumerate(rhos):
         rho_vec = np.full((nc,), rho, dtype=np.float64)
-        rho_vec[eq_mask] = rho * 1e3
+        rho_vec[eq_mask] = rho * EQ_RHO_BOOST
         W[k], B[k] = _bank_blocks_np(H, A, rho_vec, sigma, alpha)
     b = np.einsum("kdx,x->kd", B, g)
     return W, B, b
@@ -200,7 +209,7 @@ def build_bank_jnp(H, g, A, eq_mask, rhos, sigma, alpha: float = 1.0):
     sigma = jnp.asarray(sigma, dtype=dtype)
 
     def one(rho):
-        rho_vec = jnp.where(eq_mask, rho * 1e3, rho).astype(dtype)
+        rho_vec = jnp.where(eq_mask, rho * EQ_RHO_BOOST, rho).astype(dtype)
         M = H + sigma * Ix + A.T @ (rho_vec[:, None] * A)
         K = jnp.linalg.solve(M, Ix)
         KAt = K @ A.T

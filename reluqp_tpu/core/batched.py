@@ -426,7 +426,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         Y = chunk_runner(W_op, bias_all, rho_ind, lo, hi, Y, n_steps,
                          precision)
         pri_n, dua_n, rho_new = check(Y, rho, rho_ind)
-        if check_infeasibility or alpha != 1.0:
+        if check_infeasibility:
             lam_now = lam_of(Y, rho_ind)
         # Freeze stats for already-converged problems.
         pri = jnp.where(done, pri, pri_n)

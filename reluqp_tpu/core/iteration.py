@@ -317,7 +317,7 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
         y = chunk_runner(W_op, bank.b, rho_ind, qp.lo, qp.hi, y,
                          n_steps, precision)
         pri, dua, rho_new = check(y, rho, rho_ind)
-        if check_infeasibility or alpha != 1.0:
+        if check_infeasibility:
             lam_now = lam_of(y, rho_ind)
         if adaptive_rho:
             new_ind = rho_ladder_step(bank.rhos, rho_ind, rho_new, tol,

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classes import QP, SETTINGS_FIELDS, Info, Results, Settings
-from .core.bank import (Bank, DeviceQP, build_bank_np, clamp_bounds,
-                        equality_mask, stacked_dim)
+from .core.bank import (EQ_RHO_BOOST, Bank, DeviceQP, build_bank_np,
+                        clamp_bounds, equality_mask, stacked_dim)
 from .core.iteration import solve_loop, xla_chunk_runner
 from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import pad_dim, pallas_chunk_runner, vmem_bytes_needed
@@ -233,7 +233,7 @@ class ReLU_QP:
         self._rho_boost = None
         if stng.alpha != 1.0:
             self._rho_boost = put(jnp.asarray(
-                np.where(self.eq_mask, 1e3, 1.0), dtype=dtype))
+                np.where(self.eq_mask, EQ_RHO_BOOST, 1.0), dtype=dtype))
 
         # Whole-solve kernel operands (residual operator + padded g row).
         if self._fused:
@@ -541,8 +541,9 @@ class ReLU_QP:
     # warm start / reset                                                 #
     # ------------------------------------------------------------------ #
     def _rho_vec_np(self, rho_ind: int) -> np.ndarray:
-        """ρ⃗ at a rung: ladder value with the eq-row ×1e3 boost (host)."""
-        return self.rhos_np[rho_ind] * np.where(self.eq_mask, 1e3, 1.0)
+        """ρ⃗ at a rung: ladder value with the eq-row boost (host)."""
+        return self.rhos_np[rho_ind] * np.where(self.eq_mask, EQ_RHO_BOOST,
+                                                1.0)
 
     def warm_start(self, x=None, z=None, lam=None, rho: Optional[float] = None):
         """Inject primal/dual state and/or re-pick ρ (reference

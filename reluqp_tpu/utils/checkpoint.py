@@ -68,7 +68,7 @@ def load_solver(path: str, device=None):
     """Restore a ``ReLU_QP`` from ``save_solver`` output WITHOUT
     re-factorizing: the runtime-layout bank is device_put directly."""
     from ..classes import QP, Info, Results, Settings
-    from ..core.bank import Bank, DeviceQP, equality_mask
+    from ..core.bank import EQ_RHO_BOOST, Bank, DeviceQP, equality_mask
     from ..core.iteration import xla_chunk_runner
     from ..ops.fused_step import pad_dim, pallas_chunk_runner, \
         vmem_bytes_needed
@@ -137,7 +137,7 @@ def load_solver(path: str, device=None):
     solver._unscale_x = put(solver.scal.D)
     solver._unscale_z = put(solver.scal.Einv)
     solver._unscale_lam = put(solver.scal.E * solver.scal.cinv)
-    solver._rho_boost = put(np.where(solver.eq_mask, 1e3, 1.0)) \
+    solver._rho_boost = put(np.where(solver.eq_mask, EQ_RHO_BOOST, 1.0)) \
         if stng.alpha != 1.0 else None
     solver.y = put(data["y"])
     jax.block_until_ready((solver.bank, solver.qp_dev, solver.y))
@@ -206,7 +206,7 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     from ..batch import (BatchedReLU_QP, BatchInfo, BatchResults,
                          _bias_all_hetero, _bias_all_shared)
     from ..classes import Settings
-    from ..core.bank import stacked_dim
+    from ..core.bank import EQ_RHO_BOOST, stacked_dim
     from ..ops.fused_step import batch_tile_rows, pad_dim, round_up
     from ..solver import _is_tpu
     from .scaling import Scaling
@@ -241,11 +241,19 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     eq = np.asarray(data["eq_pattern"])
     m._eq_pattern = None if eq.size == 0 else eq
     m._l_np, m._u_np = data["l_np"], data["u_np"]
-    m._H_np, m._A_np, m._g_np = (np.asarray(data["H_np"]),
-                                 np.asarray(data["A_np"]),
-                                 np.asarray(data["g_np"]))
-    m._rho_mode_req = str(data["rho_mode_req"])
-    m._bank_build = str(data["bank_build"])
+    if "H_np" in data.files:
+        m._H_np, m._A_np, m._g_np = (np.asarray(data["H_np"]),
+                                     np.asarray(data["A_np"]),
+                                     np.asarray(data["g_np"]))
+        m._rho_mode_req = str(data["rho_mode_req"])
+        m._bank_build = str(data["bank_build"])
+    else:
+        # Checkpoint written before the fp64 masters were saved: still
+        # loadable/solvable, but update_matrices has nothing to rebuild
+        # from (it raises with a clear message).
+        m._H_np = m._A_np = m._g_np = None
+        m._rho_mode_req = m.rho_mode
+        m._bank_build = "auto"
 
     # Pallas batched kernel only when the saved layout matches what a
     # fresh setup would have padded to (same gate as _pick_pallas).
@@ -289,7 +297,7 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
         from ..core.bank import equality_mask as _eqm
         eq_b = (_eqm(m._l_np, m._u_np, stng.eq_tol) if m.hetero
                 else m._eq_pattern)
-        m._rho_boost = put(np.where(eq_b, 1e3, 1.0),
+        m._rho_boost = put(np.where(eq_b, EQ_RHO_BOOST, 1.0),
                            rep=not m.hetero)
     m.bias_all = (_bias_all_hetero if m.hetero
                   else _bias_all_shared)(m.B_bank, m.G)

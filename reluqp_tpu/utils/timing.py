@@ -158,11 +158,16 @@ def two_point_step_time_or_coarse(timed, fresh_input, n_lo, n_hi,
     ``timed(x, n_hi) / n_hi`` — a biased-slow but finite upper bound,
     tagged ``method="coarse"`` so consumers can tell it apart from the
     overhead-cancelled ``method="two_point"`` number. Benchmark scripts
-    that print machine-read JSON must stay valid JSON (NaN is not)."""
+    that print machine-read JSON must stay valid JSON (NaN is not).
+
+    The fallback index (64) stays on the same perturbation scale as the
+    fit's own 1..~13 — callers scale ``fresh_input`` as ``j * eps``, so a
+    huge j would time a structurally different (far-from-steady-state)
+    problem rather than the benchmarked one."""
     d = two_point_step_time(timed, fresh_input, n_lo, n_hi, **kw)
     if math.isfinite(d):
         return d, "two_point"
-    return timed(fresh_input(10 ** 6), n_hi) / n_hi, "coarse"
+    return timed(fresh_input(64), n_hi) / n_hi, "coarse"
 
 
 @contextlib.contextmanager

@@ -124,6 +124,44 @@ def test_batched_checkpoint_roundtrip_hetero(tmp_path):
     assert r3.info.status.all()
 
 
+def test_batched_checkpoint_pre_masters_format_loads(tmp_path):
+    """Checkpoints written before the fp64 masters were added (no
+    H_np/A_np/g_np keys) still load and solve; only update_matrices is
+    unavailable, with a clear error."""
+    import zipfile
+
+    import pytest
+
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.utils.checkpoint import (load_batched_solver,
+                                             save_batched_solver)
+    H, G, A, L, U = _hetero_batch()
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, scaling=True, eps_abs=1e-5)
+    r1 = m.solve()
+    m.clear_primal_dual()
+    p_new = os.path.join(tmp_path, "new.npz")
+    save_batched_solver(m, p_new)
+
+    # Re-write the archive without the post-0.2 keys, emulating an old file.
+    p_old = os.path.join(tmp_path, "old.npz")
+    dropped = {"H_np.npy", "A_np.npy", "g_np.npy",
+               "rho_mode_req.npy", "bank_build.npy"}
+    with zipfile.ZipFile(p_new) as zin, \
+            zipfile.ZipFile(p_old, "w") as zout:
+        for name in zin.namelist():
+            if name not in dropped:
+                zout.writestr(name, zin.read(name))
+
+    m2 = load_batched_solver(p_old)
+    r2 = m2.solve()
+    assert r2.info.status.all()
+    np.testing.assert_allclose(np.asarray(r2.x, np.float64),
+                               np.asarray(r1.x, np.float64), atol=1e-6)
+    with pytest.raises(ValueError, match="master"):
+        m2.update_matrices(H=H)
+
+
 def test_batched_checkpoint_roundtrip_shared_mesh(tmp_path):
     """Shared batch saved unsharded, reloaded onto a mesh."""
     from reluqp_tpu.batch import BatchedReLU_QP
