@@ -231,7 +231,8 @@ def run_throughput(args):
         H, G, A, L, U = mk(args.nx, n_eq, n_ineq, B)
         m = BatchedReLU_QP()
         m.setup(H, G, A, L, U, rho_mode=args.rho_mode, eps_abs=args.tol,
-                backend=args.backend, iter_precision=args.iter_precision)
+                backend=args.backend, iter_precision=args.iter_precision,
+                alpha=args.alpha)
         m.solve()          # compile + converge check
         assert m.info.status.all(), f"B={B}: {m.info.status.sum()}/{B} solved"
         m.clear_primal_dual()
@@ -240,7 +241,7 @@ def run_throughput(args):
         dt = time.perf_counter() - t0
         qps = B / dt
         row = dict(batch=B, nx=args.nx, backend=args.backend,
-                   pallas=m._use_pallas,
+                   pallas=m._use_pallas, alpha=args.alpha,
                    iter_precision=args.iter_precision, time_s=dt, qps=qps,
                    n_iter_total=m.info.n_iter_total,
                    n_iter_fast=m.info.n_iter_fast, Dp=m.Dp,
@@ -315,6 +316,8 @@ def main(argv=None):
     p.add_argument("--batches", type=int, nargs="+",
                    default=[64, 256, 1024, 4096, 10000])
     p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--alpha", type=float, default=1.0,
+                   help="ADMM over-relaxation (1.6 cuts iterations ~20%%)")
     p.add_argument("--rho-mode", default="shared")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "xla", "pallas"])

@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench_one(nx, nu, horizon, T, tol, backend):
+def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0):
     import jax
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
@@ -29,7 +29,7 @@ def bench_one(nx, nu, horizon, T, tol, backend):
     Q = np.eye(nx)
     R = 0.1 * np.eye(nu)
     ctrl = MPC(Ad, Bd, Q, R, horizon=horizon, u_min=-1.0, u_max=1.0,
-               eps_abs=tol, backend=backend)
+               eps_abs=tol, backend=backend, alpha=alpha)
     x0 = 0.05 * np.random.RandomState(1).randn(nx)
 
     # On-device rollout rate via the axon-safe two-point methodology
@@ -65,7 +65,7 @@ def bench_one(nx, nu, horizon, T, tol, backend):
         x = Ad @ x + Bd @ u
     hz_host = n_host / (time.perf_counter() - t0)
     return dict(nx=nx, nu=nu, horizon=horizon, qp_vars=horizon * nu,
-                hz_device=hz_device, hz_host=hz_host,
+                alpha=alpha, hz_device=hz_device, hz_host=hz_host,
                 mean_iters=mean_iters, timing=method)
 
 
@@ -77,6 +77,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--backend", default="auto")
+    p.add_argument("--alpha", type=float, default=1.0,
+                   help="ADMM over-relaxation (1.6 cuts iterations ~20%%)")
     p.add_argument("--out", default="results/mpc_rate.json")
     args = p.parse_args(argv)
 
@@ -84,7 +86,7 @@ def main(argv=None):
     for nx in args.sizes:
         nu = max(int(nx * args.nu_frac), 1)
         rec = bench_one(nx, nu, args.horizon, args.steps, args.tol,
-                        args.backend)
+                        args.backend, alpha=args.alpha)
         records.append(rec)
         print(f"nx={nx:4d} nu={nu:3d} h={args.horizon}  "
               f"device {rec['hz_device']:8.0f} Hz   "

@@ -36,7 +36,10 @@ from .core.bank import (EQ_RHO_BOOST, Bank, DeviceQP, build_bank_np,
                         clamp_bounds, equality_mask, stacked_dim)
 from .core.iteration import solve_loop, xla_chunk_runner
 from .core.ladder import initial_rho_index, setup_rhos
-from .ops.fused_step import pad_dim, pallas_chunk_runner, vmem_bytes_needed
+from .ops.fused_step import (LANE, pad_dim, pallas_chunk_runner,
+                             vmem_bytes_needed)
+from .parallel.tensor import (solve_loop_tp, tp_bank_sharding, tp_pad_dim,
+                              tp_replicated)
 from .ops.solve_kernel import (FullSolveOperand, build_residual_operator,
                                full_solve, full_solve_vmem_bytes)
 from .utils.scaling import identity_scaling, ruiz_equilibrate
@@ -58,7 +61,7 @@ def _is_tpu(device) -> bool:
 
 
 def prepare_bank(W_np, B_np, b_np, rhos_np, dtype, dp: int, device=None,
-                 w_dtype=None) -> Bank:
+                 w_dtype=None, w_device=None) -> Bank:
     """Host fp64 bank → device runtime layout.
 
     Runtime layout: ``W`` holds Wᵀ per rung, padded to (dp, dp); ``B`` is
@@ -77,7 +80,9 @@ def prepare_bank(W_np, B_np, b_np, rhos_np, dtype, dp: int, device=None,
     bp = np.zeros((n, dp), dtype=np.float64)
     bp[:, :d] = b_np
     put = lambda a, dt: jax.device_put(jnp.asarray(a, dtype=dt), device)
-    return Bank(W=put(Wt, w_dtype or dtype), B=put(Bp, dtype),
+    W = jax.device_put(jnp.asarray(Wt, dtype=w_dtype or dtype),
+                       w_device if w_device is not None else device)
+    return Bank(W=W, B=put(Bp, dtype),
                 b=put(bp, dtype), rhos=put(np.asarray(rhos_np), dtype))
 
 
@@ -117,7 +122,9 @@ class ReLU_QP:
               device=None,
               precision="float32",
               backend="auto",
-              bank_backend="auto"):
+              bank_backend="auto",
+              mesh=None,
+              tp_axis="tp"):
         """Setup the ReLU-QP solver for
 
             minimize     1/2 x' H x + g' x
@@ -126,6 +133,12 @@ class ReLU_QP:
         (reference ``setup``: ``reluqpth.py:102-157``; unlike the reference,
         ``eq_tol`` is exposed here too, and ``precision`` defaults to fp32 —
         the bank factorization always runs in fp64 on the host.)
+
+        ``mesh``: a ``jax.sharding.Mesh`` turns on the tensor-parallel
+        path (``parallel.tensor``): the weight bank is column-sharded
+        over ``tp_axis`` and ``solve`` runs the shard_map'd loop — for
+        single QPs whose bank is too big (or too bandwidth-hungry) for
+        one chip. Requires ``backend`` 'auto' or 'xla'.
         """
         t0 = time.perf_counter()
         self.settings = Settings(
@@ -175,10 +188,27 @@ class ReLU_QP:
         #   "fused"  — whole-solve Pallas kernel, entire bank in VMEM;
         #   "pallas" — chunked kernel, one bank row in VMEM per window;
         #   "xla"    — streaming jnp path (any size).
-        self._fused = self._select_fused(dtype)
-        self._chunk_runner = self._select_runner(dtype)
-        use_padded = self._fused or self._chunk_runner is pallas_chunk_runner
-        self.Dp = pad_dim(self.D) if use_padded else self.D
+        # A mesh overrides the tiers: the tensor-parallel loop runs the
+        # XLA runner per shard (the bank never fits one core's VMEM at
+        # the sizes that justify TP).
+        self._mesh, self._tp_axis = mesh, tp_axis
+        if mesh is not None:
+            if stng.backend in ("pallas", "fused"):
+                raise ValueError(
+                    "tensor-parallel solve (mesh=...) supports "
+                    "backend='auto'/'xla' only")
+            n_tp = int(mesh.shape[tp_axis])
+            self._fused = False
+            self._chunk_runner = xla_chunk_runner
+            on_tpu = all(d.platform == "tpu"
+                         for d in np.asarray(mesh.devices).flat)
+            self.Dp = tp_pad_dim(self.D, n_tp, LANE if on_tpu else 8)
+        else:
+            self._fused = self._select_fused(dtype)
+            self._chunk_runner = self._select_runner(dtype)
+            use_padded = (self._fused
+                          or self._chunk_runner is pallas_chunk_runner)
+            self.Dp = pad_dim(self.D) if use_padded else self.D
 
         # fp64 host bank build (on the scaled problem), then device layout.
         # "auto": the OpenMP C++ builder when available (~10x faster than
@@ -205,20 +235,24 @@ class ReLU_QP:
                 self._H_s, self._g_s, self._A_s, self.eq_mask,
                 self.rhos_np, stng.sigma, alpha=float(stng.alpha))
         w_dtype = jnp.bfloat16 if stng.iter_precision == "bf16" else None
+        # Placement targets: with a mesh, the bank is column-sharded and
+        # everything else replicated over it.
+        dev_rep = stng.device if mesh is None else tp_replicated(mesh)
+        dev_w = dev_rep if mesh is None else tp_bank_sharding(mesh, tp_axis)
         self.bank = prepare_bank(W_np, B_np, b_np, self.rhos_np, dtype,
-                                 self.Dp, stng.device, w_dtype=w_dtype)
+                                 self.Dp, dev_rep, w_dtype=w_dtype,
+                                 w_device=dev_w)
         # Refine phase under a bf16-stored bank needs the fp32 copy too.
         self._W_hi = None
         if stng.iter_precision == "bf16" and stng.refine:
             n, d = W_np.shape[0], W_np.shape[1]
             Wt = np.zeros((n, self.Dp, self.Dp))
             Wt[:, :d, :d] = np.swapaxes(W_np, 1, 2)
-            self._W_hi = jax.device_put(jnp.asarray(Wt, dtype=dtype),
-                                        stng.device)
+            self._W_hi = jax.device_put(jnp.asarray(Wt, dtype=dtype), dev_w)
 
         # Device problem data (clamp bounds in padded layout).
         lo, hi = self._padded_bounds(self._l_s, self._u_s, dtype)
-        put = lambda a: jax.device_put(a, stng.device)
+        put = lambda a: jax.device_put(a, dev_rep)
         self.qp_dev = DeviceQP(H=put(jnp.asarray(self._H_s, dtype=dtype)),
                                g=put(jnp.asarray(self._g_s, dtype=dtype)),
                                A=put(jnp.asarray(self._A_s, dtype=dtype)),
@@ -337,7 +371,7 @@ class ReLU_QP:
             self.QP.g_np = g_np
             self._g_s = self.scal.c * self.scal.D * g_np
             g_dev = jax.device_put(jnp.asarray(self._g_s, dtype=dtype),
-                                   stng.device)
+                                   self._dev_target())
             if self._fused:
                 g_row = np.zeros((1, self._nxp))
                 g_row[0, :self.nx] = self._g_s
@@ -364,7 +398,7 @@ class ReLU_QP:
                 self._u_s = self.scal.E * u_np
                 self.QP.u = jnp.asarray(u_np, dtype=dtype)
             lo, hi = self._padded_bounds(self._l_s, self._u_s, dtype)
-            put = lambda a: jax.device_put(a, stng.device)
+            put = lambda a: jax.device_put(a, self._dev_target())
             self.qp_dev = self.qp_dev._replace(lo=put(lo), hi=put(hi))
         jax.block_until_ready((self.bank.b, self.qp_dev))
         self.info.update_time = time.perf_counter() - t0
@@ -398,6 +432,7 @@ class ReLU_QP:
                    self.QP.g_np,
                    self.QP.A_np if A is None else A,
                    self.QP.l_np, self.QP.u_np,
+                   mesh=self._mesh, tp_axis=self._tp_axis,
                    **{k: getattr(stng, k) for k in SETTINGS_FIELDS})
         # Restore the ladder position BEFORE re-injecting the warm state:
         # under alpha != 1 the p slot is encoded against the current rung.
@@ -435,15 +470,13 @@ class ReLU_QP:
         if self._fused:
             return self._solve_fused(t0)
         rho0 = self.rhos_np[self.rho_ind]
-        res = solve_loop(
-            self.bank, self.qp_dev, self.y, self.rho_ind, rho0, self._W_hi,
-            self._rho_boost,
+        loop_kw = dict(
             nx=self.nx, nc=self.nc, max_iter=stng.max_iter,
             check_interval=stng.check_interval,
             adaptive_rho=stng.adaptive_rho,
             adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
             eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-            rho_max=float(stng.rho_max), chunk_runner=self._chunk_runner,
+            rho_max=float(stng.rho_max),
             verbose=bool(stng.verbose),
             check_infeasibility=bool(stng.check_infeasibility),
             eps_prim_inf=float(stng.eps_prim_inf),
@@ -452,6 +485,16 @@ class ReLU_QP:
             iter_precision=stng.iter_precision, refine=bool(stng.refine),
             adaptive_rho_interval=int(stng.adaptive_rho_interval),
             alpha=float(stng.alpha))
+        if self._mesh is not None:
+            res = solve_loop_tp(
+                self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
+                self._W_hi, self._rho_boost, mesh=self._mesh,
+                axis_name=self._tp_axis, **loop_kw)
+        else:
+            res = solve_loop(
+                self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
+                self._W_hi, self._rho_boost,
+                chunk_runner=self._chunk_runner, **loop_kw)
 
         self.y = res.y
         # ONE bulk D2H for all scalar stats (per-field float()/int() costs a
@@ -573,7 +616,7 @@ class ReLU_QP:
             y_np[nx + nc:nx + 2 * nc] = \
                 z_s + lam_s / self._rho_vec_np(self.rho_ind)
             self.y = jax.device_put(jnp.asarray(y_np, dtype=dtype),
-                                    stng.device)
+                                    self._dev_target())
             return
         y = self.y
         if x is not None:
@@ -589,7 +632,7 @@ class ReLU_QP:
                               * np.asarray(lam, dtype=np.float64),
                               dtype=dtype)
             y = y.at[self.nx + self.nc:self.nx + 2 * self.nc].set(lam)
-        self.y = jax.device_put(y, self.settings.device)
+        self.y = jax.device_put(y, self._dev_target())
         if rho is not None:
             self.rho_ind = initial_rho_index(self.rhos_np, rho)
 
@@ -598,10 +641,16 @@ class ReLU_QP:
         self._check_ready()
         self.y = jax.device_put(
             jnp.zeros((self.Dp,), dtype=self.settings.precision_dtype),
-            self.settings.device)
+            self._dev_target())
         self.rho_ind = initial_rho_index(self.rhos_np, self.settings.rho)
 
     # ------------------------------------------------------------------ #
+    def _dev_target(self):
+        """Placement for replicated state arrays (mesh-aware)."""
+        if getattr(self, "_mesh", None) is not None:
+            return tp_replicated(self._mesh)
+        return self.settings.device
+
     def _check_ready(self):
         if not self._ready:
             raise RuntimeError("call setup() first")

@@ -94,6 +94,7 @@ def load_solver(path: str, device=None):
     solver.Dp = int(data["Dp"])
     solver.rhos_np = np.asarray(data["rhos"], dtype=np.float64)
     solver.rho_ind = int(data["rho_ind"])
+    solver._mesh, solver._tp_axis = None, "tp"
     solver.eq_mask = equality_mask(solver.QP.l_np, solver.QP.u_np,
                                    stng.eq_tol)
     D_s = np.asarray(data["scal_D"])
