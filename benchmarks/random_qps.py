@@ -28,12 +28,15 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def reluqp_solve(H, g, A, l, u, tol, backend="auto", iter_precision="highest"):
+def reluqp_solve(H, g, A, l, u, tol, backend="auto",
+                 iter_precision="highest", precision="float32",
+                 max_iter=4000):
     from reluqp_tpu import ReLU_QP
     m = ReLU_QP()
     t0 = time.perf_counter()
     m.setup(H, g, A, l, u, eps_abs=tol, backend=backend,
-            iter_precision=iter_precision)
+            iter_precision=iter_precision, precision=precision,
+            max_iter=max_iter)
     setup_t = time.perf_counter() - t0
     res = m.solve()
     return m, res, setup_t
@@ -168,6 +171,11 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-4)
     p.add_argument("--backend", default="auto")
     p.add_argument("--iter-precision", default="highest")
+    p.add_argument("--precision", default="float32",
+                   help="storage/iteration dtype; float64 (needs jax x64, "
+                        "CPU) reproduces the reference's fp64-default "
+                        "strict-tolerance regime")
+    p.add_argument("--max-iter", type=int, default=4000)
     p.add_argument("--plot", action="store_true")
     p.add_argument("--device-loop", action="store_true",
                    help="also record per-solve latency from an on-device "
@@ -189,8 +197,16 @@ def main(argv=None):
               any("osqp_s" in r for r in records))
         return
 
-    from reluqp_tpu.utils.problems import rand_qp, kkt_error
     import jax
+    # The baked sitecustomize registers the axon TPU regardless of
+    # JAX_PLATFORMS in the env; a live config update is what actually
+    # switches platform (same dance as tests/conftest.py).
+    plat = os.environ.get("RELUQP_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if args.precision in ("float64", "f64", "fp64", "double"):
+        jax.config.update("jax_enable_x64", True)
+    from reluqp_tpu.utils.problems import rand_qp, kkt_error
 
     try:
         import osqp  # noqa: F401
@@ -211,7 +227,8 @@ def main(argv=None):
                    n_ineq=max(nxs[0] // 4, 1), seed=0, compute_sol=False)
     for _ in range(2):
         reluqp_solve(inst.H, inst.g, inst.A, inst.l, inst.u, args.tol,
-                     args.backend, args.iter_precision)
+                     args.backend, args.iter_precision, args.precision,
+                     args.max_iter)
 
     records = []
     for nx in nxs:
@@ -221,7 +238,8 @@ def main(argv=None):
                            compute_sol=False)
             m, res, setup_t = reluqp_solve(inst.H, inst.g, inst.A, inst.l,
                                            inst.u, args.tol, args.backend,
-                                           args.iter_precision)
+                                           args.iter_precision,
+                                           args.precision, args.max_iter)
             assert res.info.status == "solved", \
                 f"nx={nx} seed={seed}: {res.info.status}"
             # warm re-solve measures the steady-state path

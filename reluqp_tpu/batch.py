@@ -494,10 +494,14 @@ class BatchedReLU_QP:
         total = self.B_n * n_rho * (self.D * self.D * w_bs
                                     + (self.D * self.nx + self.D) * bs)
         # The banks are batch-sharded over the mesh axis, so the cap is
-        # PER DEVICE; a mesh divides the footprint.
+        # PER DEVICE; a mesh divides the footprint. In process-local mode
+        # the global batch is process_count× the local rows counted above,
+        # and _globalize still shards it over the full mesh.
         n_shards = 1
-        if self.mesh is not None and not self._local_setup:
+        if self.mesh is not None:
             n_shards = int(self.mesh.shape[self.axis_name])
+        if self._local_setup:
+            total *= jax.process_count()
         per_dev = total / n_shards
         if per_dev > cap:
             hint = ("reduce the batch size, shard over (more) devices with "
@@ -637,7 +641,9 @@ class BatchedReLU_QP:
 
     def update_settings(self, **kwargs):
         """Runtime-mutable settings, same rules as ``ReLU_QP`` (reference
-        ``reluqpth.py:185-199``): the ρ/σ family is bank-invalidating."""
+        ``reluqpth.py:185-199``): the ρ/σ family is bank-invalidating.
+        ``eps_abs`` changes are recompile-free (traced argument);
+        ``max_iter``/``check_interval`` recompile the loop."""
         for key, value in kwargs.items():
             if key in ("max_iter", "eps_abs", "verbose", "check_interval"):
                 setattr(self.settings, key, value)
@@ -777,12 +783,40 @@ class BatchedReLU_QP:
         sc = self.scal
         # sc vectors are (n,) shared or (B,n) hetero; sc.c scalar or (B,).
         c_col = np.reshape(sc.c, (-1, 1))
-        if stng.alpha != 1.0:
+        if stng.alpha != 1.0 and not self._multi:
             # Relaxed parametrization: p encodes λ against BOTH z and the
-            # current rung — decode to λ-space on host, apply the updates,
-            # re-encode (warm_start is not a hot path).
+            # current rung — decode to λ-space, apply the updates,
+            # re-encode. On device: receding-horizon loops warm-start per
+            # step, and a (B_pad, Dp) host round-trip per call would
+            # dominate (the alpha=1 branch below avoids it the same way).
             nx, nc = self.nx, self.nc
-            eB = self.B_local if self._multi else self.B_n
+            Bn = self.B_n
+            Y = self.Y
+            rk = self.rhos[self.rho_ind]
+            if self.rho_mode != "shared":
+                rk = rk[:, None]
+            rv = rk * self._rho_boost        # (nc,) or (B, nc), broadcasts
+            z_s = Y[:Bn, nx:nx + nc]
+            lam_s = rv * (Y[:Bn, nx + nc:nx + 2 * nc] - z_s)
+            if x is not None:
+                xs = np.asarray(x, np.float64) * sc.Dinv
+                Y = Y.at[:Bn, :nx].set(jnp.asarray(xs, dtype=dtype))
+            if z is not None:
+                z_s = jnp.asarray(np.asarray(z, np.float64) * sc.E,
+                                  dtype=dtype)
+                Y = Y.at[:Bn, nx:nx + nc].set(z_s)
+            if lam is not None:
+                lam_s = jnp.asarray(
+                    np.asarray(lam, np.float64) * (c_col * sc.Einv),
+                    dtype=dtype)
+            Y = Y.at[:Bn, nx + nc:nx + 2 * nc].set(z_s + lam_s / rv)
+            self.Y = Y
+            return
+        if stng.alpha != 1.0:
+            # Multi-host: decode/re-encode via the host shard gather like
+            # the other multi-host paths.
+            nx, nc = self.nx, self.nc
+            eB = self.B_local
             Y = np.asarray(self._local_rows(self.Y), np.float64)
             rv = self._rho_vec_rows(eB)
             z_s = Y[:eB, nx:nx + nc]

@@ -40,7 +40,8 @@ from jax import lax
 
 from .iteration import (STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER,
                         STATUS_PRIMAL_INFEASIBLE, STATUS_SOLVED,
-                        iter_dot, rho_ladder_step, rho_update_stride)
+                        iter_dot, rho_ladder_step, rho_update_stride,
+                        run_refined_phases)
 
 __all__ = [
     "BatchSolveResult",
@@ -256,71 +257,39 @@ def _chunk_hetero(Wt_bank, bias_bank, rho_inds, lo, hi, Y, n_steps: int,
 def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
                  iter_precision, n_chunks, check_interval, rem, dtype,
                  axis_name):
-    """Drive the chunked while-loop to completion, in two phases when a
-    reduced iteration precision is refined (shared by the shared-ρ and
-    hetero batched loops).
+    """Batched wrapper over ``iteration.run_refined_phases`` (the shared
+    two-phase driver), shared by the shared-ρ and hetero batched loops.
 
-    Phase A runs reduced-precision iterations while the BATCH as a whole
-    still progresses: the running-best mean log-residual over open
-    problems drops ≥3% per check window, or the open count shrinks, with
-    a patience of two consecutive stalled windows (a single flat window
-    is often just a ρ-walk plateau). A per-problem "any improving" test
-    does not work at large B — the chance that SOME problem's noise
-    jitter beats its own best stays ~1 and the fast phase would burn the
-    budget (observed at B=10k on v5e). Capped at half the budget so the
-    HIGHEST polish phase (B) always retains iterations. Under shard_map
-    the stall metric is psum'd so every shard switches phase together.
+    The batched stall metric is the mean log-residual over OPEN problems
+    plus the open count, psum'd under shard_map so every shard switches
+    phase together. A per-problem "any improving" test does not work at
+    large B — the chance that SOME problem's noise jitter beats its own
+    best stays ~1 and the fast phase would burn the budget (observed at
+    B=10k on v5e).
 
     Returns ``(state, k_fast)`` with ``k_fast`` the iterations run at
     reduced precision.
     """
-    two_phase = refine and iter_precision != "highest"
-    W_hi = Wt_bank if Wt_bank_hi is None else Wt_bank_hi
-    tail_W, tail_prec = ((W_hi, "highest") if two_phase
-                         else (Wt_bank, iter_precision))
-    if two_phase:
-        cap_a = (n_chunks // 2) * check_interval
+    def _metric(state):
+        pri, dua, done = state[4], state[5], state[6]
+        logres = jnp.where(done, 0.0,
+                           jnp.log(jnp.maximum(pri + dua, 1e-30)))
+        s = jnp.sum(logres)
+        n_open = jnp.sum(~done).astype(jnp.int32)
+        if axis_name is not None:
+            s = lax.psum(s, axis_name)
+            n_open = lax.psum(n_open, axis_name)
+        return s / jnp.maximum(n_open, 1), n_open
 
-        def _metric(state):
-            pri, dua, done = state[4], state[5], state[6]
-            logres = jnp.where(done, 0.0,
-                               jnp.log(jnp.maximum(pri + dua, 1e-30)))
-            s = jnp.sum(logres)
-            n_open = jnp.sum(~done).astype(jnp.int32)
-            if axis_name is not None:
-                s = lax.psum(s, axis_name)
-                n_open = lax.psum(n_open, axis_name)
-            return s / jnp.maximum(n_open, 1), n_open
-
-        def condA(sA):
-            state, _, _, n_stall = sA
-            k = state[3]
-            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
-                                   cond(state))
-
-        def bodyA(sA):
-            state, best_m, best_open, n_stall = sA
-            state = step(state, check_interval, Wt_bank, iter_precision)
-            mean_log, n_open = _metric(state)
-            improving = jnp.logical_or(mean_log < best_m - 0.03,
-                                       n_open < best_open)
-            n_stall = jnp.where(improving, 0, n_stall + 1)
-            return (state, jnp.minimum(best_m, mean_log),
-                    jnp.minimum(best_open, n_open), n_stall)
-
-        state, _, _, _ = lax.while_loop(
-            condA, bodyA,
-            (state0, jnp.asarray(jnp.inf, dtype=dtype),
-             jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
-             jnp.asarray(0, jnp.int32)))
-        k_fast = state[3]
-        state = lax.while_loop(
-            cond, lambda s: step(s, check_interval, W_hi, "highest"), state)
-    else:
-        k_fast = jnp.asarray(0, jnp.int32)
-        state = lax.while_loop(
-            cond, lambda s: step(s, check_interval, Wt_bank, iter_precision),
-            state0)
+    state, k_fast, tail_W, tail_prec = run_refined_phases(
+        step, cond, state0, Wt_bank, Wt_bank_hi, refine=refine,
+        iter_precision=iter_precision,
+        cap_a=(n_chunks // 2) * check_interval,
+        check_interval=check_interval, metric=_metric,
+        improved=lambda m, best: jnp.logical_or(m[0] < best[0] - 0.03,
+                                                m[1] < best[1]),
+        best0=(jnp.asarray(jnp.inf, dtype=dtype),
+               jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)))
     if rem > 0:
         # max_iter % check_interval tail, like solve_loop's rem path.
         state = lax.cond(state[-1], lambda s: s,
@@ -331,7 +300,7 @@ def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
 @partial(
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
-                     "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
+                     "adaptive_rho_tolerance", "rho_min", "rho_max",
                      "rho_mode", "chunk_runner", "axis_name", "rho_jump",
                      "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
                      "iter_precision", "refine", "adaptive_rho_interval",
@@ -538,7 +507,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
 @partial(
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
-                     "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                     "adaptive_rho_tolerance", "rho_min",
                      "rho_max", "axis_name", "rho_jump",
                      "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
                      "iter_precision", "refine", "adaptive_rho_interval",

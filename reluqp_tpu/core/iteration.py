@@ -38,6 +38,7 @@ __all__ = [
     "compute_objective",
     "infeasibility_certificates",
     "solve_loop",
+    "run_refined_phases",
     "ChunkRunner",
     "STATUS_MAX_ITER", "STATUS_SOLVED", "STATUS_PRIMAL_INFEASIBLE",
     "STATUS_DUAL_INFEASIBLE", "STATUS_STRINGS",
@@ -211,6 +212,65 @@ def rho_ladder_step(rhos, rho_ind, rho_est, tol, jump: bool, done=None):
     return new
 
 
+def run_refined_phases(step, cond, state0, W_fast, W_high, *, refine,
+                       iter_precision: str, cap_a: int, check_interval: int,
+                       metric, improved, best0):
+    """Drive a chunked while-loop to completion, in two phases when a
+    reduced iteration precision is refined. Shared by ``solve_loop`` and
+    the batched loops so the phase policy cannot silently diverge.
+
+    Phase A runs reduced-precision chunks while the solve still
+    progresses; phase B polishes with HIGHEST-precision chunks to the
+    true tolerance. Progress is caller-defined: ``metric(state)`` returns
+    a tuple of scalar stats carried as elementwise best-so-far minima,
+    and ``improved(m, best)`` says whether this window beat the best
+    (best-so-far, not previous-window: reduced-precision jitter around
+    the noise floor must not hold the fast phase open). Two consecutive
+    stalled windows end phase A (a single flat window is often just a
+    ρ-walk plateau), as does the ``cap_a`` iteration budget — cap phase A
+    at half the total so the polish phase always retains iterations.
+
+    ``step(state, n_steps, W, precision)`` runs one check window and must
+    keep the iteration counter at ``state[3]``. Returns
+    ``(state, k_fast, tail_W, tail_prec)``: the final state, iterations
+    run at reduced precision, and the bank/precision any
+    ``max_iter % check_interval`` tail must use.
+    """
+    two_phase = refine and iter_precision != "highest"
+    W_polish = W_fast if W_high is None else W_high
+    if two_phase and W_polish.dtype == jnp.bfloat16:
+        raise ValueError(
+            "refine=True with a bfloat16-stored W bank needs a full-"
+            "precision polish copy (W_hi / Wt_bank_hi): the HIGHEST "
+            "refine phase would silently run at bf16 precision and "
+            "tight tolerances would never be reached")
+    if not two_phase:
+        state = lax.while_loop(
+            cond, lambda s: step(s, check_interval, W_fast, iter_precision),
+            state0)
+        return state, jnp.asarray(0, jnp.int32), W_fast, iter_precision
+
+    def condA(sA):
+        state, _, n_stall = sA
+        return jnp.logical_and(
+            jnp.logical_and(n_stall < 2, state[3] < cap_a), cond(state))
+
+    def bodyA(sA):
+        state, best, n_stall = sA
+        state = step(state, check_interval, W_fast, iter_precision)
+        m = metric(state)
+        n_stall = jnp.where(improved(m, best), 0, n_stall + 1)
+        best = tuple(jnp.minimum(b, v) for b, v in zip(best, m))
+        return (state, best, n_stall)
+
+    state, _, _ = lax.while_loop(
+        condA, bodyA, (state0, tuple(best0), jnp.asarray(0, jnp.int32)))
+    k_fast = state[3]
+    state = lax.while_loop(
+        cond, lambda s: step(s, check_interval, W_polish, "highest"), state)
+    return state, k_fast, W_polish, "highest"
+
+
 def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
     """Checks between ρ-ladder updates for an iteration-count interval.
 
@@ -228,8 +288,11 @@ def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
 @partial(
     jax.jit,
     static_argnames=(
+        # eps_abs is deliberately DYNAMIC (traced): it is the one
+        # runtime-mutable numeric setting (update_settings), and a static
+        # eps would recompile the whole loop per tolerance value.
         "nx", "nc", "max_iter", "check_interval", "adaptive_rho",
-        "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max",
+        "adaptive_rho_tolerance", "rho_min", "rho_max",
         "chunk_runner", "verbose", "check_infeasibility", "eps_prim_inf",
         "eps_dual_inf", "rho_jump", "iter_precision", "refine",
         "adaptive_rho_interval", "alpha",
@@ -367,47 +430,19 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
     if check_infeasibility:
         state0 = state0 + (y0[:nx], lam_of(y0, rho_ind0))
 
-    two_phase = refine and iter_precision != "highest"
-    W_fast = bank.W
-    W_high = W_fast if W_hi is None else W_hi
-    tail_W, tail_prec = ((W_high, "highest") if two_phase
-                         else (W_fast, iter_precision))
-    if two_phase:
-        # Phase A: reduced-precision chunks while residuals improve ≥3%
-        # per check window (and at most half the budget, so the polish
-        # phase always retains iterations); phase B: HIGHEST chunks to
-        # the true tolerance.
-        inf0 = jnp.asarray(jnp.inf, dtype=dtype)
-        cap_a = (n_chunks // 2) * check_interval
-
-        def condA(sA):
-            state, _, _, n_stall = sA
-            k = state[3]
-            # patience: two consecutive stalled windows end the fast phase
-            # (a single flat window is often just a ρ-walk plateau)
-            return jnp.logical_and(jnp.logical_and(n_stall < 2, k < cap_a),
-                                   cond(state))
-
-        def bodyA(sA):
-            state, best_p, best_d, n_stall = sA
-            state = step(state, check_interval, W_fast, iter_precision)
-            pri, dua = state[4], state[5]
-            # best-so-far (not previous-window): reduced-precision jitter
-            # around the noise floor must not hold the fast phase open.
-            improving = jnp.logical_or(pri < 0.97 * best_p,
-                                       dua < 0.97 * best_d)
-            n_stall = jnp.where(improving, 0, n_stall + 1)
-            return (state, jnp.minimum(best_p, pri),
-                    jnp.minimum(best_d, dua), n_stall)
-
-        out, _, _, _ = lax.while_loop(
-            condA, bodyA, (state0, inf0, inf0, jnp.asarray(0, jnp.int32)))
-        out = lax.while_loop(
-            cond, lambda s: step(s, check_interval, W_high, "highest"), out)
-    else:
-        out = lax.while_loop(
-            cond, lambda s: step(s, check_interval, W_fast, iter_precision),
-            state0)
+    # Phase policy (reduced-precision phase A + HIGHEST polish) lives in
+    # run_refined_phases; the single-QP stall metric is the scalar
+    # residual pair with a 3% multiplicative improvement threshold.
+    inf0 = jnp.asarray(jnp.inf, dtype=dtype)
+    out, _, tail_W, tail_prec = run_refined_phases(
+        step, cond, state0, bank.W, W_hi, refine=refine,
+        iter_precision=iter_precision,
+        cap_a=(n_chunks // 2) * check_interval,
+        check_interval=check_interval,
+        metric=lambda state: (state[4], state[5]),
+        improved=lambda m, best: jnp.logical_or(m[0] < 0.97 * best[0],
+                                                m[1] < 0.97 * best[1]),
+        best0=(inf0, inf0))
     y, rho_ind, rho, k, pri, dua, status = out[:7]
 
     if rem > 0:

@@ -400,7 +400,7 @@ _rollout_jit = jax.jit(
     _rollout_impl,
     static_argnames=("nx_qp", "nc", "nu", "Dp", "n_steps", "max_iter",
                      "check_interval", "adaptive_rho",
-                     "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                     "adaptive_rho_tolerance", "rho_min",
                      "rho_max", "chunk_runner", "iter_precision",
                      "refine", "rho_jump", "adaptive_rho_interval",
                      "alpha"))
@@ -544,7 +544,7 @@ _scenario_jit = jax.jit(
     _scenario_rollout_impl,
     static_argnames=("nx_qp", "nc", "nu", "n_steps", "max_iter",
                      "check_interval", "adaptive_rho",
-                     "adaptive_rho_tolerance", "eps_abs", "rho_min",
+                     "adaptive_rho_tolerance", "rho_min",
                      "rho_max", "rho_jump", "iter_precision", "refine",
                      "use_pallas", "adaptive_rho_interval", "alpha"))
 

@@ -445,9 +445,12 @@ class ReLU_QP:
         Mutable: ``max_iter``, ``eps_abs``, ``verbose``, ``check_interval``.
         The ρ/σ family raises (changing it would invalidate the bank).
 
-        Note: all four are static arguments of the compiled loop, so the
-        next ``solve()`` after a change compiles a fresh executable (cached
-        per value); prefer setting them once at ``setup``.
+        Note: ``eps_abs`` is a traced argument of the compiled loop —
+        changing it is recompile-free (except under ``backend='fused'``,
+        where it is a kernel constant). ``max_iter``/``check_interval``/
+        ``verbose`` shape the loop, so the next ``solve()`` after changing
+        them compiles a fresh executable (cached per value); prefer
+        setting those once at ``setup``.
         """
         for key, value in kwargs.items():
             if key in ("max_iter", "eps_abs", "verbose", "check_interval"):

@@ -276,3 +276,39 @@ def test_mpc_rollout_with_alpha():
     assert np.all(np.isfinite(xs))
     assert np.linalg.norm(xs[-1]) < 0.15
     assert int(np.max(np.asarray(iters))) < ctrl.solver.settings.max_iter
+
+
+@pytest.mark.parametrize("mode", ["per_problem", "hetero"])
+def test_batched_warm_start_alpha_on_device_decode(mode):
+    """The single-process alpha warm_start path decodes/re-encodes p on
+    device; a partial injection (lam only) must land exactly where the
+    host decode says, for per-problem rho indices and hetero banks."""
+    import jax
+
+    H, G, A, L, U = _shared_batch(B=4)
+    if mode == "hetero":
+        B = G.shape[0]
+        H = np.repeat(H[None], B, axis=0)
+        A = np.repeat(A[None], B, axis=0)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, alpha=A16, eps_abs=1e-5,
+            rho_mode="per_problem")
+    r = m.solve()
+    assert r.info.status.all()
+    x_before = np.asarray(r.x, np.float64)
+    lam_new = np.asarray(r.lam, np.float64) * 1.05 + 1e-3
+
+    m.warm_start(lam=lam_new)
+
+    nx, nc = m.nx, m.nc
+    Y = np.asarray(jax.device_get(m.Y), np.float64)[:m.B_n]
+    rv = m._rho_vec_rows(m.B_n)
+    z_s = Y[:, nx:nx + nc]
+    lam_scaled = rv * (Y[:, nx + nc:nx + 2 * nc] - z_s)
+    unlam = np.asarray(jax.device_get(m._unlam), np.float64)
+    np.testing.assert_allclose(lam_scaled * unlam, lam_new,
+                               rtol=1e-4, atol=1e-5)
+    # x and z slots untouched by a lam-only injection
+    unx = np.asarray(jax.device_get(m._unx), np.float64)
+    np.testing.assert_allclose(Y[:, :nx] * unx, x_before,
+                               rtol=1e-5, atol=1e-6)

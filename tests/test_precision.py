@@ -130,3 +130,31 @@ def test_invalid_iter_precision_rejected():
     m = ReLU_QP()
     with pytest.raises(ValueError, match="iter_precision"):
         m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, iter_precision="fp8")
+
+
+def test_refine_rejects_bf16_polish_bank():
+    """The shared two-phase driver must refuse to 'polish' with a bank
+    that is itself bfloat16 (iter_dot would silently run the HIGHEST
+    phase at the bf16 noise floor and never reach eps_abs)."""
+    from reluqp_tpu.core.batched import solve_batched_shared
+    from reluqp_tpu.core.iteration import run_refined_phases
+
+    W = jnp.zeros((2, 8, 8), jnp.bfloat16)
+    with pytest.raises(ValueError, match="polish"):
+        run_refined_phases(lambda s, n, w, p: s, lambda s: False,
+                           (0, 0, 0, 0), W, None, refine=True,
+                           iter_precision="bf16", cap_a=10,
+                           check_interval=5, metric=lambda s: (),
+                           improved=lambda m, b: False, best0=())
+
+    # ... and through the public batched entry point
+    inst = rand_qp(nx=8, n_eq=2, n_ineq=2, seed=0, compute_sol=False)
+    m = BatchedReLU_QP()
+    m.setup(inst.H, inst.g[None], inst.A, inst.l[None], inst.u[None],
+            iter_precision="bf16", backend="xla")
+    assert m._Wt_hi is not None
+    kw = m._solve_kw()
+    with pytest.raises(ValueError, match="polish"):
+        solve_batched_shared(m.Wt_bank, m.bias_all, m.rhos, m.H_dev,
+                             m.A_dev, m.G, m.lo, m.hi, m.Y, m.rho_ind,
+                             None, None, None, rho_mode=m.rho_mode, **kw)

@@ -249,3 +249,36 @@ def test_rho_jump_converges_no_slower():
         if iters[True] > iters[False]:
             worse += 1
     assert worse <= 2, f"rho_jump slower on {worse}/5 seeds"
+
+
+def test_eps_abs_update_is_recompile_free():
+    """eps_abs is the one runtime-mutable numeric setting; it is a TRACED
+    argument of every XLA-level solve loop, so update_settings(eps_abs=..)
+    must not trigger a fresh compile (75-250 s through the remote tunnel).
+    max_iter/check_interval legitimately reshape the loop and do recompile.
+    """
+    from reluqp_tpu.core.batched import solve_batched_shared
+    from reluqp_tpu.core.iteration import solve_loop
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.utils.problems import rand_qp
+
+    inst = rand_qp(nx=12, n_eq=3, n_ineq=3, seed=0, compute_sol=False)
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, backend="xla")
+    m.solve()
+    n0 = solve_loop._cache_size()
+    m.update_settings(eps_abs=3.3e-4)
+    r = m.solve()
+    assert solve_loop._cache_size() == n0
+    assert r.info.status == "solved"
+
+    b = BatchedReLU_QP()
+    b.setup(inst.H, np.stack([inst.g, inst.g * 1.1]), inst.A,
+            np.stack([inst.l, inst.l]), np.stack([inst.u, inst.u]),
+            backend="xla")
+    b.solve()
+    n0 = solve_batched_shared._cache_size()
+    b.update_settings(eps_abs=3.3e-4)
+    rb = b.solve()
+    assert solve_batched_shared._cache_size() == n0
+    assert rb.info.status.all()

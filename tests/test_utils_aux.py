@@ -237,3 +237,39 @@ def test_hetero_bank_memory_guard_counts_refine_copy(monkeypatch):
     m3 = BatchedReLU_QP()
     with pytest.raises(ValueError, match="exceeds"):
         m3.setup(H, G, A, L, U, iter_precision="bf16", refine=True)
+
+
+def test_hetero_bank_memory_guard_counts_process_local_mesh(monkeypatch):
+    """process_local=True still shards the banks over the mesh after
+    _globalize, so the per-device cap must divide by the mesh size (it
+    used to force n_shards=1 and spuriously reject)."""
+    import pytest
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.parallel import make_mesh
+    from reluqp_tpu.utils.problems import rand_qp
+
+    B, nx = 8, 12
+    insts = [rand_qp(nx=nx, n_eq=3, n_ineq=3, seed=s, compute_sol=False)
+             for s in range(B)]
+    H = np.stack([i.H for i in insts])
+    A = np.stack([i.A for i in insts])
+    G = np.stack([i.g for i in insts])
+    L = np.stack([i.l for i in insts])
+    U = np.stack([i.u for i in insts])
+
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U)
+    D, N = m.D, len(m.rhos_np)
+    total = B * N * (D * D * 4 + (D * nx + D) * 4)
+    # cap between total/8 and total: only a mesh-sharded setup fits
+    monkeypatch.setenv("RELUQP_MAX_BANK_BYTES", str(int(total * 0.5)))
+    mesh = make_mesh(8)
+
+    with pytest.raises(ValueError, match="exceeds"):
+        BatchedReLU_QP().setup(H, G, A, L, U)          # unsharded: too big
+    m2 = BatchedReLU_QP()
+    m2.setup(H, G, A, L, U, mesh=mesh, process_local=True)
+    assert m2.solve().info.status.all()
+    m3 = BatchedReLU_QP()
+    m3.setup(H, G, A, L, U, mesh=mesh)                  # plain mesh too
+    assert m3.solve().info.status.all()
