@@ -25,6 +25,8 @@ multi-host initialization.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 import time
 from typing import Any, Optional
 
@@ -39,7 +41,8 @@ from .core.batched import (BatchSolveResult, solve_batched_hetero,
                            solve_batched_shared)
 from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import (batch_tile_rows, pad_dim,
-                             pallas_batched_chunk_runner, round_up,
+                             pallas_batched_chunk_runner,
+                             pallas_hetero_chunk_runner, round_up,
                              vmem_bytes_needed)
 from .utils.scaling import (identity_scaling, ruiz_equilibrate,
                             ruiz_equilibrate_batch)
@@ -164,14 +167,20 @@ class BatchedReLU_QP:
 
         # Backend: the Pallas grid-tiled kernel handles shared-(H,A)
         # shared-ρ batches on TPU (bank row held in VMEM across the whole
-        # chunk); everything else runs the pure-XLA GEMM path.
+        # chunk); the hetero kernel holds per-problem current-rung blocks
+        # tile-resident (bank read once per window, not per iteration);
+        # everything else runs the pure-XLA GEMM path.
         self._use_pallas = self._pick_pallas(stng)
+        self._hetero_pallas = self._pick_pallas_hetero(stng)
         if self._use_pallas:
             self.Dp = pad_dim(self.D)
             tile = min(batch_tile_rows(self.Dp, stng.precision_dtype,
                                        iter_precision=stng.iter_precision),
                        B_n)
             self.B_pad = round_up(B_n, max(tile, 8))
+        elif self._hetero_pallas:
+            self.Dp = pad_dim(self.D)   # lane-aligned per-problem blocks
+            self.B_pad = B_n
         else:
             self.Dp = self.D   # pure-XLA GEMMs need no lane padding
             self.B_pad = B_n
@@ -212,10 +221,13 @@ class BatchedReLU_QP:
             raise ValueError("the batched solver has no whole-solve-in-VMEM"
                              " kernel; use backend='auto', 'pallas' or "
                              "'xla'")
-        if self.hetero or self.rho_mode != "shared":
+        if self.hetero:
+            return False   # decided by _pick_pallas_hetero
+        if self.rho_mode != "shared":
             if stng.backend == "pallas":
-                raise ValueError("the pallas batched backend requires a "
-                                 "shared-(H,A) batch with rho_mode='shared'")
+                raise ValueError("the pallas batched backend requires "
+                                 "rho_mode='shared' for shared-(H,A) "
+                                 "batches")
             return False
         if stng.backend == "xla":
             return False
@@ -234,6 +246,36 @@ class BatchedReLU_QP:
                     "(reluqp_tpu.parallel) or backend='xla'")
             return True
         return _is_tpu(stng.device) and fits and self.mesh is None
+
+    def _pick_pallas_hetero(self, stng) -> bool:
+        """Gate for the hetero chunk kernel (per-problem W blocks in VMEM).
+
+        Needs a sublane-aligned tile divisor of B whose W blocks fit the
+        VMEM budget; banks too big per problem (or a batch with no
+        multiple-of-8 divisor) stream through XLA.
+        """
+        if not self.hetero or stng.backend == "xla":
+            return False
+        from .solver import _is_tpu
+        from .ops.fused_step import aligned_divisor, hetero_tile_rows
+        dp = pad_dim(self.D)
+        tile = aligned_divisor(
+            self.B_n, hetero_tile_rows(dp, stng.precision_dtype,
+                                       iter_precision=stng.iter_precision))
+        if stng.backend == "pallas":
+            if self.mesh is not None:
+                raise ValueError(
+                    "backend='pallas' cannot be combined with a mesh — the "
+                    "batched kernels are per-chip; use the shard_map path "
+                    "(reluqp_tpu.parallel) or backend='xla'")
+            if tile == 0:
+                raise ValueError(
+                    f"no viable hetero kernel tile at D={self.D}, "
+                    f"B={self.B_n}: the batch size needs a multiple-of-8 "
+                    "divisor whose per-problem W blocks fit VMEM — pad "
+                    "the batch or use backend='xla'")
+            return True
+        return _is_tpu(stng.device) and tile > 0 and self.mesh is None
 
     def _sharding(self, replicated=False):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -274,14 +316,16 @@ class BatchedReLU_QP:
             return jax.make_array_from_callback(
                 local.shape, rep, lambda idx: local[idx])
 
-        batch_led = ["G", "lo", "hi", "Y"]
+        batch_led = ["G", "_G_lo", "lo", "hi", "Y"]
         shared = ["rhos"]
         if self.hetero:
             batch_led += ["Wt_bank", "B_bank", "H_dev", "A_dev",
-                          "_unx", "_unz", "_unlam"]
+                          "_unx", "_unz", "_unlam", "bias_all"]
         else:
             shared += ["Wt_bank", "B_bank", "H_dev", "A_dev",
                        "_unx", "_unz", "_unlam"]
+        if self._B_lo is not None:
+            (batch_led if self.hetero else shared).append("_B_lo")
         if self._Wt_hi is not None:
             (batch_led if self.hetero else shared).append("_Wt_hi")
         if getattr(self, "_rho_boost", None) is not None:
@@ -292,11 +336,17 @@ class BatchedReLU_QP:
             setattr(self, name, repl(getattr(self, name)))
         if self.rho_mode != "shared":
             self.rho_ind = glob(self.rho_ind)
+        if not self.hetero:
+            # The shared-regime bias (N, B, Dp) is batch-led on AXIS 1:
+            # assemble each process's host-fp64 local rows directly (a
+            # device recompute would be ~1 ulp off the plain-setup bias
+            # and fork the iteration trajectory vs a single-process run).
+            local = np.asarray(jax.device_get(self.bias_all))
+            self.bias_all = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P(None, self.axis_name)), local,
+                (local.shape[0], B_g, local.shape[2]))
         self.B_n = self.B_pad = B_g
         self._multi = pc > 1
-        # Per-rung biases recomputed from the now-global G (one GEMM).
-        self.bias_all = (_bias_all_hetero if self.hetero
-                         else _bias_all_shared)(self.B_bank, self.G)
 
     def _place_rows(self, arr_np, dtype=None):
         """Place batch-led rows on device: local shard → global array in
@@ -309,6 +359,28 @@ class BatchedReLU_QP:
                                        self.mesh, arr,
                                        axis_name=self.axis_name)
         return self._put(arr)
+
+    def _put_bias_shared(self, bias):
+        """Place the shared-regime ``(N_rho, B, Dp)`` bias tensor: rung
+        axis replicated, batch axis (axis 1) sharded over the mesh."""
+        if self.mesh is None or self._local_setup:
+            return bias
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(
+            bias, NamedSharding(self.mesh, P(None, self.axis_name)))
+
+    def _bias_refresh(self):
+        """Recompute the per-rung biases ``b_k = B_k g`` on device.
+
+        Runs the hi/lo-split GEMV (``_bias_split``) against the stored
+        cast residuals so the result matches setup's fp64 host bias to
+        O(ulp²); with the residuals unavailable (device-built banks,
+        size-capped hetero ``_B_lo``) it degrades gracefully to the
+        plain iteration-dtype product.
+        """
+        spec = "bndx,bx->bnd" if self.hetero else "ndx,bx->nbd"
+        return _bias_split(self.B_bank, self._B_lo, self.G, self._G_lo,
+                           spec)
 
     def _local_rows(self, arr):
         """Host copy of THIS PROCESS's batch rows (whole batch when
@@ -379,12 +451,21 @@ class BatchedReLU_QP:
             self._Wt_hi = self._put(jnp.asarray(Wt, dtype=dtype),
                                     replicated=True)
         self.B_bank = self._put(jnp.asarray(Bm, dtype=dtype), replicated=True)
+        # lo residual of B (tiny for the shared bank) — keeps update()'s
+        # device bias refresh at fp64-cast accuracy (see _bias_split).
+        self._B_lo = self._put(jnp.asarray(_cast_residual(Bm, dtype),
+                                           dtype=dtype), replicated=True)
         self.H_dev = self._put(jnp.asarray(H, dtype=dtype), replicated=True)
         self.A_dev = self._put(jnp.asarray(A, dtype=dtype), replicated=True)
         g_pad = np.zeros((self.B_pad, self.nx))
         g_pad[:self.B_n] = g
         self.G = self._put(jnp.asarray(g_pad, dtype=dtype))
-        self.bias_all = _bias_all_shared(self.B_bank, self.G)
+        self._G_lo = self._put(jnp.asarray(_cast_residual(g_pad, dtype),
+                                           dtype=dtype))
+        # Setup-time bias in full fp64 on host (matches the single-QP
+        # path's prepare_bank accuracy): (N, B, Dp) = g_pad @ Bmᵀ per rung.
+        bias = np.matmul(g_pad[None], np.swapaxes(Bm, 1, 2))
+        self.bias_all = self._put_bias_shared(jnp.asarray(bias, dtype=dtype))
         self._set_bounds(l, u, dtype)
 
     def _setup_hetero(self, H, g, A, l, u, dtype, bank_build):
@@ -421,14 +502,17 @@ class BatchedReLU_QP:
 
         N = len(self.rhos_np)
         self._check_bank_memory(N, dtype)
-        if bank_build == "host":
+        D, Dp = self.D, self.Dp    # Dp > D under the hetero pallas kernel:
+        bias_np = None
+        if bank_build == "host":   # zero-padded lanes stay exactly 0
             from . import native as _native
             # The C++ builder produces the reference parametrization only;
             # relaxed (alpha != 1) banks build on the numpy path.
             use_native = _native.available() and self.settings.alpha == 1.0
             zero_g = np.zeros(self.nx)
-            Wt = np.empty((self.B_n, N, self.D, self.D))
-            Bb = np.empty((self.B_n, N, self.D, self.nx))
+            Wt = np.zeros((self.B_n, N, Dp, Dp))
+            Bb = np.zeros((self.B_n, N, Dp, self.nx))
+            bias_np = np.zeros((self.B_n, N, Dp))
             for i in range(self.B_n):
                 if use_native:
                     W, Bm, _ = _native.build_bank(H[i], A[i], zero_g,
@@ -440,13 +524,25 @@ class BatchedReLU_QP:
                                              self.settings.sigma,
                                              alpha=float(
                                                  self.settings.alpha))
-                Wt[i] = np.swapaxes(W, 1, 2)
-                Bb[i] = Bm
+                Wt[i, :, :D, :D] = np.swapaxes(W, 1, 2)
+                Bb[i, :, :D] = Bm
+                # fp64 setup bias, like the single-QP prepare_bank path
+                # (fp32 bias shifts the ADMM fixed point — _bias_split).
+                bias_np[i, :, :D] = Bm @ g[i]
             self.Wt_bank = self._put(
                 jnp.asarray(Wt, dtype=self._w_dtype(dtype)))
             if self._keep_hi:
                 self._Wt_hi = self._put(jnp.asarray(Wt, dtype=dtype))
             self.B_bank = self._put(jnp.asarray(Bb, dtype=dtype))
+            # B's lo residual makes update()'s device bias refresh exact in
+            # storage; skipped when it would meaningfully grow the bank
+            # footprint (update() then runs the plain-GEMV refresh).
+            self._B_lo = None
+            lo_cap = int(float(os.environ.get("RELUQP_BIAS_LO_MAX_BYTES",
+                                              1 << 30)))
+            if Bb.size * jnp.dtype(dtype).itemsize <= lo_cap:
+                self._B_lo = self._put(jnp.asarray(
+                    _cast_residual(Bb, dtype), dtype=dtype))
         else:
             from .core.bank import build_bank_jnp
 
@@ -461,14 +557,21 @@ class BatchedReLU_QP:
                 self._put(jnp.asarray(H, dtype=dtype)),
                 self._put(jnp.asarray(A, dtype=dtype)),
                 self._put(jnp.asarray(eq_masks)))
+            if Dp != D:
+                Wt = jnp.pad(Wt, ((0, 0), (0, 0), (0, Dp - D), (0, Dp - D)))
+                Bb = jnp.pad(Bb, ((0, 0), (0, 0), (0, Dp - D), (0, 0)))
             if self._keep_hi:
                 self._Wt_hi = Wt
             self.Wt_bank = Wt.astype(self._w_dtype(dtype))
             self.B_bank = Bb
+            self._B_lo = None   # no fp64 master on the device-build path
         self.H_dev = self._put(jnp.asarray(H, dtype=dtype))
         self.A_dev = self._put(jnp.asarray(A, dtype=dtype))
         self.G = self._put(jnp.asarray(g, dtype=dtype))
-        self.bias_all = _bias_all_hetero(self.B_bank, self.G)
+        self._G_lo = self._put(jnp.asarray(_cast_residual(g, dtype),
+                                           dtype=dtype))
+        self.bias_all = (self._place_rows(bias_np, dtype)
+                         if bias_np is not None else self._bias_refresh())
         self._set_bounds(l, u, dtype)
 
     def _w_dtype(self, dtype):
@@ -491,8 +594,9 @@ class BatchedReLU_QP:
         if self.settings.iter_precision == "bf16" and self.settings.refine:
             # the fp32 polish copy (_Wt_hi) is held alongside the bf16 bank
             w_bs += bs
-        total = self.B_n * n_rho * (self.D * self.D * w_bs
-                                    + (self.D * self.nx + self.D) * bs)
+        dp = self.Dp    # lane-padded under the hetero pallas kernel
+        total = self.B_n * n_rho * (dp * dp * w_bs
+                                    + (dp * self.nx + dp) * bs)
         # The banks are batch-sharded over the mesh axis, so the cap is
         # PER DEVICE; a mesh divides the footprint. In process-local mode
         # the global batch is process_count× the local rows counted above,
@@ -550,8 +654,9 @@ class BatchedReLU_QP:
             # sc.D is (nx,) shared or (B,nx) hetero; sc.c scalar or (B,).
             g_pad[:eB] = np.reshape(sc.c, (-1, 1)) * (g * sc.D)
             self.G = self._place_rows(g_pad, dtype)
-            self.bias_all = (_bias_all_hetero if self.hetero
-                             else _bias_all_shared)(self.B_bank, self.G)
+            self._G_lo = self._place_rows(_cast_residual(g_pad, dtype),
+                                          dtype)
+            self.bias_all = self._bias_refresh()
         if l is not None or u is not None:
             # fp64 masters avoid round-tripping bounds through the
             # iteration dtype; bounds arrive in UNSCALED units.
@@ -681,10 +786,12 @@ class BatchedReLU_QP:
         stng = self.settings
         kw = self._solve_kw()
         if self.hetero:
+            runner = (pallas_hetero_chunk_runner if self._hetero_pallas
+                      else None)
             res = solve_batched_hetero(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                self._Wt_hi, self._rho_boost, **kw)
+                self._Wt_hi, self._rho_boost, chunk_runner=runner, **kw)
         else:
             runner = pallas_batched_chunk_runner if self._use_pallas else None
             done0 = None
@@ -880,15 +987,90 @@ class BatchedReLU_QP:
             raise RuntimeError("call setup() first")
 
 
-@jax.jit
-def _bias_all_shared(B_bank, G):
-    """(N,D,nx) × (B,nx) → (N,B,D) per-rung per-problem biases."""
-    return jnp.einsum("ndx,bx->nbd", B_bank, G,
-                      precision=jax.lax.Precision.HIGHEST)
+def _dekker_split(a):
+    """Dekker split of fp32 into two non-overlapping 12-bit halves —
+    products of halves are then EXACT in fp32 (24-bit mantissa)."""
+    t = a * jnp.float32(4097.0)        # 2**12 + 1
+    hi = t - (t - a)
+    return hi, a - hi
 
 
-@jax.jit
-def _bias_all_hetero(B_bank, G):
-    """(B,N,D,nx) × (B,nx) → (B,N,D)."""
-    return jnp.einsum("bndx,bx->bnd", B_bank, G,
-                      precision=jax.lax.Precision.HIGHEST)
+def _two_prod(a, b):
+    """Error-free fp32 product: returns (p, e) with p + e == a·b exactly
+    (Dekker/Veltkamp; no FMA on the VPU, so the 4-way split form)."""
+    p = a * b
+    ah, al = _dekker_split(a)
+    bh, bl = _dekker_split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str):
+    """Device bias refresh ``b_k = B_k g`` at ~setup (fp64-host) accuracy.
+
+    A PLAIN iteration-dtype GEMV here carries ~20-50 ulp of error — fp32
+    storage rounding of the fp64 masters plus fp32 product/accumulation
+    rounding amplified by cancellation along the nx contraction — which
+    measurably shifts the ADMM fixed point: the dual-residual floor rises
+    ~3× and marginal problems that the single-QP solver (fp64 host bias,
+    ``solver.prepare_bank``) solves stall just above eps_abs=1e-4. Seed
+    500 of the nx=50 benchmark set is the canonical repro
+    (tests/test_batched.py::test_bias_precision_fixed_point).
+
+    TPUs have no fp64, so this is a double-fp32 contraction on the VPU:
+    ``B_hi``/``G_hi`` are the iteration-dtype casts of the fp64 masters
+    and ``B_lo``/``G_lo`` their cast residuals (first-order cross terms
+    added back; lo·lo is O(ulp²)); the main ``B_hi·G_hi`` contraction
+    accumulates with error-free products (``_two_prod``) and a Neumaier
+    compensated sum, so cancellation costs ~1 ulp instead of tens. Falls
+    back to a plain HIGHEST einsum for non-fp32 dtypes (the Dekker
+    constant is mantissa-width-specific).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    if B_hi.dtype != jnp.float32:
+        out = jnp.einsum(spec, B_hi, G_hi, precision=hp)
+        if G_lo is not None:
+            out = out + jnp.einsum(spec, B_hi, G_lo, precision=hp)
+        if B_lo is not None:
+            out = out + jnp.einsum(spec, B_lo, G_hi, precision=hp)
+        return out
+
+    if spec == "ndx,bx->nbd":       # shared: (N,Dp,nx) × (B,nx)
+        b_slice = lambda x: B_hi[None, :, :, x]     # (1, N, Dp)
+        g_slice = lambda x: G_hi[:, None, None, x]  # (B, 1, 1)
+        acc_shape = (G_hi.shape[0], B_hi.shape[0], B_hi.shape[1])
+        perm = (1, 0, 2)            # (B, N, Dp) → (N, B, Dp)
+    elif spec == "bndx,bx->bnd":    # hetero: (B,N,Dp,nx) × (B,nx)
+        b_slice = lambda x: B_hi[:, :, :, x]          # (B, N, Dp)
+        g_slice = lambda x: G_hi[:, None, None, x]    # (B, 1, 1)
+        acc_shape = (B_hi.shape[0], B_hi.shape[1], B_hi.shape[2])
+        perm = None
+    else:                            # pragma: no cover
+        raise ValueError(spec)
+
+    nx = B_hi.shape[-1]
+    s = jnp.zeros(acc_shape, jnp.float32)
+    comp = jnp.zeros_like(s)
+    for x in range(nx):              # static unroll; fuses on the VPU
+        p, e = _two_prod(b_slice(x), g_slice(x))
+        t = s + p
+        # Neumaier branchless: exact error of s + p for either ordering
+        bb = t - s
+        comp = comp + (((s - (t - bb)) + (p - bb)) + e)
+        s = t
+    out = s + comp
+    if perm:
+        out = jnp.transpose(out, perm)
+    if G_lo is not None:
+        out = out + jnp.einsum(spec, B_hi, G_lo, precision=hp)
+    if B_lo is not None:
+        out = out + jnp.einsum(spec, B_lo, G_hi, precision=hp)
+    return out
+
+
+def _cast_residual(arr64, dtype):
+    """fp64 → (cast, residual) so that cast + residual ≈ arr64 exactly to
+    O(ulp²); the residual is stored in the same device dtype."""
+    hi64 = np.asarray(jnp.asarray(arr64, dtype=dtype), np.float64)
+    return arr64 - hi64

@@ -508,7 +508,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     jax.jit,
     static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "rho_min",
-                     "rho_max", "axis_name", "rho_jump",
+                     "rho_max", "axis_name", "rho_jump", "chunk_runner",
                      "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
                      "iter_precision", "refine", "adaptive_rho_interval",
                      "alpha"),
@@ -520,6 +520,7 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
                          check_interval: int, adaptive_rho: bool,
                          adaptive_rho_tolerance: float, eps_abs: float,
                          rho_min: float, rho_max: float,
+                         chunk_runner=None,
                          axis_name=None,
                          rho_jump: bool = False,
                          check_infeasibility: bool = False,
@@ -537,7 +538,12 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
       bias_bank: (B, N_rho, Dp) per-problem per-rung biases.
       H: (B, nx, nx); A: (B, nc, nx); G: (B, nx).
       lo, hi, Y0: (B, Dp). rho_ind0: (B,) int32.
+      chunk_runner: optional override with ``_chunk_hetero``'s signature —
+        the Pallas hetero kernel (``ops.fused_step
+        .pallas_hetero_chunk_runner``) plugs in here.
     """
+    if chunk_runner is None:
+        chunk_runner = _chunk_hetero
     B = Y0.shape[0]
     dtype = Y0.dtype
     eps = jnp.asarray(eps_abs, dtype=dtype)
@@ -567,8 +573,8 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
              X_prev, Lam_prev, _) = state
         else:
             Y, rho_ind, rho, k, pri, dua, done, iters, status, _ = state
-        Y = _chunk_hetero(W_op, bias_bank, rho_ind, lo, hi, Y, n_steps,
-                          precision)
+        Y = chunk_runner(W_op, bias_bank, rho_ind, lo, hi, Y, n_steps,
+                         precision)
         X, Z, _ = split(Y)
         Lam = lam_of(Y, rho_ind)
         pri_n, dua_n, rho_new = _hetero_residuals(

@@ -29,8 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "LANE", "round_up", "pad_dim", "fused_chunk", "fused_chunk_batched",
+    "fused_chunk_hetero",
     "pallas_chunk_runner", "pallas_batched_chunk_runner",
-    "vmem_bytes_needed", "batch_tile_rows",
+    "pallas_hetero_chunk_runner",
+    "vmem_bytes_needed", "batch_tile_rows", "hetero_tile_rows",
+    "aligned_divisor",
 ]
 
 LANE = 128
@@ -265,6 +268,161 @@ def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
             rows_tile = rows
     return fused_chunk_batched(Wt_bank, b, lo, hi, Y, rho_ind, n_steps,
                                rows_tile, iter_precision)
+
+
+def hetero_tile_rows(dp: int, dtype, budget: int = 8 * 1024 * 1024,
+                     iter_precision: str = "highest") -> int:
+    """Problems per grid tile of the hetero kernel (0 = infeasible).
+
+    Unlike the shared kernel, every problem carries its own (dp, dp) W
+    block, so W dominates: double-buffered blocks (2×) plus the resident
+    bf16 hi/lo split under "high" (≈ one more fp32 W per problem).
+    """
+    bs = jnp.dtype(dtype).itemsize
+    sub = _SUBLANE.get(jnp.dtype(dtype), 8)
+    n_w = 3 if iter_precision == "high" else 2
+    per_row = (n_w * dp * dp + 10 * dp) * bs
+    rows = budget // per_row
+    rows -= rows % sub
+    return int(min(rows, 1024))
+
+
+def aligned_divisor(n: int, cap: int, align: int = 8) -> int:
+    """Largest ``align``-multiple divisor of ``n`` that is ≤ cap (0 when
+    none exists — caller falls back to the streaming path)."""
+    if n <= 0 or cap < align:
+        return 0
+    t = min(cap - cap % align, n)
+    while t >= align and n % t:
+        t -= align
+    return t if t >= align and n % t == 0 else 0
+
+
+def _kernel_hetero(n_steps, acc_dtype, precision, wt_ref, b_ref,
+                   lo_ref, hi_ref, y_ref, out_ref):
+    """Per-problem-W batched chunk: ``Y[i] ← clip(Y[i] Wᵀ[i] + b[i])``.
+
+    ``wt_ref`` holds this tile's (rows, dp, dp) gathered Wᵀ blocks —
+    read from HBM once per check window instead of once per ITERATION
+    like the XLA batched-matvec path (the 25× bank-traffic cut is the
+    whole point: hetero solves are HBM-bound, docs/perf_notes.md).
+
+    Mosaic has no batched-``dot_general`` lowering, so the tile is
+    statically unrolled over its problems: each problem runs its whole
+    ``n_steps`` window as plain (1, dp) @ (dp, dp) row-vector matmuls
+    with its W block VMEM-resident. Precision modes mirror ``_kernel``.
+    """
+    rows = y_ref.shape[0]
+    bf16_in = precision == "bf16" or wt_ref.dtype == jnp.bfloat16
+    high = precision == "high" and not bf16_in
+
+    def run_problem(w, b, lo, hi, y0):
+        if bf16_in:
+            w16 = w.astype(jnp.bfloat16)
+
+            def matvec(y):
+                return jnp.dot(y.astype(jnp.bfloat16), w16,
+                               preferred_element_type=acc_dtype)
+        elif high:
+            w_h = w.astype(jnp.bfloat16)
+            w_l = (w - w_h.astype(w.dtype)).astype(jnp.bfloat16)
+
+            def matvec(y):
+                y_h = y.astype(jnp.bfloat16)
+                y_l = (y - y_h.astype(y.dtype)).astype(jnp.bfloat16)
+                return (jnp.dot(y_h, w_l, preferred_element_type=acc_dtype)
+                        + jnp.dot(y_l, w_h, preferred_element_type=acc_dtype)
+                        + jnp.dot(y_h, w_h,
+                                  preferred_element_type=acc_dtype))
+        else:
+            def matvec(y):
+                return jnp.dot(y, w, preferred_element_type=acc_dtype,
+                               precision=_PREC[precision])
+
+        def body(_, y):
+            return jnp.clip(matvec(y).astype(y.dtype) + b, lo, hi)
+
+        return lax.fori_loop(0, n_steps, body, y0, unroll=1)
+
+    for i in range(rows):
+        out_ref[i:i + 1] = run_problem(
+            wt_ref[i], b_ref[i:i + 1], lo_ref[i:i + 1], hi_ref[i:i + 1],
+            y_ref[i:i + 1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "rows_tile",
+                                    "iter_precision"))
+def fused_chunk_hetero(Wt, b, lo, hi, Y, n_steps: int, rows_tile: int,
+                       iter_precision: str = "highest"):
+    """Grid-tiled heterogeneous chunk: per-problem (Dp, Dp) Wᵀ blocks.
+
+    Args:
+      Wt: (B, Dp, Dp) CURRENT-RUNG transposed padded blocks (the rung
+        gather happens once per chunk in the caller).
+      b, lo, hi, Y: (B, Dp). ``rows_tile`` must divide B.
+    """
+    B, dp, _ = Wt.shape
+    assert B % rows_tile == 0, (B, rows_tile)
+    dtype = Y.dtype
+    acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+    n_tiles = B // rows_tile
+
+    row = lambda i: (i, 0)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rows_tile, dp, dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_tile, dp), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_tile, dp), row,
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_kernel_hetero, min(n_steps, 1 << 30), acc,
+                               iter_precision)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, dp), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_steps * B * dp * dp,
+            bytes_accessed=(B * dp * dp + 5 * B * dp)
+            * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(Wt, b, lo, hi, Y)
+
+
+def pallas_hetero_chunk_runner(Wt_bank, bias_bank, rho_inds, lo, hi, Y,
+                               n_steps: int,
+                               iter_precision: str = "highest"):
+    """Hetero ``ChunkRunner`` for ``solve_batched_hetero``.
+
+    Gathers each problem's current-rung Wᵀ/bias ONCE per check window
+    (one (B, Dp, Dp) materialization), then runs all ``n_steps``
+    iterations with the blocks tile-resident in VMEM — versus the XLA
+    batched-matvec path re-reading B·Dp² from HBM every iteration.
+
+    Expects pallas layout: ``Wt_bank`` (B, N_rho, Dp, Dp) lane-padded,
+    ``bias_bank`` (B, N_rho, Dp), ``lo``/``hi``/``Y`` (B, Dp) with B a
+    sublane-multiple (the setup gate guarantees a valid tile divisor).
+    """
+    B = Y.shape[0]
+    rows = jnp.arange(B)
+    Wt = Wt_bank[rows, rho_inds]
+    b = bias_bank[rows, rho_inds]
+    cap = hetero_tile_rows(Y.shape[1], Y.dtype,
+                           iter_precision=iter_precision)
+    rows_tile = aligned_divisor(B, cap)
+    if rows_tile == 0:   # pragma: no cover - gated at setup
+        raise ValueError(f"no viable hetero tile for B={B}, "
+                         f"Dp={Y.shape[1]}; use backend='xla'")
+    return fused_chunk_hetero(Wt, b, lo, hi, Y, n_steps, rows_tile,
+                              iter_precision)
 
 
 def pallas_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,

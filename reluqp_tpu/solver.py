@@ -242,6 +242,13 @@ class ReLU_QP:
         self.bank = prepare_bank(W_np, B_np, b_np, self.rhos_np, dtype,
                                  self.Dp, dev_rep, w_dtype=w_dtype,
                                  w_device=dev_w)
+        # fp64 B master in padded runtime layout (~N·Dp·nx·8 B, host RAM):
+        # update(g) recomputes the bias bank on HOST in fp64 from it — a
+        # device GEMV in the iteration dtype carries ~20-50 ulp of error,
+        # enough to shift the ADMM fixed point past eps_abs on marginal
+        # problems (see batch._bias_split for the batched analogue).
+        self._B_np = np.zeros((len(self.rhos_np), self.Dp, self.nx))
+        self._B_np[:, :W_np.shape[1], :] = B_np
         # Refine phase under a bf16-stored bank needs the fp32 copy too.
         self._W_hi = None
         if stng.iter_precision == "bf16" and stng.refine:
@@ -377,7 +384,11 @@ class ReLU_QP:
                 g_row[0, :self.nx] = self._g_s
                 self._g_row = jax.device_put(
                     jnp.asarray(g_row, dtype=dtype), stng.device)
-            new_b = _update_bias(self.bank.B, g_dev)
+            # Bias refresh on HOST in fp64 (setup-accurate; the ~330 KFLOP
+            # GEMV is microseconds — cheaper than a device dispatch).
+            new_b = jax.device_put(
+                jnp.asarray(self._B_np @ self._g_s, dtype=dtype),
+                self._dev_target())
             self.bank = self.bank._replace(b=new_b)
             self.qp_dev = self.qp_dev._replace(g=g_dev)
             # QP.g stays the UNSCALED device copy (as after setup).
@@ -679,10 +690,3 @@ def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
         adaptive_rho_interval=adaptive_rho_interval)
     obj = compute_objective(H, g, y[:nx])
     return y, stats, obj
-
-
-@jax.jit
-def _update_bias(B_bank, g):
-    """All-ρ bias refresh in one batched GEMV: b_k = B_k g."""
-    return jnp.einsum("kdx,x->kd", B_bank, g,
-                      precision=jax.lax.Precision.HIGHEST)

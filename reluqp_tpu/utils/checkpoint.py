@@ -54,7 +54,12 @@ def save_solver(solver, path: str) -> None:
         settings=json.dumps(stng),
         H=solver.QP.H_np, g=solver.QP.g_np, A=solver.QP.A_np,
         l=solver.QP.l_np, u=solver.QP.u_np,
-        bank_W=_w_to_np(W_save), bank_B=np.asarray(bank.B),
+        # bank_B persists the fp64 host master when present (update(g)'s
+        # host bias refresh stays setup-accurate across a reload).
+        bank_W=_w_to_np(W_save),
+        bank_B=(solver._B_np
+                if getattr(solver, "_B_np", None) is not None
+                else np.asarray(bank.B)),
         bank_b=np.asarray(bank.b), rhos=solver.rhos_np,
         y=np.asarray(jax.device_get(solver.y)),
         rho_ind=np.asarray(solver.rho_ind),
@@ -128,6 +133,10 @@ def load_solver(path: str, device=None):
                                                     dtype=w_dtype), device),
                        B=put(data["bank_B"]),
                        b=put(data["bank_b"]), rhos=put(data["rhos"]))
+    # Host master for update(g)'s fp64 bias refresh (fp64 in checkpoints
+    # written after it was introduced; older files carry the cast copy,
+    # which is still far more accurate than a device-GEMV refresh).
+    solver._B_np = np.asarray(data["bank_B"], np.float64)
     # fp32 bank copy for the refine phase under a bf16-stored bank (the
     # file always holds the fp32 layout).
     solver._W_hi = put(data["bank_W"]) \
@@ -193,6 +202,11 @@ def save_batched_solver(m, path: str) -> None:
         scal_D=np.asarray(m.scal.D), scal_E=np.asarray(m.scal.E),
         scal_c=np.asarray(m.scal.c),
         eq_pattern=eq, l_np=m._l_np, u_np=m._u_np,
+        # Setup-accurate bias + hi/lo cast residuals (fp64 bias fidelity
+        # survives the round trip; see batch._bias_split).
+        bias_all=get(m.bias_all), G_lo=get(m._G_lo),
+        B_lo=(get(m._B_lo) if getattr(m, "_B_lo", None) is not None
+              else np.zeros((0,), np.float32)),
         # fp64 pre-promotion masters + setup modes, so update_matrices()
         # works on a restored solver without precision loss.
         H_np=m._H_np, A_np=m._A_np, g_np=m._g_np,
@@ -204,8 +218,7 @@ def save_batched_solver(m, path: str) -> None:
 def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     """Restore a ``BatchedReLU_QP`` from ``save_batched_solver`` output
     WITHOUT re-factorizing the per-problem banks (IO + H2D only)."""
-    from ..batch import (BatchedReLU_QP, BatchInfo, BatchResults,
-                         _bias_all_hetero, _bias_all_shared)
+    from ..batch import BatchedReLU_QP, BatchInfo, BatchResults
     from ..classes import Settings
     from ..core.bank import EQ_RHO_BOOST, stacked_dim
     from ..ops.fused_step import batch_tile_rows, pad_dim, round_up
@@ -266,6 +279,15 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
                                    iter_precision=stng.iter_precision),
                    m.B_n)
         m._use_pallas = m.B_pad == round_up(m.B_n, max(tile, 8))
+    # Hetero kernel gate: same as _pick_pallas_hetero, plus the saved
+    # layout must already be lane-padded.
+    m._hetero_pallas = False
+    if m.hetero and stng.backend != "xla" and mesh is None \
+            and _is_tpu(stng.device) and m.Dp == pad_dim(m.D):
+        from ..ops.fused_step import aligned_divisor, hetero_tile_rows
+        m._hetero_pallas = aligned_divisor(
+            m.B_n, hetero_tile_rows(m.Dp, dtype,
+                                    iter_precision=stng.iter_precision)) > 0
 
     put = lambda a, rep=False: m._put(jnp.asarray(a, dtype=dtype),
                                       replicated=rep)
@@ -300,8 +322,20 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
                 else m._eq_pattern)
         m._rho_boost = put(np.where(eq_b, EQ_RHO_BOOST, 1.0),
                            rep=not m.hetero)
-    m.bias_all = (_bias_all_hetero if m.hetero
-                  else _bias_all_shared)(m.B_bank, m.G)
+    if "G_lo" in data.files:
+        m._G_lo = put(data["G_lo"])
+        b_lo = np.asarray(data["B_lo"])
+        m._B_lo = put(b_lo, rep=shared_rep) if b_lo.size else None
+        m.bias_all = (m._put(jnp.asarray(data["bias_all"], dtype=dtype))
+                      if m.hetero
+                      else m._put_bias_shared(
+                          jnp.asarray(data["bias_all"], dtype=dtype)))
+    else:
+        # Pre-0.3 checkpoint without the stored bias: recompute from the
+        # restored (iteration-dtype) G with zero residuals.
+        m._G_lo = put(np.zeros_like(np.asarray(data["G"])))
+        m._B_lo = None
+        m.bias_all = m._bias_refresh()
     jax.block_until_ready((m.Wt_bank, m.bias_all, m.Y))
     m.info.setup_time = time.perf_counter() - t0
     m.info.update_time = 0.0

@@ -184,3 +184,81 @@ def test_batched_rho_jump(rho_mode):
     res = m.solve()
     assert res.info.status.all()
     assert np.max(np.abs(np.asarray(res.x, np.float64) - sols)) < 1e-2
+
+
+def test_bias_precision_fixed_point():
+    """fp64-accurate setup bias: the canonical marginal instance.
+
+    ``rand_qp(nx=50, seed=500)`` converges in ~125 iterations in the
+    single-QP solver (fp64 host bias, ``solver.prepare_bank``) but STALLS
+    at max_iter when the per-rung bias ``b_k = B_k g`` is computed by a
+    plain fp32 GEMV: the ~2-ulp bias error shifts the ADMM fixed point and
+    the dual-residual floor rises ~3x, just above eps_abs=1e-4 (found on
+    TPU, reproduces on CPU). Guards the fp64 setup bias and the
+    hi/lo-split device refresh (``batch._bias_split``).
+    """
+    insts = [rand_qp(nx=50, n_eq=12, n_ineq=12, seed=s, compute_sol=False)
+             for s in (500, 501)]
+    H = np.stack([i.H for i in insts])
+    A = np.stack([i.A for i in insts])
+    G = np.stack([i.g for i in insts])
+    L = np.stack([i.l for i in insts])
+    U = np.stack([i.u for i in insts])
+
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, eps_abs=1e-4)
+    res = m.solve()
+    assert res.info.status.all(), (res.info.status, res.info.dua_res)
+
+    # The stored bias must match an fp64 host recompute far beyond plain
+    # fp32-GEMV accuracy (~7e-5 error on this instance).
+    B64 = (np.asarray(m.B_bank, np.float64)
+           + np.asarray(m._B_lo, np.float64))
+    g64 = (np.asarray(m.G, np.float64)
+           + np.asarray(m._G_lo, np.float64))
+    want = np.einsum("bndx,bx->bnd", B64, g64)
+    tol = 3e-7 * np.max(np.abs(want))   # ~2 fp32 ulp; plain GEMV is ~20-50
+    err = np.max(np.abs(np.asarray(m.bias_all, np.float64) - want))
+    assert err < tol, (err, tol)
+
+    # update(g) refreshes through the hi/lo split at the same accuracy
+    # and the marginal problem still solves.
+    m.update(g=G * 1.0)  # same values, fresh refresh path
+    g64u = (np.asarray(m.G, np.float64)
+            + np.asarray(m._G_lo, np.float64))
+    wantu = np.einsum("bndx,bx->bnd", B64, g64u)
+    erru = np.max(np.abs(np.asarray(m.bias_all, np.float64) - wantu))
+    assert erru < tol, (erru, tol)
+    r2 = m.solve()
+    assert r2.info.status.all(), (r2.info.status, r2.info.dua_res)
+
+
+def test_bias_precision_fixed_point_shared():
+    """Shared-(H,A) regime: same fp64-bias guarantee at setup and after
+    update(g) (the shared path stores the (N, B, Dp) bias tensor)."""
+    base = rand_qp(nx=50, n_eq=12, n_ineq=12, seed=500, compute_sol=False)
+    G = np.stack([base.g, base.g * 1.01])
+    L = np.stack([base.l, base.l])
+    U = np.stack([base.u, base.u])
+    m = BatchedReLU_QP()
+    m.setup(base.H, G, base.A, L, U, eps_abs=1e-4)
+    res = m.solve()
+    assert res.info.status.all(), (res.info.status, res.info.dua_res)
+
+    B64 = (np.asarray(m.B_bank, np.float64)
+           + np.asarray(m._B_lo, np.float64))
+    g64 = (np.asarray(m.G, np.float64)
+           + np.asarray(m._G_lo, np.float64))
+    want = np.einsum("ndx,bx->nbd", B64, g64)
+    tol = 3e-7 * np.max(np.abs(want))
+    err = np.max(np.abs(np.asarray(m.bias_all, np.float64) - want))
+    assert err < tol, (err, tol)
+
+    m.update(g=G)
+    g64u = (np.asarray(m.G, np.float64)
+            + np.asarray(m._G_lo, np.float64))
+    wantu = np.einsum("ndx,bx->nbd", B64, g64u)
+    erru = np.max(np.abs(np.asarray(m.bias_all, np.float64) - wantu))
+    assert erru < tol, (erru, tol)
+    r2 = m.solve()
+    assert r2.info.status.all()

