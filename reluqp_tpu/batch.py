@@ -510,25 +510,61 @@ class BatchedReLU_QP:
             # relaxed (alpha != 1) banks build on the numpy path.
             use_native = _native.available() and self.settings.alpha == 1.0
             zero_g = np.zeros(self.nx)
-            Wt = np.zeros((self.B_n, N, Dp, Dp))
-            Bb = np.zeros((self.B_n, N, Dp, self.nx))
+            # W is consumed at iteration precision only (plus the fp32
+            # refine copy) — fill the buffer in that dtype directly
+            # instead of allocating B·N·Dp² fp64 and converting later.
+            fp32_mode = jnp.dtype(dtype) == jnp.float32
+            w_np = np.float32 if fp32_mode else np.float64
+            Wt = np.zeros((self.B_n, N, Dp, Dp), dtype=w_np)
+            # In fp32 mode B is stored as per-problem hi/lo fp32 pairs,
+            # written inside the (threaded) build loop — no batch-sized
+            # fp64 buffer and no whole-array conversion pass afterwards.
+            lo_cap = int(float(os.environ.get("RELUQP_BIAS_LO_MAX_BYTES",
+                                              1 << 30)))
+            b_bytes = self.B_n * N * Dp * self.nx \
+                * jnp.dtype(dtype).itemsize
+            keep_lo = fp32_mode and b_bytes <= lo_cap
+            Bb = np.zeros((self.B_n, N, Dp, self.nx),
+                          dtype=np.float32 if fp32_mode else np.float64)
+            Bb_lo = np.zeros_like(Bb) if keep_lo else None
             bias_np = np.zeros((self.B_n, N, Dp))
-            for i in range(self.B_n):
+
+            def _build_one(i):
                 if use_native:
                     W, Bm, _ = _native.build_bank(H[i], A[i], zero_g,
                                                   eq_masks[i], self.rhos_np,
                                                   self.settings.sigma)
                 else:
-                    W, Bm, _ = build_bank_np(H[i], zero_g, A[i], eq_masks[i],
-                                             self.rhos_np,
+                    W, Bm, _ = build_bank_np(H[i], zero_g, A[i],
+                                             eq_masks[i], self.rhos_np,
                                              self.settings.sigma,
                                              alpha=float(
                                                  self.settings.alpha))
                 Wt[i, :, :D, :D] = np.swapaxes(W, 1, 2)
-                Bb[i, :, :D] = Bm
+                if fp32_mode:
+                    hi = Bm.astype(np.float32)
+                    Bb[i, :, :D] = hi
+                    if Bb_lo is not None:
+                        Bb_lo[i, :, :D] = Bm - hi
+                else:
+                    Bb[i, :, :D] = Bm
                 # fp64 setup bias, like the single-QP prepare_bank path
                 # (fp32 bias shifts the ADMM fixed point — _bias_split).
                 bias_np[i, :, :D] = Bm @ g[i]
+
+            # Per-problem builds run on a thread pool: the factorization
+            # time is inside BLAS/ctypes, which release the GIL, and each
+            # thread writes disjoint batch rows.
+            n_workers = min(int(os.environ.get("RELUQP_BUILD_THREADS",
+                                               os.cpu_count() or 1)),
+                            self.B_n)
+            if n_workers > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(n_workers) as ex:
+                    list(ex.map(_build_one, range(self.B_n)))
+            else:
+                for i in range(self.B_n):
+                    _build_one(i)
             self.Wt_bank = self._put(
                 jnp.asarray(Wt, dtype=self._w_dtype(dtype)))
             if self._keep_hi:
@@ -536,13 +572,10 @@ class BatchedReLU_QP:
             self.B_bank = self._put(jnp.asarray(Bb, dtype=dtype))
             # B's lo residual makes update()'s device bias refresh exact in
             # storage; skipped when it would meaningfully grow the bank
-            # footprint (update() then runs the plain-GEMV refresh).
-            self._B_lo = None
-            lo_cap = int(float(os.environ.get("RELUQP_BIAS_LO_MAX_BYTES",
-                                              1 << 30)))
-            if Bb.size * jnp.dtype(dtype).itemsize <= lo_cap:
-                self._B_lo = self._put(jnp.asarray(
-                    _cast_residual(Bb, dtype), dtype=dtype))
+            # footprint (update() then runs the plain-GEMV refresh; under
+            # fp64 the plain product is already master-accurate).
+            self._B_lo = (self._put(jnp.asarray(Bb_lo, dtype=dtype))
+                          if Bb_lo is not None else None)
         else:
             from .core.bank import build_bank_jnp
 
@@ -1072,5 +1105,11 @@ def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str):
 def _cast_residual(arr64, dtype):
     """fp64 → (cast, residual) so that cast + residual ≈ arr64 exactly to
     O(ulp²); the residual is stored in the same device dtype."""
-    hi64 = np.asarray(jnp.asarray(arr64, dtype=dtype), np.float64)
+    arr64 = np.asarray(arr64, np.float64)
+    if jnp.dtype(dtype) == jnp.float32:
+        # numpy's fp32 cast is the same IEEE round-to-nearest as the
+        # device cast, without two jax round trips over the whole array.
+        hi64 = arr64.astype(np.float32).astype(np.float64)
+    else:   # bf16 etc. have no numpy dtype — round-trip through jax
+        hi64 = np.asarray(jnp.asarray(arr64, dtype=dtype), np.float64)
     return arr64 - hi64
