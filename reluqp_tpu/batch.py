@@ -117,8 +117,12 @@ class BatchedReLU_QP:
             ``B · jax.process_count()`` problems; the mesh must span every
             process's devices (build it over ``jax.devices()`` after
             ``parallel.init_distributed``). Shared ``H``/``A`` must be
-            identical on every host. With a single process this is exactly
-            equivalent to the plain mesh-sharded setup.
+            identical on every host; per-problem ``(B,nx,nx)``/``(B,nc,nx)``
+            arrays are, like ``g``/``l``/``u``, this process's rows (each
+            host factorizes only its own shard's banks). With a single
+            process this is exactly equivalent to the plain mesh-sharded
+            setup. Fetch this process's rows of batch-led results with
+            :meth:`local_rows`.
         """
         t0 = time.perf_counter()
         self.settings = Settings(**settings_kw)
@@ -144,10 +148,6 @@ class BatchedReLU_QP:
         # iteration-dtype device copies through the fp64 factorization.
         self._H_np, self._A_np, self._g_np = H.copy(), A.copy(), g.copy()
         self.hetero = H.ndim == 3 or A.ndim == 3
-        if process_local and self.hetero and jax.process_count() > 1:
-            raise NotImplementedError(
-                "process_local multi-host setup currently supports "
-                "shared-(H,A) batches only")
         if self.hetero:
             H = np.broadcast_to(H, (B_n, nx, nx)) if H.ndim == 3 else \
                 np.repeat(H[None], B_n, axis=0)
@@ -345,6 +345,14 @@ class BatchedReLU_QP:
             self.bias_all = jax.make_array_from_process_local_data(
                 NamedSharding(self.mesh, P(None, self.axis_name)), local,
                 (local.shape[0], B_g, local.shape[2]))
+        # self.scal stays PROCESS-LOCAL (update/warm_start take local
+        # rows); objective() is the one global consumer of its 1/c —
+        # gather the per-problem vector once here.
+        self._cinv_g = None
+        if pc > 1 and self.hetero and self.settings.scaling:
+            from jax.experimental import multihost_utils
+            self._cinv_g = np.asarray(multihost_utils.process_allgather(
+                np.asarray(self.scal.cinv), tiled=True))
         self.B_n = self.B_pad = B_g
         self._multi = pc > 1
 
@@ -381,6 +389,13 @@ class BatchedReLU_QP:
         spec = "bndx,bx->bnd" if self.hetero else "ndx,bx->nbd"
         return _bias_split(self.B_bank, self._B_lo, self.G, self._G_lo,
                            spec)
+
+    def local_rows(self, arr):
+        """Host copy of THIS PROCESS's rows of a batch-led array — e.g.
+        ``results.x`` / ``results.z`` after a multi-host solve, whose
+        global arrays span devices this host cannot address. Returns the
+        whole batch when single-process."""
+        return self._local_rows(arr)
 
     def _local_rows(self, arr):
         """Host copy of THIS PROCESS's batch rows (whole batch when
@@ -420,7 +435,17 @@ class BatchedReLU_QP:
         # the batch-mean |g|). Everything below operates on scaled copies;
         # results unscale in _fill_results.
         if self.settings.scaling:
-            self.scal = ruiz_equilibrate(H, A, np.mean(np.abs(g), axis=0))
+            gbar = np.mean(np.abs(g), axis=0)
+            if self._local_setup and jax.process_count() > 1:
+                # Every process must equilibrate IDENTICALLY: the shared
+                # bank is replicated across the mesh and g is only this
+                # process's rows — average the per-process |g| means
+                # (local batch sizes are equal by the process_local
+                # contract, so this is the exact global mean).
+                from jax.experimental import multihost_utils
+                gbar = np.mean(np.asarray(
+                    multihost_utils.process_allgather(gbar)), axis=0)
+            self.scal = ruiz_equilibrate(H, A, gbar)
         else:
             self.scal = identity_scaling(self.nx, self.nc)
         sc = self.scal
@@ -894,7 +919,12 @@ class BatchedReLU_QP:
         else:
             Hx = x @ self.H_dev.T
         obj_s = 0.5 * jnp.sum(x * Hx, axis=-1) + jnp.sum(G * x, axis=-1)
-        return np.asarray(self._host_stats(obj_s)) * self.scal.cinv
+        # Multi-host hetero: scal is process-local; use the global 1/c
+        # gathered at _globalize (shared-mode c is globally consistent).
+        cinv = getattr(self, "_cinv_g", None)
+        if cinv is None:
+            cinv = self.scal.cinv
+        return np.asarray(self._host_stats(obj_s)) * cinv
 
     # ------------------------------------------------------------------ #
     def _rho_vec_rows(self, rows: int) -> np.ndarray:
