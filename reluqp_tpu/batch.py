@@ -751,15 +751,13 @@ class BatchedReLU_QP:
         ``(B,nx,nx)``/``(B,nc,nx)`` arrays; passing a batched array to a
         previously shared batch switches it to the heterogeneous regime.
         The warm state carries in UNSCALED units (the rebuild may compute
-        a different equilibration). Not supported for multi-host batches.
+        a different equilibration). In multi-host (``process_local``) mode
+        the arrays are, like at ``setup``, THIS PROCESS's rows; each host
+        re-factorizes only its own shard's banks.
         """
         self._check_ready()
         if H is None and A is None:
             return
-        if self._multi:
-            raise NotImplementedError(
-                "update_matrices is not supported for multi-host batches — "
-                "re-run setup(process_local=True) with the new matrices")
         if self._H_np is None:
             raise ValueError(
                 "update_matrices needs the fp64 master problem data, which "
@@ -768,37 +766,48 @@ class BatchedReLU_QP:
         t0 = time.perf_counter()
         old = self.scal
         nx, nc = self.nx, self.nc
-        Y = np.asarray(jax.device_get(self.Y), np.float64)[:self.B_n]
+        was_multi = self._multi
+        # THIS PROCESS's rows of the warm state and ladder positions (the
+        # whole batch when single-process) — matching the process-local
+        # masters/scaling the rebuild below consumes.
+        eB = self.B_local if was_multi else self.B_n
+        Y = np.asarray(self._local_rows(self.Y), np.float64)[:eB]
         z_s = Y[:, nx:nx + nc]
         last = Y[:, nx + nc:nx + 2 * nc]
         if self.settings.alpha != 1.0:
             # decode p → λ at the current rungs before the rebuild
-            last = self._rho_vec_rows(self.B_n) * (last - z_s)
+            last = self._rho_vec_rows(eB) * (last - z_s)
         x_u = Y[:, :nx] * old.D
         z_u = z_s * old.Einv
         lam_u = last * old.E * np.reshape(old.cinv, (-1, 1))
         old_mode = self.rho_mode
-        old_ind = np.asarray(jax.device_get(self.rho_ind))
+        old_ind = (np.asarray(self._local_rows(self.rho_ind))[:eB]
+                   if was_multi and old_mode != "shared"
+                   else np.asarray(jax.device_get(self.rho_ind)))
         stng = self.settings
         kw = {k: getattr(stng, k) for k in SETTINGS_FIELDS}
         self.setup(self._H_np if H is None else H, self._g_np,
                    self._A_np if A is None else A, self._l_np, self._u_np,
                    rho_mode=self._rho_mode_req, mesh=self.mesh,
                    axis_name=self.axis_name, bank_build=self._bank_build,
-                   **kw)
+                   process_local=was_multi, **kw)
         # Restore the ladder position BEFORE re-injecting the warm state:
         # under alpha != 1 the p slot is encoded against the current rung.
         if self.rho_mode == old_mode:
             if self.rho_mode == "shared":
                 self.rho_ind = jnp.asarray(int(old_ind), jnp.int32)
+            elif self._multi:
+                self.rho_ind = self._place_rows(
+                    old_ind.astype(np.int32))
             else:
                 self.rho_ind = self._put(jnp.asarray(old_ind, jnp.int32))
         elif self.rho_mode == "per_problem":
             # shared → hetero switch: every problem resumes at the old
             # shared ladder index. (The reverse switch cannot keep
             # per-problem positions; the fresh setup default stands.)
-            self.rho_ind = self._put(
-                jnp.full((self.B_n,), int(old_ind), jnp.int32))
+            ind_full = np.full((eB,), int(old_ind), np.int32)
+            self.rho_ind = (self._place_rows(ind_full) if self._multi
+                            else self._put(jnp.asarray(ind_full)))
         self.warm_start(x=x_u, z=z_u, lam=lam_u)
         self.info.update_time = time.perf_counter() - t0
 

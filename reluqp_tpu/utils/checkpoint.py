@@ -161,51 +161,95 @@ def load_solver(path: str, device=None):
 # batched solver                                                        #
 # --------------------------------------------------------------------- #
 
+def _shard_path(path: str, pid: int, n: int) -> str:
+    """Per-process file name of a multi-host checkpoint: the caller's path
+    is the common prefix, each host writes ``<prefix>.proc<k>of<n>.npz``."""
+    base = path[:-4] if path.endswith(".npz") else path
+    return f"{base}.proc{pid}of{n}.npz"
+
+
+def _local_axis(arr, axis: int) -> np.ndarray:
+    """Host copy of this process's shard of ``arr`` along ``axis``, in
+    global order (multi-host arrays span non-addressable devices, so a
+    plain device_get would raise)."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+
+
+def _get_repl(a) -> np.ndarray:
+    """Host copy of a replicated array (every device holds the full
+    value; a non-fully-addressable one is read from a local shard)."""
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(a))
+    return np.asarray(a.addressable_shards[0].data)
+
+
 def save_batched_solver(m, path: str) -> None:
     """Serialize a set-up ``BatchedReLU_QP`` (banks + state) to .npz.
 
     The mesh (if any) is runtime placement, not state — pass one to
     ``load_batched_solver`` to re-shard on load.
+
+    Multi-host (``process_local``) solvers checkpoint by shard: every
+    process writes ``<path>.proc<k>of<n>.npz`` holding ITS rows of the
+    global batch (call on all processes with the same path, e.g. a shared
+    filesystem). ``load_batched_solver`` restores either on the same
+    process layout or single-process (reassembling every shard).
     """
     if not getattr(m, "_ready", False):
         raise RuntimeError("solver not set up")
-    if getattr(m, "_multi", False):
-        # The batch arrays of a multi-host solver span devices this host
-        # cannot address; jax.device_get would raise an opaque RuntimeError
-        # deep inside. Saving a globally-sharded multi-host batch needs an
-        # all-gather to every host first — not supported yet.
-        raise NotImplementedError(
-            "save_batched_solver does not support multi-host "
-            "process_local solvers: the batch spans non-addressable "
-            "devices. Checkpoint per-host shards from the host data "
-            "instead, or gather with "
-            "jax.experimental.multihost_utils.process_allgather first.")
+    multi = bool(getattr(m, "_multi", False))
     stng = {k: getattr(m.settings, k) for k in _SETTINGS_KEYS}
     stng["precision"] = str(np.dtype(m.settings.precision_dtype))
-    get = lambda a: np.asarray(jax.device_get(a))
+    if multi:
+        pc = jax.process_count()
+        path = _shard_path(path, jax.process_index(), pc)
+        # Batch-led arrays: this process's rows; replicated arrays: the
+        # local copy. The shard file records local sizes; the global
+        # batch size is pc × B_local (equal shards by construction).
+        get = _get_repl
+        rows = lambda a: m._local_rows(a)
+        B_save, Bp_save = m.B_local, m.B_local
+        bias = (rows(m.bias_all) if m.hetero
+                else _local_axis(m.bias_all, 1))
+        rho_ind = (np.asarray(int(jax.device_get(m.rho_ind)))
+                   if m.rho_mode == "shared" else rows(m.rho_ind))
+        hetero_led = rows if m.hetero else get
+    else:
+        get = lambda a: np.asarray(jax.device_get(a))
+        rows = get
+        B_save, Bp_save = m.B_n, m.B_pad
+        bias = get(m.bias_all)
+        rho_ind = get(m.rho_ind)
+        hetero_led = get
     eq = (np.zeros((0,), np.bool_) if m._eq_pattern is None
           else np.asarray(m._eq_pattern, np.bool_))
     np.savez_compressed(
         path,
         settings=json.dumps(stng),
+        n_procs=np.asarray(jax.process_count() if multi else 1),
+        proc_id=np.asarray(jax.process_index() if multi else 0),
         hetero=np.asarray(m.hetero), rho_mode=np.asarray(m.rho_mode),
-        B_n=np.asarray(m.B_n), B_pad=np.asarray(m.B_pad),
+        B_n=np.asarray(B_save), B_pad=np.asarray(Bp_save),
         nx=np.asarray(m.nx), nc=np.asarray(m.nc), Dp=np.asarray(m.Dp),
-        Wt_bank=_w_to_np(jax.device_get(m._Wt_hi)
+        Wt_bank=_w_to_np(hetero_led(m._Wt_hi)
                          if getattr(m, "_Wt_hi", None) is not None
-                         else m.Wt_bank),
-        B_bank=get(m.B_bank),
-        H=get(m.H_dev), A=get(m.A_dev), G=get(m.G),
-        lo=get(m.lo), hi=get(m.hi), Y=get(m.Y),
-        rho_ind=get(m.rho_ind), rhos=m.rhos_np,
-        unx=get(m._unx), unz=get(m._unz), unlam=get(m._unlam),
+                         else hetero_led(m.Wt_bank)),
+        B_bank=hetero_led(m.B_bank),
+        H=hetero_led(m.H_dev), A=hetero_led(m.A_dev), G=rows(m.G),
+        lo=rows(m.lo), hi=rows(m.hi), Y=rows(m.Y),
+        rho_ind=rho_ind, rhos=m.rhos_np,
+        unx=hetero_led(m._unx), unz=hetero_led(m._unz),
+        unlam=hetero_led(m._unlam),
         scal_D=np.asarray(m.scal.D), scal_E=np.asarray(m.scal.E),
         scal_c=np.asarray(m.scal.c),
         eq_pattern=eq, l_np=m._l_np, u_np=m._u_np,
         # Setup-accurate bias + hi/lo cast residuals (fp64 bias fidelity
         # survives the round trip; see batch._bias_split).
-        bias_all=get(m.bias_all), G_lo=get(m._G_lo),
-        B_lo=(get(m._B_lo) if getattr(m, "_B_lo", None) is not None
+        bias_all=bias, G_lo=rows(m._G_lo),
+        B_lo=(hetero_led(m._B_lo)
+              if getattr(m, "_B_lo", None) is not None
               else np.zeros((0,), np.float32)),
         # fp64 pre-promotion masters + setup modes, so update_matrices()
         # works on a restored solver without precision loss.
@@ -215,9 +259,62 @@ def save_batched_solver(m, path: str) -> None:
     )
 
 
+def _merge_shards(path: str) -> dict:
+    """Reassemble a multi-host shard-file checkpoint into one global
+    record (single-process restore of a pod-written checkpoint)."""
+    import glob as _glob
+    import re
+    base = path[:-4] if path.endswith(".npz") else path
+    # a shard file's own name is accepted too — strip its suffix
+    base = re.sub(r"\.proc\d+of\d+$", "", base)
+    first = sorted(_glob.glob(f"{base}.proc0of*.npz"))
+    if not first:
+        raise FileNotFoundError(
+            f"no checkpoint at {path} and no multi-host shard files "
+            f"{base}.proc0of*.npz")
+    n = int(first[0].rsplit("of", 1)[1][:-4])
+    shards = []
+    for k in range(n):
+        with np.load(_shard_path(base, k, n), allow_pickle=False) as z:
+            shards.append({key: z[key] for key in z.files})
+    d0 = shards[0]
+    hetero = bool(d0["hetero"])
+    rho_mode = str(d0["rho_mode"])
+    # Batch-led keys concatenate in process order; replicated/shared keys
+    # are identical on every shard (take shard 0's).
+    cat0 = ["G", "G_lo", "lo", "hi", "Y", "l_np", "u_np", "g_np"]
+    if rho_mode != "shared":
+        cat0.append("rho_ind")
+    if hetero:
+        cat0 += ["Wt_bank", "B_bank", "H", "A", "unx", "unz", "unlam",
+                 "bias_all", "H_np", "A_np", "scal_D", "scal_E", "scal_c"]
+        if d0["B_lo"].size:
+            cat0.append("B_lo")
+    merged = dict(d0)
+    for key in cat0:
+        if key in d0:
+            merged[key] = np.concatenate([s[key] for s in shards], axis=0)
+    if not hetero:
+        # shared-regime bias is (N_rho, B, Dp): batch axis is 1
+        merged["bias_all"] = np.concatenate(
+            [s["bias_all"] for s in shards], axis=1)
+    merged["B_n"] = np.asarray(sum(int(s["B_n"]) for s in shards))
+    merged["B_pad"] = merged["B_n"]
+    merged["n_procs"] = np.asarray(1)
+    return merged
+
+
 def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     """Restore a ``BatchedReLU_QP`` from ``save_batched_solver`` output
-    WITHOUT re-factorizing the per-problem banks (IO + H2D only)."""
+    WITHOUT re-factorizing the per-problem banks (IO + H2D only).
+
+    Multi-host checkpoints (shard files written by every process of a
+    ``process_local`` solver) restore two ways: on the SAME process
+    layout — each process loads its shard and the batch is re-assembled
+    globally over ``mesh``, exactly like ``setup(process_local=True)`` —
+    or single-process, where all shard files are merged into one local
+    solver (pass the same ``path`` prefix either way).
+    """
     from ..batch import BatchedReLU_QP, BatchInfo, BatchResults
     from ..classes import Settings
     from ..core.bank import EQ_RHO_BOOST, stacked_dim
@@ -226,7 +323,34 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     from .scaling import Scaling
 
     t0 = time.perf_counter()
-    data = np.load(path, allow_pickle=False)
+    pc = jax.process_count()
+    multi_load = False
+    if pc > 1:
+        shard = _shard_path(path, jax.process_index(), pc)
+        with np.load(shard, allow_pickle=False) as z:
+            data = {key: z[key] for key in z.files}
+        if int(data.get("n_procs", 1)) != pc:
+            raise ValueError(
+                f"checkpoint {shard} was written by "
+                f"{int(data.get('n_procs', 1))} processes but this cluster "
+                f"has {pc} — restore on the same layout, or single-process")
+        if mesh is None:
+            raise ValueError("multi-process restore requires a mesh "
+                             "spanning every process's devices")
+        multi_load = True
+    else:
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                data = {key: z[key] for key in z.files}
+        except FileNotFoundError:
+            alt = path if path.endswith(".npz") else path + ".npz"
+            try:
+                with np.load(alt, allow_pickle=False) as z:
+                    data = {key: z[key] for key in z.files}
+            except FileNotFoundError:
+                data = _merge_shards(path)
+        if int(data.get("n_procs", 1)) > 1:
+            data = _merge_shards(path)
     stng_kw = json.loads(str(data["settings"]))
 
     m = BatchedReLU_QP.__new__(BatchedReLU_QP)
@@ -238,7 +362,10 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
 
     m.hetero = bool(data["hetero"])
     m.rho_mode = str(data["rho_mode"])
-    m._local_setup = False
+    # multi-process restore: arrays stay host-local through the loads
+    # below (B_n is this process's rows), then _globalize() assembles the
+    # global batch over the mesh — exactly like setup(process_local=True).
+    m._local_setup = multi_load
     m._multi = False
     m.B_n = int(data["B_n"])
     m.B_local = m.B_n
@@ -255,7 +382,7 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     eq = np.asarray(data["eq_pattern"])
     m._eq_pattern = None if eq.size == 0 else eq
     m._l_np, m._u_np = data["l_np"], data["u_np"]
-    if "H_np" in data.files:
+    if "H_np" in data:
         m._H_np, m._A_np, m._g_np = (np.asarray(data["H_np"]),
                                      np.asarray(data["A_np"]),
                                      np.asarray(data["g_np"]))
@@ -322,7 +449,7 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
                 else m._eq_pattern)
         m._rho_boost = put(np.where(eq_b, EQ_RHO_BOOST, 1.0),
                            rep=not m.hetero)
-    if "G_lo" in data.files:
+    if "G_lo" in data:
         m._G_lo = put(data["G_lo"])
         b_lo = np.asarray(data["B_lo"])
         m._B_lo = put(b_lo, rep=shared_rep) if b_lo.size else None
@@ -336,6 +463,10 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
         m._G_lo = put(np.zeros_like(np.asarray(data["G"])))
         m._B_lo = None
         m.bias_all = m._bias_refresh()
+    if multi_load:
+        # Assemble this process's restored rows into the global sharded
+        # batch — the same path setup(process_local=True) takes.
+        m._globalize()
     jax.block_until_ready((m.Wt_bank, m.bias_all, m.Y))
     m.info.setup_time = time.perf_counter() - t0
     m.info.update_time = 0.0
