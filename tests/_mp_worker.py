@@ -118,6 +118,26 @@ def main():
     assert np.asarray(res3.info.status).all()
     check_local_x(np.asarray(m.local_rows(res3.x)), G2, 2e-4)
 
+    if mode == "shared":
+        # Explicit shard_map path (parallel.solve_sharded_shared) on the
+        # same cluster: the process_local setup's arrays already carry the
+        # correct global shardings; the psum convergence exit must ride
+        # the cross-process collective.
+        import jax.numpy as jnp
+
+        from reluqp_tpu.parallel import solve_sharded_shared
+        res_sm = solve_sharded_shared(
+            mesh, m.Wt_bank, m.bias_all, m.rhos, m.H_dev, m.A_dev,
+            m.G, m.lo, m.hi, jnp.zeros_like(m.Y), m.rho_ind,
+            rho_mode=m.rho_mode, **m._solve_kw())
+        conv = np.asarray(m._host_stats(res_sm.converged))
+        assert conv.all(), conv
+        x_sm = np.asarray(m._local_rows(res_sm.Y))[:, :NX] \
+            * np.asarray(m._local_rows(m._unx)
+                         if m.hetero else jax.device_get(m._unx))
+        check_local_x(x_sm, G2, 2e-4)
+        print(f"SHARDMAP_OK {mode} {pid}", flush=True)
+
     if ckpt is not None:
         # Shard-file checkpoint: every process writes its own rows, then
         # restores them onto the same cluster (no cross-process reads).

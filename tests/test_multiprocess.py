@@ -61,6 +61,8 @@ def _run_workers(mode, ckpt=None):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER_OK {mode} {pid}" in out, out
+        if mode == "shared":
+            assert f"SHARDMAP_OK {mode} {pid}" in out, out
         if ckpt is not None:
             assert f"CKPT_OK {mode} {pid}" in out, out
 
