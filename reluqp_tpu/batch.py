@@ -316,8 +316,10 @@ class BatchedReLU_QP:
             return jax.make_array_from_callback(
                 local.shape, rep, lambda idx: local[idx])
 
-        batch_led = ["G", "_G_lo", "lo", "hi", "Y"]
+        batch_led = ["G", "lo", "hi", "Y"]
         shared = ["rhos"]
+        if self._G_lo is not None:
+            batch_led.append("_G_lo")
         if self.hetero:
             batch_led += ["Wt_bank", "B_bank", "H_dev", "A_dev",
                           "_unx", "_unz", "_unlam", "bias_all"]
@@ -402,9 +404,8 @@ class BatchedReLU_QP:
         single-process), in batch order."""
         if not self._multi:
             return np.array(jax.device_get(arr))
-        shards = sorted(arr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        from .parallel import local_axis
+        return local_axis(arr, 0)
 
     def _host_stats(self, tree):
         """Bulk D2H that also works on multi-host global arrays."""
@@ -478,15 +479,17 @@ class BatchedReLU_QP:
         self.B_bank = self._put(jnp.asarray(Bm, dtype=dtype), replicated=True)
         # lo residual of B (tiny for the shared bank) — keeps update()'s
         # device bias refresh at fp64-cast accuracy (see _bias_split).
-        self._B_lo = self._put(jnp.asarray(_cast_residual(Bm, dtype),
-                                           dtype=dtype), replicated=True)
+        # Under fp64 the residual is identically zero: skip it.
+        self._B_lo = None if _lossless(dtype) else self._put(
+            jnp.asarray(_cast_residual(Bm, dtype), dtype=dtype),
+            replicated=True)
         self.H_dev = self._put(jnp.asarray(H, dtype=dtype), replicated=True)
         self.A_dev = self._put(jnp.asarray(A, dtype=dtype), replicated=True)
         g_pad = np.zeros((self.B_pad, self.nx))
         g_pad[:self.B_n] = g
         self.G = self._put(jnp.asarray(g_pad, dtype=dtype))
-        self._G_lo = self._put(jnp.asarray(_cast_residual(g_pad, dtype),
-                                           dtype=dtype))
+        self._G_lo = None if _lossless(dtype) else self._put(
+            jnp.asarray(_cast_residual(g_pad, dtype), dtype=dtype))
         # Setup-time bias in full fp64 on host (matches the single-QP
         # path's prepare_bank accuracy): (N, B, Dp) = g_pad @ Bmᵀ per rung.
         bias = np.matmul(g_pad[None], np.swapaxes(Bm, 1, 2))
@@ -626,8 +629,8 @@ class BatchedReLU_QP:
         self.H_dev = self._put(jnp.asarray(H, dtype=dtype))
         self.A_dev = self._put(jnp.asarray(A, dtype=dtype))
         self.G = self._put(jnp.asarray(g, dtype=dtype))
-        self._G_lo = self._put(jnp.asarray(_cast_residual(g, dtype),
-                                           dtype=dtype))
+        self._G_lo = None if _lossless(dtype) else self._put(
+            jnp.asarray(_cast_residual(g, dtype), dtype=dtype))
         self.bias_all = (self._place_rows(bias_np, dtype)
                          if bias_np is not None else self._bias_refresh())
         self._set_bounds(l, u, dtype)
@@ -712,8 +715,8 @@ class BatchedReLU_QP:
             # sc.D is (nx,) shared or (B,nx) hetero; sc.c scalar or (B,).
             g_pad[:eB] = np.reshape(sc.c, (-1, 1)) * (g * sc.D)
             self.G = self._place_rows(g_pad, dtype)
-            self._G_lo = self._place_rows(_cast_residual(g_pad, dtype),
-                                          dtype)
+            self._G_lo = None if _lossless(dtype) else self._place_rows(
+                _cast_residual(g_pad, dtype), dtype)
             self.bias_all = self._bias_refresh()
         if l is not None or u is not None:
             # fp64 masters avoid round-tripping bounds through the
@@ -1139,6 +1142,13 @@ def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str):
     if B_lo is not None:
         out = out + jnp.einsum(spec, B_lo, G_hi, precision=hp)
     return out
+
+
+def _lossless(dtype) -> bool:
+    """True when casting fp64 masters to ``dtype`` loses nothing — the
+    cast residual is identically zero, so storing/contracting it is pure
+    waste (HBM + two zero GEMMs per bias refresh)."""
+    return jnp.dtype(dtype) == jnp.float64
 
 
 def _cast_residual(arr64, dtype):

@@ -340,7 +340,7 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                   Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None,
-                  rho_boost=None, *,
+                  rho_boost=None, B_lo=None, *,
                   nx_qp: int,
                   nc: int, nu: int, Dp: int, n_steps: int, max_iter: int,
                   check_interval: int, adaptive_rho: bool,
@@ -359,6 +359,7 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     """
     import jax
     import jax.numpy as jnp
+    from ..batch import _bias_split
     from ..core.bank import Bank, DeviceQP
     from ..core.iteration import solve_loop
 
@@ -373,7 +374,13 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
         shift = jnp.matmul(lu_x0, x, precision=hp)
         lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
         hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
-        b_bank = jnp.einsum("kdx,x->kd", B_bank, g, precision=hp)
+        if B_lo is None:
+            b_bank = jnp.einsum("kdx,x->kd", B_bank, g, precision=hp)
+        else:
+            # Compensated hi/lo refresh: a plain iteration-dtype GEMV
+            # here shifts the ADMM fixed point (batch._bias_split).
+            b_bank = _bias_split(B_bank, B_lo, g[None, :], None,
+                                 "ndx,bx->nbd")[:, 0, :]
         bank = Bank(W=W_bank, B=B_bank, b=b_bank, rhos=rhos)
         qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi)
         res = solve_loop(
@@ -445,7 +452,7 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         cst(sc.D[:nu]),
         solver.y, solver.rho_ind,
         cst(np.asarray(x_init, np.float64).reshape(nxp)),
-        solver._W_hi, solver._rho_boost,
+        solver._W_hi, solver._rho_boost, _rollout_b_lo(solver, dtype),
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
         n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,
@@ -457,6 +464,17 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         rho_jump=bool(stng.rho_jump),
         adaptive_rho_interval=int(stng.adaptive_rho_interval),
         alpha=float(stng.alpha))
+
+
+def _rollout_b_lo(solver, dtype):
+    """Cast residual of the solver's fp64 ``B`` master in runtime layout,
+    for the in-scan compensated bias refresh (None when the cast is
+    lossless — fp64 — or no master is kept)."""
+    B_np = getattr(solver, "_B_np", None)
+    if B_np is None or jnp.dtype(dtype) == jnp.float64:
+        return None
+    from ..batch import _cast_residual
+    return jnp.asarray(_cast_residual(B_np, dtype), dtype=dtype)
 
 
 def solver_plant_A(prob: CondensedMPC) -> np.ndarray:
@@ -484,7 +502,8 @@ def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
 
 def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            lu_x0, Kg, Ad, Bd, v0_scale, noise, Y0,
-                           rho_ind0, X0, Wt_hi=None, rho_boost=None, *,
+                           rho_ind0, X0, Wt_hi=None, rho_boost=None,
+                           B_lo=None, *,
                            nx_qp: int, nc: int, nu: int, n_steps: int,
                            max_iter: int, check_interval: int,
                            adaptive_rho: bool,
@@ -497,6 +516,7 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
     """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
     import jax
     import jax.numpy as jnp
+    from ..batch import _bias_split
     from ..core.batched import solve_batched_shared
 
     B_n, Dp = Y0.shape
@@ -515,7 +535,13 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
         shift = jnp.matmul(X, lu_x0.T, precision=hp)            # (B, nc)
         lo = pad_lo.at[:, nx_qp:nx_qp + nc].set(l0[None, :] + shift)
         hi = pad_hi.at[:, nx_qp:nx_qp + nc].set(u0_[None, :] + shift)
-        bias_all = jnp.einsum("ndx,bx->nbd", B_bank, G, precision=hp)
+        if B_lo is None:
+            bias_all = jnp.einsum("ndx,bx->nbd", B_bank, G, precision=hp)
+        else:
+            # Compensated hi/lo refresh (batch._bias_split): a plain
+            # iteration-dtype GEMV shifts the ADMM fixed point and can
+            # stall marginal scenarios just above eps_abs.
+            bias_all = _bias_split(B_bank, B_lo, G, None, "ndx,bx->nbd")
         res = solve_batched_shared(
             Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y, rho_ind,
             None, Wt_hi, rho_boost,
@@ -599,7 +625,7 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
         cst(sc.D[:nu]),
-        noise, m.Y, m.rho_ind, X0, m._Wt_hi, m._rho_boost,
+        noise, m.Y, m.rho_ind, X0, m._Wt_hi, m._rho_boost, m._B_lo,
         nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
         max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,

@@ -292,7 +292,7 @@ def aligned_divisor(n: int, cap: int, align: int = 8) -> int:
     none exists — caller falls back to the streaming path)."""
     if n <= 0 or cap < align:
         return 0
-    t = min(cap - cap % align, n)
+    t = min(cap - cap % align, n - n % align)
     while t >= align and n % t:
         t -= align
     return t if t >= align and n % t == 0 else 0

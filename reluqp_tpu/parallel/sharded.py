@@ -154,3 +154,14 @@ def process_local_batch(global_shape, mesh: Mesh, local_np,
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.make_array_from_process_local_data(sharding, local_np,
                                                   global_shape)
+
+
+def local_axis(arr, axis: int = 0):
+    """Host copy of THIS PROCESS's shard of ``arr`` along ``axis``, in
+    global order — the inverse of ``process_local_batch`` (a multi-host
+    global array spans non-addressable devices, so a plain device_get
+    would raise)."""
+    import numpy as np
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)

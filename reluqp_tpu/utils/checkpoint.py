@@ -169,12 +169,10 @@ def _shard_path(path: str, pid: int, n: int) -> str:
 
 
 def _local_axis(arr, axis: int) -> np.ndarray:
-    """Host copy of this process's shard of ``arr`` along ``axis``, in
-    global order (multi-host arrays span non-addressable devices, so a
-    plain device_get would raise)."""
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: s.index[axis].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+    """Host copy of this process's shard of ``arr`` along ``axis``
+    (delegates to the one shard-gather recipe, ``parallel.local_axis``)."""
+    from ..parallel import local_axis
+    return local_axis(arr, axis)
 
 
 def _get_repl(a) -> np.ndarray:
@@ -247,7 +245,9 @@ def save_batched_solver(m, path: str) -> None:
         eq_pattern=eq, l_np=m._l_np, u_np=m._u_np,
         # Setup-accurate bias + hi/lo cast residuals (fp64 bias fidelity
         # survives the round trip; see batch._bias_split).
-        bias_all=bias, G_lo=rows(m._G_lo),
+        bias_all=bias,
+        G_lo=(rows(m._G_lo) if m._G_lo is not None
+              else np.zeros((0,), np.float32)),
         B_lo=(hetero_led(m._B_lo)
               if getattr(m, "_B_lo", None) is not None
               else np.zeros((0,), np.float32)),
@@ -265,14 +265,26 @@ def _merge_shards(path: str) -> dict:
     import glob as _glob
     import re
     base = path[:-4] if path.endswith(".npz") else path
-    # a shard file's own name is accepted too — strip its suffix
+    # a shard file's own name is accepted too — its N pins the shard set
+    suffix = re.search(r"\.proc\d+of(\d+)$", base)
     base = re.sub(r"\.proc\d+of\d+$", "", base)
-    first = sorted(_glob.glob(f"{base}.proc0of*.npz"))
-    if not first:
-        raise FileNotFoundError(
-            f"no checkpoint at {path} and no multi-host shard files "
-            f"{base}.proc0of*.npz")
-    n = int(first[0].rsplit("of", 1)[1][:-4])
+    if suffix:
+        n = int(suffix.group(1))
+    else:
+        first = sorted(_glob.glob(f"{base}.proc0of*.npz"))
+        if not first:
+            raise FileNotFoundError(
+                f"no checkpoint at {path} and no multi-host shard files "
+                f"{base}.proc0of*.npz")
+        if len(first) > 1:
+            # Shard sets from different cluster sizes share the prefix —
+            # refusing beats silently reassembling a stale/mixed vintage.
+            raise ValueError(
+                f"ambiguous checkpoint: multiple shard sets match {base} "
+                f"({', '.join(sorted(first))}); delete the stale set or "
+                f"pass one shard file explicitly (e.g. {first[0]}) to pin "
+                f"the set")
+        n = int(first[0].rsplit("of", 1)[1][:-4])
     shards = []
     for k in range(n):
         with np.load(_shard_path(base, k, n), allow_pickle=False) as z:
@@ -450,7 +462,8 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
         m._rho_boost = put(np.where(eq_b, EQ_RHO_BOOST, 1.0),
                            rep=not m.hetero)
     if "G_lo" in data:
-        m._G_lo = put(data["G_lo"])
+        g_lo = np.asarray(data["G_lo"])
+        m._G_lo = put(g_lo) if g_lo.size else None
         b_lo = np.asarray(data["B_lo"])
         m._B_lo = put(b_lo, rep=shared_rep) if b_lo.size else None
         m.bias_all = (m._put(jnp.asarray(data["bias_all"], dtype=dtype))
@@ -460,7 +473,7 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     else:
         # Pre-0.3 checkpoint without the stored bias: recompute from the
         # restored (iteration-dtype) G with zero residuals.
-        m._G_lo = put(np.zeros_like(np.asarray(data["G"])))
+        m._G_lo = None
         m._B_lo = None
         m.bias_all = m._bias_refresh()
     if multi_load:

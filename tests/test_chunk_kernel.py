@@ -166,3 +166,23 @@ def test_hetero_pallas_end_to_end_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(r.lam, np.float64),
                                np.asarray(r0.lam, np.float64),
                                rtol=1e-2, atol=1e-3)
+
+
+def test_aligned_divisor_contract():
+    """Every return is a multiple of ``align``, divides ``n``, and is
+    <= cap; 0 only when no such divisor exists (regression: n<=cap with
+    n % align != 0 used to return n itself, handing the hetero kernel a
+    sublane-misaligned tile)."""
+    from reluqp_tpu.ops.fused_step import aligned_divisor
+
+    for n in range(0, 130):
+        for cap in (0, 7, 8, 12, 56, 1024):
+            t = aligned_divisor(n, cap)
+            if t:
+                assert t % 8 == 0 and n % t == 0 and t <= cap, (n, cap, t)
+            else:
+                assert not any(n % k == 0 for k in range(8, cap + 1, 8)
+                               if n >= k), (n, cap)
+    assert aligned_divisor(12, 56) == 0      # the round-1 repro
+    assert aligned_divisor(16, 56) == 16
+    assert aligned_divisor(10000, 56) == 40  # largest 8-mult divisor <= 56
