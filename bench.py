@@ -11,13 +11,19 @@ vs_baseline is against the 1000 Hz north-star target (the reference repo
 publishes no numbers, BASELINE.md).
 
 Timing methodology (axon-tunnel-safe, docs/perf_notes.md): every timed
-dispatch uses FRESH input values (the tunnel memoizes repeated identical
-executions), timing ends at a scalar ``jax.device_get`` of a
-result-dependent value (``block_until_ready`` does not reliably block
-through the tunnel), and the per-dispatch overhead is cancelled by
-differencing a short and a long rollout.
+dispatch uses FRESH input values — urandom-seeded, because the tunnel
+memoizes identical dispatches ACROSS PROCESSES, so a fixed seed replays
+cached results on re-runs — timing ends at a scalar ``jax.device_get``
+of a result-dependent value (``block_until_ready`` does not reliably
+block through the tunnel), and the per-dispatch overhead is cancelled by
+differencing a short and a long rollout. The long chain is 4000 steps:
+dispatch jitter through the tunnel is ±40-60 ms, so the differenced
+signal must be several times that (the per-step work is uniform — every
+warm step converges at the first 25-iteration check window — so chain
+length does not change what is measured).
 """
 import json
+import os
 import sys
 import time
 
@@ -29,7 +35,7 @@ def main():
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
     NX, NU, HORIZON = 100, 20, 10
-    T_LO, T_HI = 100, 600
+    T_LO, T_HI = 100, 4000
 
     Ad, Bd = random_linear_system(NX, NU, seed=0, spectral_radius=0.99)
     Q = np.eye(NX)
@@ -38,7 +44,7 @@ def main():
                u_min=-1.0, u_max=1.0, prestabilize=True,
                eps_abs=1e-3, check_interval=25, max_iter=2000)
 
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(np.frombuffer(os.urandom(4), np.uint32)[0])
     x0 = 0.05 * rng.randn(NX)
 
     def rollout_s(x, T):
@@ -57,12 +63,12 @@ def main():
     assert max_it < ctrl.solver.settings.max_iter, \
         f"solver hit max_iter ({max_it})"
 
-    # steady-state warm rate: overhead-cancelling two-point fit, best of 3,
-    # fresh x0 per timed dispatch
+    # steady-state warm rate: overhead-cancelling two-point fit,
+    # min-of-5 per side, fresh (never-repeating) x0 per timed dispatch
     from reluqp_tpu.utils.timing import two_point_step_time_or_coarse
     best, method = two_point_step_time_or_coarse(
         lambda x, T: rollout_s(x, T)[0],
-        lambda j: x0 + (j + 1) * 5e-5, T_LO, T_HI)
+        lambda j: x0 + 5e-5 * rng.randn(NX), T_LO, T_HI, reps=5)
 
     hz = 1.0 / best
     print(json.dumps({

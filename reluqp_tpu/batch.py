@@ -1080,9 +1080,17 @@ def _two_prod(a, b):
     return p, e
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str):
+@functools.partial(jax.jit, static_argnames=("spec", "compensated"))
+def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str, compensated: bool = True):
     """Device bias refresh ``b_k = B_k g`` at ~setup (fp64-host) accuracy.
+
+    ``compensated=False`` skips the Neumaier-compensated main product and
+    keeps only the hi/lo cross terms (two plain HIGHEST contractions on
+    the MXU). That is the right cost point when ``g`` is itself computed
+    on device in the iteration dtype (the MPC rollout scans): the cross
+    terms remove B's systematic storage rounding, while the compensation
+    would only chase error already below g's own rounding floor — at
+    ~6× the VPU cost, unrolled ``nx`` times inside the scan body.
 
     A PLAIN iteration-dtype GEMV here carries ~20-50 ulp of error — fp32
     storage rounding of the fp64 masters plus fp32 product/accumulation
@@ -1103,7 +1111,7 @@ def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str):
     constant is mantissa-width-specific).
     """
     hp = jax.lax.Precision.HIGHEST
-    if B_hi.dtype != jnp.float32:
+    if B_hi.dtype != jnp.float32 or not compensated:
         out = jnp.einsum(spec, B_hi, G_hi, precision=hp)
         if G_lo is not None:
             out = out + jnp.einsum(spec, B_hi, G_lo, precision=hp)

@@ -340,7 +340,7 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                   Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None,
-                  rho_boost=None, B_lo=None, *,
+                  rho_boost=None, bias_c=None, M_hi=None, M_lo=None, *,
                   nx_qp: int,
                   nc: int, nu: int, Dp: int, n_steps: int, max_iter: int,
                   check_interval: int, adaptive_rho: bool,
@@ -359,7 +359,6 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     """
     import jax
     import jax.numpy as jnp
-    from ..batch import _bias_split
     from ..core.bank import Bank, DeviceQP
     from ..core.iteration import solve_loop
 
@@ -374,13 +373,21 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
         shift = jnp.matmul(lu_x0, x, precision=hp)
         lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
         hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
-        if B_lo is None:
+        if M_hi is None:
             b_bank = jnp.einsum("kdx,x->kd", B_bank, g, precision=hp)
         else:
-            # Compensated hi/lo refresh: a plain iteration-dtype GEMV
-            # here shifts the ADMM fixed point (batch._bias_split).
-            b_bank = _bias_split(B_bank, B_lo, g[None, :], None,
-                                 "ndx,bx->nbd")[:, 0, :]
+            # State-affine bias, precomputed in fp64 on host:
+            # b_k(x) = B_k(ḡ0 + Ḡx0 x) = c_k + M_k x. More accurate
+            # than contracting B with the fp32 in-scan g (which carries
+            # iteration-dtype rounding that shifts the ADMM fixed
+            # point), and HALF the contraction length (plant nx, not
+            # QP nx); M's own storage rounding is removed by its cast
+            # residual M_lo.
+            b_bank = bias_c + jnp.einsum("kdn,n->kd", M_hi, x,
+                                         precision=hp)
+            if M_lo is not None:
+                b_bank = b_bank + jnp.einsum("kdn,n->kd", M_lo, x,
+                                             precision=hp)
         bank = Bank(W=W_bank, B=B_bank, b=b_bank, rhos=rhos)
         qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi)
         res = solve_loop(
@@ -442,6 +449,11 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
     # first-stage variable unscales as v = D[:nu]·v̄.
     sc = solver.scal
     gD = sc.c * sc.D
+    B64 = getattr(solver, "_B_np", None)
+    bias_c = M_hi = M_lo = None
+    if B64 is not None:
+        bias_c, M_hi, M_lo = _affine_bias_maps(
+            B64, gD * prob.g0, gD[:, None] * prob.g_x0, dtype)
     return _rollout_jit(
         solver.bank.W, solver.bank.B, solver.bank.rhos,
         solver.qp_dev.H, solver.qp_dev.A,
@@ -452,7 +464,7 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         cst(sc.D[:nu]),
         solver.y, solver.rho_ind,
         cst(np.asarray(x_init, np.float64).reshape(nxp)),
-        solver._W_hi, solver._rho_boost, _rollout_b_lo(solver, dtype),
+        solver._W_hi, solver._rho_boost, bias_c, M_hi, M_lo,
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
         n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,
@@ -466,15 +478,24 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         alpha=float(stng.alpha))
 
 
-def _rollout_b_lo(solver, dtype):
-    """Cast residual of the solver's fp64 ``B`` master in runtime layout,
-    for the in-scan compensated bias refresh (None when the cast is
-    lossless — fp64 — or no master is kept)."""
-    B_np = getattr(solver, "_B_np", None)
-    if B_np is None or jnp.dtype(dtype) == jnp.float64:
-        return None
+def _affine_bias_maps(B64, g0_s, gx0_s, dtype):
+    """fp64 host precompute of the state-affine bias refresh
+    ``b_k(x) = B_k(ḡ0 + Ḡx0 x) = c_k + M_k x``.
+
+    Returns ``(bias_c, M_hi, M_lo)`` in the iteration dtype. ``bias_c``
+    is exact to one storage rounding; ``M_lo`` is M's cast residual so
+    the in-scan GEMV matches the fp64 product to O(ulp²) of x (None when
+    the cast is lossless — fp64). ``B64``: (N, Dp, nx) fp64 master;
+    ``g0_s``/``gx0_s``: the SCALED g maps, (nx,) and (nx, nxp)."""
+    c64 = B64 @ np.asarray(g0_s, np.float64)                  # (N, Dp)
+    M64 = B64 @ np.asarray(gx0_s, np.float64)                 # (N, Dp, nxp)
+    bias_c = jnp.asarray(c64, dtype=dtype)
+    M_hi = jnp.asarray(M64, dtype=dtype)
+    if jnp.dtype(dtype) == jnp.float64:
+        return bias_c, M_hi, None
     from ..batch import _cast_residual
-    return jnp.asarray(_cast_residual(B_np, dtype), dtype=dtype)
+    return bias_c, M_hi, jnp.asarray(_cast_residual(M64, dtype),
+                                     dtype=dtype)
 
 
 def solver_plant_A(prob: CondensedMPC) -> np.ndarray:
@@ -503,7 +524,7 @@ def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
 def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            lu_x0, Kg, Ad, Bd, v0_scale, noise, Y0,
                            rho_ind0, X0, Wt_hi=None, rho_boost=None,
-                           B_lo=None, *,
+                           bias_c=None, M_hi=None, M_lo=None, *,
                            nx_qp: int, nc: int, nu: int, n_steps: int,
                            max_iter: int, check_interval: int,
                            adaptive_rho: bool,
@@ -516,7 +537,6 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
     """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
     import jax
     import jax.numpy as jnp
-    from ..batch import _bias_split
     from ..core.batched import solve_batched_shared
 
     B_n, Dp = Y0.shape
@@ -535,13 +555,16 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
         shift = jnp.matmul(X, lu_x0.T, precision=hp)            # (B, nc)
         lo = pad_lo.at[:, nx_qp:nx_qp + nc].set(l0[None, :] + shift)
         hi = pad_hi.at[:, nx_qp:nx_qp + nc].set(u0_[None, :] + shift)
-        if B_lo is None:
+        if M_hi is None:
             bias_all = jnp.einsum("ndx,bx->nbd", B_bank, G, precision=hp)
         else:
-            # Compensated hi/lo refresh (batch._bias_split): a plain
-            # iteration-dtype GEMV shifts the ADMM fixed point and can
-            # stall marginal scenarios just above eps_abs.
-            bias_all = _bias_split(B_bank, B_lo, G, None, "ndx,bx->nbd")
+            # State-affine bias per scenario (see _rollout_impl):
+            # b_k(x_b) = c_k + M_k x_b, fp64-precomputed maps.
+            bias_all = bias_c[:, None, :] + jnp.einsum(
+                "ndp,bp->nbd", M_hi, X, precision=hp)
+            if M_lo is not None:
+                bias_all = bias_all + jnp.einsum("ndp,bp->nbd", M_lo, X,
+                                                 precision=hp)
         res = solve_batched_shared(
             Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y, rho_ind,
             None, Wt_hi, rho_boost,
@@ -618,6 +641,14 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         noise = jnp.zeros((n_steps, B_n, X0.shape[1]), dtype=dtype)
     else:
         noise = cst(noise)
+    # Reconstruct the fp64 B master from the device hi/lo pair (exact to
+    # O(ulp²)) for the state-affine bias precompute.
+    from ..parallel import host_replicated
+    B64 = np.asarray(host_replicated(m.B_bank), np.float64)
+    if m._B_lo is not None:
+        B64 = B64 + np.asarray(host_replicated(m._B_lo), np.float64)
+    bias_c, M_hi, M_lo = _affine_bias_maps(
+        B64, gD * prob.g0, gD[:, None] * prob.g_x0, dtype)
     return _scenario_jit(
         m.Wt_bank, m.B_bank, m.rhos, m.H_dev, m.A_dev,
         cst(gD * prob.g0), cst(gD[:, None] * prob.g_x0),
@@ -625,7 +656,8 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
         cst(sc.D[:nu]),
-        noise, m.Y, m.rho_ind, X0, m._Wt_hi, m._rho_boost, m._B_lo,
+        noise, m.Y, m.rho_ind, X0, m._Wt_hi, m._rho_boost,
+        bias_c, M_hi, M_lo,
         nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
         max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,

@@ -165,3 +165,12 @@ def local_axis(arr, axis: int = 0):
     shards = sorted(arr.addressable_shards,
                     key=lambda s: s.index[axis].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+
+
+def host_replicated(a):
+    """Host copy of a REPLICATED array (every device holds the full
+    value; a non-fully-addressable one is read from a local shard)."""
+    import numpy as np
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(a))
+    return np.asarray(a.addressable_shards[0].data)

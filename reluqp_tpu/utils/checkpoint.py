@@ -176,11 +176,9 @@ def _local_axis(arr, axis: int) -> np.ndarray:
 
 
 def _get_repl(a) -> np.ndarray:
-    """Host copy of a replicated array (every device holds the full
-    value; a non-fully-addressable one is read from a local shard)."""
-    if getattr(a, "is_fully_addressable", True):
-        return np.asarray(jax.device_get(a))
-    return np.asarray(a.addressable_shards[0].data)
+    """Host copy of a replicated array (``parallel.host_replicated``)."""
+    from ..parallel import host_replicated
+    return host_replicated(a)
 
 
 def save_batched_solver(m, path: str) -> None:

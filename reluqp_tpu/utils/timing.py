@@ -129,12 +129,17 @@ def two_point_step_time(timed: Callable[[object, int], float],
         return fresh_input(ctr[0])
 
     def measure(nh):
-        deltas = []
+        # Tunnel congestion is strictly ADDITIVE noise (multi-second
+        # stalls observed), so the capability estimate is min(long) −
+        # min(short): each side's minimum converges to its true time,
+        # while a median of paired deltas stays congested whenever most
+        # pairs are (and a min of paired deltas can go negative when
+        # only the short dispatch hits a stall).
+        t_los, t_his = [], []
         for _ in range(reps):
-            t_lo = timed(fresh(), n_lo)
-            t_hi = timed(fresh(), nh)
-            deltas.append(t_hi - t_lo)
-        return sorted(deltas)[len(deltas) // 2]
+            t_los.append(timed(fresh(), n_lo))
+            t_his.append(timed(fresh(), nh))
+        return min(t_his) - min(t_los)
 
     span = n_hi - n_lo
     d = measure(n_hi)
