@@ -105,19 +105,21 @@ def chunk_us_per_iter(m, n_steps: int = 100) -> float:
     args = lambda eps: (m.Wt_bank, m.bias_all, m.lo, m.hi, m.Y + eps)
 
     def measure(reps_delta):
+        from reluqp_tpu.utils.timing import entropy_rng
+        rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
         f_lo, f_hi = mk(2), mk(2 + reps_delta)
-        float(jax.device_get(f_lo(*args(0.0))))     # compile
-        float(jax.device_get(f_hi(*args(0.0))))
-        deltas = []
+        float(jax.device_get(f_lo(*args(rng.uniform(1e-4, 1e-3)))))  # compile
+        float(jax.device_get(f_hi(*args(rng.uniform(1e-4, 1e-3)))))
+        t_los, t_his = [], []
         for i in range(3):
             t0 = time.perf_counter()
-            float(jax.device_get(f_lo(*args((i + 1) * 1e-3))))
-            t_lo = time.perf_counter() - t0
+            float(jax.device_get(f_lo(*args(rng.uniform(1e-4, 1e-3)))))
+            t_los.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            float(jax.device_get(f_hi(*args((i + 1) * 1e-3 + 5e-4))))
-            t_hi = time.perf_counter() - t0
-            deltas.append(t_hi - t_lo)
-        return sorted(deltas)[1]
+            float(jax.device_get(f_hi(*args(rng.uniform(1e-4, 1e-3)))))
+            t_his.append(time.perf_counter() - t0)
+        # additive congestion noise → min each side (see utils/timing.py)
+        return min(t_his) - min(t_los)
 
     reps_delta = 10
     d = measure(reps_delta)
@@ -170,19 +172,21 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
                 m.lo, m.hi, Y0 + eps, m._Wt_hi)
 
     def measure(reps):
+        from reluqp_tpu.utils.timing import entropy_rng
+        rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
         f_lo, f_hi = mk(1), mk(1 + reps)
-        float(jax.device_get(f_lo(*args(0.0))))
-        float(jax.device_get(f_hi(*args(0.0))))
-        deltas = []
+        float(jax.device_get(f_lo(*args(rng.uniform(1e-7, 1e-6)))))
+        float(jax.device_get(f_hi(*args(rng.uniform(1e-7, 1e-6)))))
+        t_los, t_his = [], []
         for i in range(3):
             t0 = time.perf_counter()
-            float(jax.device_get(f_lo(*args((i + 1) * 1e-6))))
-            t_lo = time.perf_counter() - t0
+            float(jax.device_get(f_lo(*args(rng.uniform(1e-7, 1e-6)))))
+            t_los.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            float(jax.device_get(f_hi(*args((i + 1) * 1e-6 + 5e-7))))
-            t_hi = time.perf_counter() - t0
-            deltas.append(t_hi - t_lo)
-        return sorted(deltas)[1]
+            float(jax.device_get(f_hi(*args(rng.uniform(1e-7, 1e-6)))))
+            t_his.append(time.perf_counter() - t0)
+        # additive congestion noise → min each side (see utils/timing.py)
+        return min(t_his) - min(t_los)
 
     reps = reps_hi - 1
     d = measure(reps)

@@ -30,7 +30,9 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0):
     R = 0.1 * np.eye(nu)
     ctrl = MPC(Ad, Bd, Q, R, horizon=horizon, u_min=-1.0, u_max=1.0,
                eps_abs=tol, backend=backend, alpha=alpha)
-    x0 = 0.05 * np.random.RandomState(1).randn(nx)
+    from reluqp_tpu.utils.timing import entropy_rng
+    rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
+    x0 = 0.05 * rng.randn(nx)
 
     # On-device rollout rate via the axon-safe two-point methodology
     # (fresh inputs per timed dispatch, scalar fetch, overhead cancelled
@@ -52,7 +54,7 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0):
     from reluqp_tpu.utils.timing import two_point_step_time_or_coarse
     best, method = two_point_step_time_or_coarse(
         lambda x, T: rollout_s(x, T)[0],
-        lambda j: x0 + (j + 1) * 5e-5, T_lo, T_hi)
+        lambda j: x0 + 5e-5 * rng.randn(nx), T_lo, T_hi, reps=5)
     hz_device = 1.0 / best
 
     # host-driven cycle (reference-style): time 25 steps

@@ -84,21 +84,23 @@ def device_loop_us(m, reps: int = 20) -> float:
     noise_s = 2e-3   # axon tunnel dispatch jitter floor (~±1 ms)
 
     def measure(n):
+        from reluqp_tpu.utils.timing import entropy_rng
+        rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
         f_lo, f_hi = mk(2), mk(2 + n)
         float(jax.device_get(f_lo(m.bank, m.qp_dev, y0)))
         float(jax.device_get(f_hi(m.bank, m.qp_dev, y0)))
-        deltas = []
+        t_los, t_his = [], []
         for i in range(3):
             t0 = _t.perf_counter()
             float(jax.device_get(f_lo(m.bank, m.qp_dev,
-                                      y0 + (i + 1) * 1e-6)))
-            t_lo = _t.perf_counter() - t0
+                                      y0 + rng.uniform(1e-7, 1e-6))))
+            t_los.append(_t.perf_counter() - t0)
             t0 = _t.perf_counter()
             float(jax.device_get(f_hi(m.bank, m.qp_dev,
-                                      y0 + (i + 1) * 1e-6 + 5e-7)))
-            t_hi = _t.perf_counter() - t0
-            deltas.append(t_hi - t_lo)
-        return sorted(deltas)[1]
+                                      y0 + rng.uniform(1e-7, 1e-6))))
+            t_his.append(_t.perf_counter() - t0)
+        # additive congestion noise → min each side (see utils/timing.py)
+        return min(t_his) - min(t_los)
 
     d = measure(reps)
     if d < noise_s:                       # below tunnel jitter: lengthen
