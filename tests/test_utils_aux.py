@@ -210,6 +210,27 @@ def test_two_point_step_time_paths():
         two_point_step_time(lambda x, n: 0.0, lambda j: j, 10, 10)
 
 
+def test_two_point_step_time_additive_congestion():
+    """The min-per-side estimator survives congestion stalls that hit
+    MOST samples (a median of paired deltas would stay congested), and
+    entropy_rng yields distinct streams."""
+    from reluqp_tpu.utils.timing import entropy_rng, two_point_step_time
+
+    calls = [0]
+
+    def timed(x, n):
+        calls[0] += 1
+        # 4 of every 5 dispatches hit a 200 ms congestion stall
+        stall = 0.0 if calls[0] % 5 == 0 else 0.2
+        return 0.030 + n * 1e-4 + stall
+
+    v = two_point_step_time(timed, lambda j: j, 100, 600, reps=5)
+    assert abs(v - 1e-4) < 1e-8
+
+    a, b = entropy_rng(), entropy_rng()
+    assert a.randn(8).tolist() != b.randn(8).tolist()
+
+
 def test_hetero_bank_memory_guard_counts_refine_copy(monkeypatch):
     import pytest
     from reluqp_tpu.batch import BatchedReLU_QP
