@@ -166,6 +166,9 @@ def proxqp_solve(H, g, A, l, u, tol):  # pragma: no cover - optional dep
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="+", default=None,
+                   help="explicit nx list (overrides the geomspace; lets "
+                        "a timed-out sweep resume at its missing sizes)")
     p.add_argument("--nx-min", type=int, default=10)
     p.add_argument("--nx-max", type=int, default=500)
     p.add_argument("--n-sample", type=int, default=10)
@@ -221,8 +224,9 @@ def main(argv=None):
     except ImportError:
         have_proxqp = False
 
-    nxs = np.unique(np.geomspace(args.nx_min, args.nx_max,
-                                 args.n_sample).astype(int))
+    nxs = (np.asarray(args.sizes, int) if args.sizes
+           else np.unique(np.geomspace(args.nx_min, args.nx_max,
+                                       args.n_sample).astype(int)))
 
     # Warm-up solves so jit compile is excluded (reference :53-55).
     inst = rand_qp(nx=nxs[0], n_eq=max(nxs[0] // 4, 1),
