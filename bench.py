@@ -23,7 +23,6 @@ warm step converges at the first 25-iteration check window — so chain
 length does not change what is measured).
 """
 import json
-import os
 import sys
 import time
 
@@ -44,7 +43,8 @@ def main():
                u_min=-1.0, u_max=1.0, prestabilize=True,
                eps_abs=1e-3, check_interval=25, max_iter=2000)
 
-    rng = np.random.RandomState(np.frombuffer(os.urandom(4), np.uint32)[0])
+    from reluqp_tpu.utils.timing import entropy_rng
+    rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
     x0 = 0.05 * rng.randn(NX)
 
     def rollout_s(x, T):

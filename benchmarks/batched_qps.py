@@ -105,21 +105,18 @@ def chunk_us_per_iter(m, n_steps: int = 100) -> float:
     args = lambda eps: (m.Wt_bank, m.bias_all, m.lo, m.hi, m.Y + eps)
 
     def measure(reps_delta):
-        from reluqp_tpu.utils.timing import entropy_rng
+        from reluqp_tpu.utils.timing import entropy_rng, min_delta
         rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
         f_lo, f_hi = mk(2), mk(2 + reps_delta)
         float(jax.device_get(f_lo(*args(rng.uniform(1e-4, 1e-3)))))  # compile
         float(jax.device_get(f_hi(*args(rng.uniform(1e-4, 1e-3)))))
-        t_los, t_his = [], []
-        for i in range(3):
+
+        def timed(f):
             t0 = time.perf_counter()
-            float(jax.device_get(f_lo(*args(rng.uniform(1e-4, 1e-3)))))
-            t_los.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(jax.device_get(f_hi(*args(rng.uniform(1e-4, 1e-3)))))
-            t_his.append(time.perf_counter() - t0)
-        # additive congestion noise → min each side (see utils/timing.py)
-        return min(t_his) - min(t_los)
+            float(jax.device_get(f(*args(rng.uniform(1e-4, 1e-3)))))
+            return time.perf_counter() - t0
+
+        return min_delta(lambda: timed(f_lo), lambda: timed(f_hi))
 
     reps_delta = 10
     d = measure(reps_delta)
@@ -172,21 +169,18 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
                 m.lo, m.hi, Y0 + eps, m._Wt_hi)
 
     def measure(reps):
-        from reluqp_tpu.utils.timing import entropy_rng
+        from reluqp_tpu.utils.timing import entropy_rng, min_delta
         rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
         f_lo, f_hi = mk(1), mk(1 + reps)
         float(jax.device_get(f_lo(*args(rng.uniform(1e-7, 1e-6)))))
         float(jax.device_get(f_hi(*args(rng.uniform(1e-7, 1e-6)))))
-        t_los, t_his = [], []
-        for i in range(3):
+
+        def timed(f):
             t0 = time.perf_counter()
-            float(jax.device_get(f_lo(*args(rng.uniform(1e-7, 1e-6)))))
-            t_los.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(jax.device_get(f_hi(*args(rng.uniform(1e-7, 1e-6)))))
-            t_his.append(time.perf_counter() - t0)
-        # additive congestion noise → min each side (see utils/timing.py)
-        return min(t_his) - min(t_los)
+            float(jax.device_get(f(*args(rng.uniform(1e-7, 1e-6)))))
+            return time.perf_counter() - t0
+
+        return min_delta(lambda: timed(f_lo), lambda: timed(f_hi))
 
     reps = reps_hi - 1
     d = measure(reps)

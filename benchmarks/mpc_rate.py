@@ -76,7 +76,9 @@ def main(argv=None):
     p.add_argument("--sizes", type=int, nargs="+", default=[20, 50, 100])
     p.add_argument("--nu-frac", type=float, default=0.2)
     p.add_argument("--horizon", type=int, default=10)
-    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--steps", type=int, default=4000,
+                   help="long-chain length; the differenced signal must "
+                        "clear the tunnel jitter (docs/perf_notes.md)")
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--backend", default="auto")
     p.add_argument("--alpha", type=float, default=1.0,

@@ -84,23 +84,19 @@ def device_loop_us(m, reps: int = 20) -> float:
     noise_s = 2e-3   # axon tunnel dispatch jitter floor (~±1 ms)
 
     def measure(n):
-        from reluqp_tpu.utils.timing import entropy_rng
+        from reluqp_tpu.utils.timing import entropy_rng, min_delta
         rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
         f_lo, f_hi = mk(2), mk(2 + n)
         float(jax.device_get(f_lo(m.bank, m.qp_dev, y0)))
         float(jax.device_get(f_hi(m.bank, m.qp_dev, y0)))
-        t_los, t_his = [], []
-        for i in range(3):
+
+        def timed(f):
             t0 = _t.perf_counter()
-            float(jax.device_get(f_lo(m.bank, m.qp_dev,
-                                      y0 + rng.uniform(1e-7, 1e-6))))
-            t_los.append(_t.perf_counter() - t0)
-            t0 = _t.perf_counter()
-            float(jax.device_get(f_hi(m.bank, m.qp_dev,
-                                      y0 + rng.uniform(1e-7, 1e-6))))
-            t_his.append(_t.perf_counter() - t0)
-        # additive congestion noise → min each side (see utils/timing.py)
-        return min(t_his) - min(t_los)
+            float(jax.device_get(f(m.bank, m.qp_dev,
+                                   y0 + rng.uniform(1e-7, 1e-6))))
+            return _t.perf_counter() - t0
+
+        return min_delta(lambda: timed(f_lo), lambda: timed(f_hi))
 
     d = measure(reps)
     if d < noise_s:                       # below tunnel jitter: lengthen
@@ -237,6 +233,14 @@ def main(argv=None):
                      args.max_iter)
 
     records = []
+    if args.sizes and os.path.exists(args.out):
+        # resume semantics: keep the finished sizes already flushed to
+        # --out; only the sizes named in --sizes are (re)measured
+        with open(args.out) as f:
+            rerun = set(int(n) for n in nxs)
+            records = [r for r in json.load(f)["records"]
+                       if r["nx"] not in rerun]
+        print(f"resuming: kept {len(records)} records from {args.out}")
     for nx in nxs:
         n_eq = n_ineq = max(int(nx // 4), 1)
         for seed in range(args.seeds):

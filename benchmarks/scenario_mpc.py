@@ -25,7 +25,9 @@ def main(argv=None):
     p.add_argument("--nu", type=int, default=20)
     p.add_argument("--horizon", type=int, default=10)
     p.add_argument("--scenarios", type=int, nargs="+", default=[16, 64, 256])
-    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--steps", type=int, default=4000,
+                   help="long-chain length; the differenced signal must "
+                        "clear the tunnel jitter (docs/perf_notes.md)")
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--iter-precision", default="highest",
                    help="solver iteration precision (highest|high|bf16)")

@@ -68,23 +68,20 @@ def _per_iter_us(runner, Wt, b, lo, hi, y0, mesh=None, axis=None,
             out_specs=rep, check_vma=False))
 
     def measure(r_lo, r_hi):
-        from reluqp_tpu.utils.timing import entropy_rng
+        from reluqp_tpu.utils.timing import entropy_rng, min_delta
         rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
         f_lo, f_hi = chain(r_lo), chain(r_hi)
         float(jax.device_get(f_lo(Wt, b, lo, hi, y0)))
         float(jax.device_get(f_hi(Wt, b, lo, hi, y0)))
-        t_los, t_his = [], []
-        for i in range(3):
+
+        def timed(f):
             t0 = time.perf_counter()
-            float(jax.device_get(f_lo(Wt, b, lo, hi,
-                                      y0 + rng.uniform(1e-4, 1e-3))))
-            t_los.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(jax.device_get(f_hi(Wt, b, lo, hi,
-                                      y0 + rng.uniform(1e-4, 1e-3))))
-            t_his.append(time.perf_counter() - t0)
-        # additive congestion noise → min each side (see utils/timing.py)
-        return min(t_his) - min(t_los), r_hi - r_lo
+            float(jax.device_get(f(Wt, b, lo, hi,
+                                   y0 + rng.uniform(1e-4, 1e-3))))
+            return time.perf_counter() - t0
+
+        return (min_delta(lambda: timed(f_lo), lambda: timed(f_hi)),
+                r_hi - r_lo)
 
     d, span = measure(2, 12)
     if d < _NOISE_S:

@@ -1080,17 +1080,14 @@ def _two_prod(a, b):
     return p, e
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "compensated"))
-def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str, compensated: bool = True):
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str):
     """Device bias refresh ``b_k = B_k g`` at ~setup (fp64-host) accuracy.
 
-    ``compensated=False`` skips the Neumaier-compensated main product and
-    keeps only the hi/lo cross terms (two plain HIGHEST contractions on
-    the MXU). That is the right cost point when ``g`` is itself computed
-    on device in the iteration dtype (the MPC rollout scans): the cross
-    terms remove B's systematic storage rounding, while the compensation
-    would only chase error already below g's own rounding floor — at
-    ~6× the VPU cost, unrolled ``nx`` times inside the scan body.
+    (The MPC rollout scans do NOT use this: their g is affine in the
+    plant state, so they precompute fp64 affine maps instead —
+    ``models/mpc.py:_affine_bias_maps`` — which is both cheaper and
+    more accurate than any on-device contraction with an fp32 g.)
 
     A PLAIN iteration-dtype GEMV here carries ~20-50 ulp of error — fp32
     storage rounding of the fp64 masters plus fp32 product/accumulation
@@ -1111,7 +1108,7 @@ def _bias_split(B_hi, B_lo, G_hi, G_lo, spec: str, compensated: bool = True):
     constant is mantissa-width-specific).
     """
     hp = jax.lax.Precision.HIGHEST
-    if B_hi.dtype != jnp.float32 or not compensated:
+    if B_hi.dtype != jnp.float32:
         out = jnp.einsum(spec, B_hi, G_hi, precision=hp)
         if G_lo is not None:
             out = out + jnp.einsum(spec, B_hi, G_lo, precision=hp)

@@ -41,6 +41,8 @@ __all__ = [
     "solve_sharded_shared",
     "init_distributed",
     "process_local_batch",
+    "local_axis",
+    "host_replicated",
 ]
 
 
@@ -161,7 +163,6 @@ def local_axis(arr, axis: int = 0):
     global order — the inverse of ``process_local_batch`` (a multi-host
     global array spans non-addressable devices, so a plain device_get
     would raise)."""
-    import numpy as np
     shards = sorted(arr.addressable_shards,
                     key=lambda s: s.index[axis].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
@@ -170,7 +171,6 @@ def local_axis(arr, axis: int = 0):
 def host_replicated(a):
     """Host copy of a REPLICATED array (every device holds the full
     value; a non-fully-addressable one is read from a local shard)."""
-    import numpy as np
     if getattr(a, "is_fully_addressable", True):
         return np.asarray(jax.device_get(a))
     return np.asarray(a.addressable_shards[0].data)

@@ -21,7 +21,7 @@ from typing import Callable, Dict, List
 import jax
 
 __all__ = ["Timer", "time_fn", "time_fn_fetched", "fetch",
-           "two_point_step_time", "trace", "entropy_rng"]
+           "two_point_step_time", "trace", "entropy_rng", "min_delta"]
 
 
 def entropy_rng():
@@ -114,23 +114,47 @@ def time_fn(fn: Callable, *args, warmup: int = 1, reps: int = 10,
 
 
 
+def min_delta(timed_lo: Callable[[], float],
+              timed_hi: Callable[[], float], reps: int = 5) -> float:
+    """``min(long samples) − min(short samples)`` over ``reps`` pairs.
+
+    Tunnel congestion is strictly ADDITIVE noise (multi-second stalls
+    observed), so the capability estimate is the per-side minimum: each
+    side's min converges to its true time, while a median of paired
+    deltas stays congested whenever most pairs are (and a min of paired
+    deltas can go negative when only the short dispatch hits a stall).
+    Every ``timed_*`` call must dispatch FRESH input values
+    (``entropy_rng``) and force execution with a scalar device fetch.
+    """
+    t_los, t_his = [], []
+    for _ in range(reps):
+        t_los.append(timed_lo())
+        t_his.append(timed_hi())
+    return min(t_his) - min(t_los)
+
+
 def two_point_step_time(timed: Callable[[object, int], float],
                         fresh_input: Callable[[int], object],
-                        n_lo: int, n_hi: int, reps: int = 3,
-                        noise_s: float = 2e-3) -> float:
+                        n_lo: int, n_hi: int, reps: int = 5,
+                        noise_s: float = 2e-3,
+                        jitter_s: float = 0.05) -> float:
     """Per-step time via the axon-safe two-point fit.
 
     ``timed(x, n)`` runs an n-step on-device chain on input ``x`` and
     returns elapsed seconds (it must force execution with a scalar
     ``jax.device_get``); ``fresh_input(j)`` must return a NEW input value
-    for every call (the tunnel memoizes repeated identical dispatches).
-    The fixed per-dispatch overhead cancels in ``t(n_hi) − t(n_lo)``.
-    Callers compile both lengths before timing.
+    for every call — never previously dispatched by ANY process (the
+    tunnel memoizes identical dispatches across processes; use
+    ``entropy_rng``). The fixed per-dispatch overhead cancels in
+    ``t(n_hi) − t(n_lo)``, estimated as ``min_delta`` (min per side —
+    congestion noise is additive). Callers compile both lengths before
+    timing.
 
-    When the median delta sits inside the tunnel's dispatch jitter
-    (``noise_s``), the long chain is stretched 8× (one untimed compile
-    pass first) and the fit retried; still-unmeasurable returns NaN —
-    never a clamped fabrication.
+    When the delta does not clear the tunnel's ±40–60 ms dispatch
+    jitter (``jitter_s``), the long chain is stretched 8× (one untimed
+    compile pass first) and the fit retried; a delta still below the
+    unmeasurable floor (``noise_s``) returns NaN — never a clamped
+    fabrication.
     """
     if n_hi <= n_lo:
         raise ValueError(f"need n_hi > n_lo, got {n_lo} >= {n_hi}")
@@ -141,21 +165,12 @@ def two_point_step_time(timed: Callable[[object, int], float],
         return fresh_input(ctr[0])
 
     def measure(nh):
-        # Tunnel congestion is strictly ADDITIVE noise (multi-second
-        # stalls observed), so the capability estimate is min(long) −
-        # min(short): each side's minimum converges to its true time,
-        # while a median of paired deltas stays congested whenever most
-        # pairs are (and a min of paired deltas can go negative when
-        # only the short dispatch hits a stall).
-        t_los, t_his = [], []
-        for _ in range(reps):
-            t_los.append(timed(fresh(), n_lo))
-            t_his.append(timed(fresh(), nh))
-        return min(t_his) - min(t_los)
+        return min_delta(lambda: timed(fresh(), n_lo),
+                         lambda: timed(fresh(), nh), reps)
 
     span = n_hi - n_lo
     d = measure(n_hi)
-    if d < noise_s:
+    if d < jitter_s:
         n_big = n_lo + span * 8
         timed(fresh(), n_big)        # compile pass, untimed
         span = n_big - n_lo
@@ -177,10 +192,10 @@ def two_point_step_time_or_coarse(timed, fresh_input, n_lo, n_hi,
     overhead-cancelled ``method="two_point"`` number. Benchmark scripts
     that print machine-read JSON must stay valid JSON (NaN is not).
 
-    The fallback index (64) stays on the same perturbation scale as the
-    fit's own 1..~13 — callers scale ``fresh_input`` as ``j * eps``, so a
-    huge j would time a structurally different (far-from-steady-state)
-    problem rather than the benchmarked one."""
+    ``fresh_input`` receives an index for compatibility, but callers
+    should ignore it and draw a new ``entropy_rng`` perturbation per
+    call (never-repeating values); the fallback just asks for one more
+    fresh input."""
     d = two_point_step_time(timed, fresh_input, n_lo, n_hi, **kw)
     if math.isfinite(d):
         return d, "two_point"
