@@ -152,7 +152,7 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
                 # (a loop-invariant body would be hoisted out of the scan)
                 res = solve_batched_shared(
                     Wt, bias, rhos, H, A, G, lo, hi,
-                    Y0 + carry * 1e-30, ri0, done0, Wt_hi, m._rho_boost,
+                    Y0 + carry * 1e-30, ri0, done0, Wt_hi, m._rho_eff,
                     rho_mode=m.rho_mode, chunk_runner=runner, **kw)
                 return carry + res.pri_res.sum(), ()
             c, _ = jax.lax.scan(body, jnp.asarray(0.0, m.Y.dtype), None,

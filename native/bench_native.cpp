@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <limits>
 #include <cstdio>
 #include <cstdlib>
 #include <chrono>
@@ -30,7 +31,7 @@ struct RQInfo {
 };
 int rq_build_bank(const double*, const double*, const double*,
                   const uint8_t*, const double*, int, int, int, double,
-                  double*, double*, double*);
+                  double, double*, double*, double*);
 int rq_solve(const double*, const double*, const double*, const double*,
              const double*, const double*, const double*, const double*,
              int, int, int, int, int, double, double, int, double, double,
@@ -131,7 +132,9 @@ int main(int argc, char** argv) {
           b((size_t)n_rho * D), y(D, 0.0);
       double t0 = now_ms();
       rq_build_bank(H.data(), A.data(), g.data(), eq.data(), rhos.data(),
-                    n_rho, nx, nc, 1e-6, W.data(), B.data(), b.data());
+                    n_rho, nx, nc, 1e-6,
+                    std::numeric_limits<double>::infinity(), W.data(),
+                    B.data(), b.data());
       setup_ms += now_ms() - t0;
       RQInfo info{};
       t0 = now_ms();

@@ -127,11 +127,13 @@ int rq_version() { return 10; }  // 0.1.0
 //   H (nx x nx), A (nc x nx), g (nx), eq_mask (nc), rhos (n_rho), sigma
 //   W_out (n_rho x D x D), B_out (n_rho x D x nx), b_out (n_rho x D)
 // with D = nx + 2 nc. Equality rows get rho * 1e3 (reference
-// reluqpth.py:54). Returns 0 on success, -1 if a KKT matrix was not SPD.
+// reluqpth.py:54); rho_cap bounds the per-row effective rho (precision-
+// aware cap, see core/bank.py:auto_rho_cap — pass +inf to disable).
+// Returns 0 on success, -1 if a KKT matrix was not SPD.
 int rq_build_bank(const double* H, const double* A, const double* g,
                   const uint8_t* eq_mask, const double* rhos, int n_rho,
-                  int nx, int nc, double sigma, double* W_out, double* B_out,
-                  double* b_out) {
+                  int nx, int nc, double sigma, double rho_cap,
+                  double* W_out, double* B_out, double* b_out) {
   const int D = nx + 2 * nc;
   int fail = 0;
 #ifdef _OPENMP
@@ -139,8 +141,10 @@ int rq_build_bank(const double* H, const double* A, const double* g,
 #endif
   for (int r = 0; r < n_rho; ++r) {
     std::vector<double> rho_vec(nc);
-    for (int i = 0; i < nc; ++i)
-      rho_vec[i] = eq_mask[i] ? rhos[r] * 1e3 : rhos[r];
+    for (int i = 0; i < nc; ++i) {
+      const double rv = eq_mask[i] ? rhos[r] * 1e3 : rhos[r];
+      rho_vec[i] = rv < rho_cap ? rv : rho_cap;
+    }
 
     // M = H + sigma I + Aᵀ R A
     std::vector<double> M((size_t)nx * nx);

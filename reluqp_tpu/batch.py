@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classes import SETTINGS_FIELDS, Settings
-from .core.bank import (EQ_RHO_BOOST, build_bank_np, equality_mask,
+from .core.bank import (auto_rho_cap, build_bank_np, effective_rho_ladder,
+                        equality_mask,
                         stacked_dim)
 from .core.batched import (BatchSolveResult, solve_batched_hetero,
                            solve_batched_shared)
@@ -330,8 +331,8 @@ class BatchedReLU_QP:
             (batch_led if self.hetero else shared).append("_B_lo")
         if self._Wt_hi is not None:
             (batch_led if self.hetero else shared).append("_Wt_hi")
-        if getattr(self, "_rho_boost", None) is not None:
-            (batch_led if self.hetero else shared).append("_rho_boost")
+        if getattr(self, "_rho_eff", None) is not None:
+            (batch_led if self.hetero else shared).append("_rho_eff")
         for name in batch_led:
             setattr(self, name, glob(getattr(self, name)))
         for name in shared:
@@ -426,11 +427,6 @@ class BatchedReLU_QP:
                 "bank would be wrong — pass batched H/A (hetero mode)")
         self._eq_pattern = eq
         self._l_np, self._u_np = l.copy(), u.copy()
-        self._rho_boost = None
-        if self.settings.alpha != 1.0:
-            self._rho_boost = self._put(
-                jnp.asarray(np.where(eq, EQ_RHO_BOOST, 1.0), dtype=dtype),
-                replicated=True)
 
         # Optional Ruiz equilibration (shared matrices; cost normalized by
         # the batch-mean |g|). Everything below operates on scaled copies;
@@ -459,9 +455,23 @@ class BatchedReLU_QP:
         self._unz = jnp.asarray(sc.Einv, dtype=dtype)
         self._unlam = jnp.asarray(sc.E * sc.cinv, dtype=dtype)
 
+        # Precision-aware effective-ρ cap on the SCALED A (shared across
+        # the batch — one A) and the per-rung ρ⃗ ladder it induces.
+        self.rho_cap = (auto_rho_cap(A, self.settings.eps_abs, dtype,
+                                     self.nx)
+                        if self.settings.rho_cap == "auto"
+                        else float(self.settings.rho_cap))
+        self._rho_eff = None
+        if self.settings.alpha != 1.0:
+            self._rho_eff = self._put(
+                jnp.asarray(effective_rho_ladder(self.rhos_np, eq,
+                                                 self.rho_cap), dtype=dtype),
+                replicated=True)
+
         W, Bm, _ = build_bank_np(H, np.zeros(self.nx), A, eq, self.rhos_np,
                                  self.settings.sigma,
-                                 alpha=float(self.settings.alpha))
+                                 alpha=float(self.settings.alpha),
+                                 rho_cap=self.rho_cap)
         # Runtime layout: Wᵀ per rung, lane-padded to Dp for pallas.
         Wt = np.swapaxes(W, 1, 2)
         if self.Dp != self.D:
@@ -502,10 +512,6 @@ class BatchedReLU_QP:
         eq_masks = equality_mask(l, u, self.settings.eq_tol)   # (B, nc)
         self._eq_pattern = None
         self._l_np, self._u_np = l.copy(), u.copy()
-        self._rho_boost = None
-        if self.settings.alpha != 1.0:
-            self._rho_boost = self._put(
-                jnp.asarray(np.where(eq_masks, EQ_RHO_BOOST, 1.0), dtype=dtype))
         if self.settings.scaling:
             self.scal = ruiz_equilibrate_batch(H, A, g)
         else:
@@ -527,6 +533,21 @@ class BatchedReLU_QP:
         self._unlam = self._put(jnp.asarray(
             np.broadcast_to(Ev * np.reshape(sc.cinv, (-1, 1)),
                             (self.B_n, self.nc)), dtype=dtype))
+
+        # Per-problem precision-aware ρ caps on the SCALED A rows.
+        if self.settings.rho_cap == "auto":
+            caps = np.array([auto_rho_cap(A[i], self.settings.eps_abs,
+                                          dtype, self.nx)
+                             for i in range(self.B_n)])
+        else:
+            caps = np.full(self.B_n, float(self.settings.rho_cap))
+        self.rho_cap = caps
+        self._rho_eff = None
+        if self.settings.alpha != 1.0:
+            self._rho_eff = self._put(jnp.asarray(
+                np.stack([effective_rho_ladder(self.rhos_np, eq_masks[i],
+                                               caps[i])
+                          for i in range(self.B_n)]), dtype=dtype))
 
         N = len(self.rhos_np)
         self._check_bank_memory(N, dtype)
@@ -561,13 +582,15 @@ class BatchedReLU_QP:
                 if use_native:
                     W, Bm, _ = _native.build_bank(H[i], A[i], zero_g,
                                                   eq_masks[i], self.rhos_np,
-                                                  self.settings.sigma)
+                                                  self.settings.sigma,
+                                                  rho_cap=caps[i])
                 else:
                     W, Bm, _ = build_bank_np(H[i], zero_g, A[i],
                                              eq_masks[i], self.rhos_np,
                                              self.settings.sigma,
                                              alpha=float(
-                                                 self.settings.alpha))
+                                                 self.settings.alpha),
+                                             rho_cap=caps[i])
                 Wt[i, :, :D, :D] = np.swapaxes(W, 1, 2)
                 if fp32_mode:
                     hi = Bm.astype(np.float32)
@@ -607,17 +630,19 @@ class BatchedReLU_QP:
         else:
             from .core.bank import build_bank_jnp
 
-            def one(Hi, Ai, eqi):
+            def one(Hi, Ai, eqi, capi):
                 bank = build_bank_jnp(Hi, jnp.zeros((self.nx,), dtype=dtype),
                                       Ai, eqi, self.rhos_np,
                                       self.settings.sigma,
-                                      alpha=float(self.settings.alpha))
+                                      alpha=float(self.settings.alpha),
+                                      rho_cap=capi)
                 return jnp.swapaxes(bank.W, 1, 2), bank.B
 
             Wt, Bb = jax.jit(jax.vmap(one))(
                 self._put(jnp.asarray(H, dtype=dtype)),
                 self._put(jnp.asarray(A, dtype=dtype)),
-                self._put(jnp.asarray(eq_masks)))
+                self._put(jnp.asarray(eq_masks)),
+                self._put(jnp.asarray(caps, dtype=dtype)))
             if Dp != D:
                 Wt = jnp.pad(Wt, ((0, 0), (0, 0), (0, Dp - D), (0, Dp - D)))
                 Bb = jnp.pad(Bb, ((0, 0), (0, 0), (0, Dp - D), (0, 0)))
@@ -861,7 +886,7 @@ class BatchedReLU_QP:
             res = solve_batched_hetero(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                self._Wt_hi, self._rho_boost, chunk_runner=runner, **kw)
+                self._Wt_hi, self._rho_eff, chunk_runner=runner, **kw)
         else:
             runner = pallas_batched_chunk_runner if self._use_pallas else None
             done0 = None
@@ -870,7 +895,7 @@ class BatchedReLU_QP:
             res = solve_batched_shared(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                done0, self._Wt_hi, self._rho_boost, rho_mode=self.rho_mode,
+                done0, self._Wt_hi, self._rho_eff, rho_mode=self.rho_mode,
                 chunk_runner=runner, **kw)
         self._fill_results(res, t0)
         if not stng.warm_starting:
@@ -911,10 +936,7 @@ class BatchedReLU_QP:
         if self.settings.alpha != 1.0:
             # λ = ρ⃗(p − z) at each problem's final rung (relaxed
             # parametrization, core.batched.lam_of).
-            rk = self.rhos[res.rho_ind]
-            if self.rho_mode != "shared":
-                rk = rk[:Bn, None]
-            last = rk * self._rho_boost * (last - z_s)
+            last = self._rho_eff_at(res.rho_ind, Bn) * (last - z_s)
         self.results.lam = last * self._unlam
         self.results.info = info
 
@@ -939,22 +961,30 @@ class BatchedReLU_QP:
         return np.asarray(self._host_stats(obj_s)) * cinv
 
     # ------------------------------------------------------------------ #
-    def _rho_vec_rows(self, rows: int) -> np.ndarray:
-        """(rows, nc) per-problem ρ⃗ at the current ladder indices (host) —
+    def _rho_eff_at(self, rho_ind, Bn: int):
+        """Device (nc,) or (Bn, nc) effective ρ⃗ at the given rung(s) —
         the λ ↔ p conversion factor of the relaxed parametrization."""
+        if self.hetero:
+            return jnp.take_along_axis(
+                self._rho_eff[:Bn], rho_ind[:Bn, None, None],
+                axis=1)[:, 0, :]
+        # shared bank: (N, nc) ladder; rho_ind scalar (shared walk) or
+        # (B,) (per-problem walk) — take() broadcasts both.
+        rv = jnp.take(self._rho_eff, rho_ind, axis=0)
+        return rv if rv.ndim == 1 else rv[:Bn]
+
+    def _rho_vec_rows(self, rows: int) -> np.ndarray:
+        """(rows, nc) per-problem ρ⃗ at the current ladder indices (host)."""
         if self.rho_mode == "shared":
-            rho_vals = np.full((rows, 1),
-                               self.rhos_np[int(jax.device_get(self.rho_ind))])
+            ind = np.full((rows,), int(jax.device_get(self.rho_ind)))
         else:
             ind = np.asarray(self._local_rows(self.rho_ind))[:rows]
-            rho_vals = self.rhos_np[ind][:, None]
         if self.hetero:
-            boost = np.asarray(self._local_rows(self._rho_boost),
-                               np.float64)[:rows]
-        else:
-            boost = np.asarray(jax.device_get(self._rho_boost),
-                               np.float64)[None, :]
-        return rho_vals * boost
+            eff = np.asarray(self._local_rows(self._rho_eff),
+                             np.float64)[:rows]         # (rows, N, nc)
+            return eff[np.arange(rows), ind]
+        eff = np.asarray(jax.device_get(self._rho_eff), np.float64)
+        return eff[ind]
 
     def warm_start(self, x=None, z=None, lam=None):
         """Inject primal/dual state (process-local rows in multi-host
@@ -974,10 +1004,7 @@ class BatchedReLU_QP:
             nx, nc = self.nx, self.nc
             Bn = self.B_n
             Y = self.Y
-            rk = self.rhos[self.rho_ind]
-            if self.rho_mode != "shared":
-                rk = rk[:, None]
-            rv = rk * self._rho_boost        # (nc,) or (B, nc), broadcasts
+            rv = self._rho_eff_at(self.rho_ind, Bn)  # (nc,) or (Bn, nc)
             z_s = Y[:Bn, nx:nx + nc]
             lam_s = rv * (Y[:Bn, nx + nc:nx + 2 * nc] - z_s)
             if x is not None:

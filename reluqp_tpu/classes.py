@@ -175,6 +175,17 @@ class Settings:
     # iter_precision="highest". Under "bf16" the refine phase keeps an
     # fp32 copy of the W bank (1.5× bank memory).
     refine: bool = True
+    # Precision-aware cap on the per-row effective ρ (TPU extension;
+    # ``core.bank.auto_rho_cap``). In a float32 iterate, ladder rungs with
+    # ρ_row above ~θ·eps_abs·√nx/(eps_f32·σ_max(A)²) carry a dual-residual
+    # noise floor that can never certify eps_abs — the ρ estimator then
+    # wastes 2–20× the fp64 iteration count walking back down. "auto"
+    # computes that bound at setup (∞ for float64: exact reference
+    # semantics); a float pins it; ``float("inf")`` disables capping.
+    # Bank-invalidating (immutable after setup); frozen against the
+    # setup-time eps_abs — tightening eps_abs later via update_settings
+    # does not re-derive it.
+    rho_cap: Any = "auto"
     device: Optional[Any] = None
     precision: Any = "float32"
     # TPU-native extension: which iteration backend to use.
@@ -198,6 +209,13 @@ class Settings:
             raise ValueError("adaptive_rho_interval must be >= 0")
         if not (0.0 < self.alpha < 2.0):
             raise ValueError("alpha must be in (0, 2)")
+        if isinstance(self.rho_cap, str):
+            if self.rho_cap != "auto":
+                raise ValueError(
+                    f"rho_cap must be 'auto' or a positive float, got "
+                    f"{self.rho_cap!r}")
+        elif not (float(self.rho_cap) > 0.0):
+            raise ValueError("rho_cap must be > 0")
         if self.backend not in ("auto", "xla", "pallas", "fused"):
             raise ValueError(f"Invalid backend {self.backend!r}")
         if self.iter_precision not in ("highest", "high", "default", "bf16"):

@@ -41,15 +41,81 @@ __all__ = [
     "build_bank_jnp",
     "clamp_bounds",
     "stacked_dim",
+    "auto_rho_cap",
+    "effective_rho_ladder",
+    "sigma_max_sq",
 ]
 
 # Equality-row penalty boost: ρ⃗ = ρ · EQ_RHO_BOOST on rows with u−l ≤ eq_tol
 # (reference ``reluqpth.py:54,65``). The bank build and every λ = ρ⃗(p − z)
 # reconstruction site (results, warm starts, certificates, checkpoints) MUST
-# use the same value — import this constant, never re-literal it. The native
-# C++ builder (``native/reluqp_native.cpp:143``) mirrors it and is
-# cross-checked against the numpy bank in ``tests/test_native.py``.
+# use the same per-row effective ρ — form it with ``effective_rho_ladder``
+# (or ``min(rho · boost, rho_cap)`` elementwise), never re-literal it. The
+# native C++ builder (``native/reluqp_native.cpp``) mirrors both the boost
+# and the cap and is cross-checked against the numpy bank in
+# ``tests/test_native.py``.
 EQ_RHO_BOOST = 1e3
+
+
+def sigma_max_sq(A: np.ndarray, iters: int = 40) -> float:
+    """σ_max(A)² via fp64 power iteration on AᵀA (deterministic start).
+
+    Setup-time helper for ``auto_rho_cap``; ~``iters`` matvec pairs, exact
+    enough for an order-of-magnitude cap (the iteration converges fast for
+    the non-degenerate spectra this is used on)."""
+    A = np.asarray(A, dtype=np.float64)
+    if A.size == 0:
+        return 0.0
+    v = np.ones(A.shape[1]) / np.sqrt(A.shape[1])
+    s = 0.0
+    for _ in range(iters):
+        w = A.T @ (A @ v)
+        s = float(np.linalg.norm(w))
+        if s <= 0.0:
+            return 0.0
+        v = w / s
+    return s
+
+
+def auto_rho_cap(A, eps_abs: float, dtype, nx: int,
+                 theta: float = 0.1) -> float:
+    """Precision-aware cap on the per-row effective ρ (TPU extension).
+
+    In a reduced-precision iterate the dual variable carries an absolute
+    noise floor ≈ ``eps_mach · ρ_row · σ_max(A)²`` (the λ-update rows of W
+    scale with ρ, so matvec rounding injects error ∝ ρ; measured on the
+    random-QP family, see ``docs/perf_notes.md``). Rungs whose effective ρ
+    exceeds ``θ · eps_abs · √nx / (eps_mach · σ_max²)`` can never certify
+    ``dua < eps_abs·√nx`` — the ρ estimator then burns check windows
+    walking back down the ladder (2–20× the fp64 iteration count at the
+    default tolerance). Capping the per-row ρ at that bound restores fp64
+    iteration counts while leaving every rung the floor permits — in
+    particular the ×1e3 equality boost keeps its full effect at the rungs
+    equality-dominated problems (sparse MPC) converge on.
+
+    Returns ``inf`` for float64 iterates (exact reference semantics) and
+    whenever σ_max is degenerate; otherwise the θ-scaled bound clamped to
+    ≥ 1.0 so the low ladder rungs always stay distinct.
+    """
+    if np.dtype(dtype) == np.float64:
+        return float("inf")
+    eps_mach = float(np.finfo(np.dtype(dtype)).eps)
+    s2 = sigma_max_sq(A)
+    if not np.isfinite(s2) or s2 <= 0.0:
+        return float("inf")
+    cap = theta * float(eps_abs) * float(np.sqrt(max(nx, 1))) / (eps_mach * s2)
+    return float(max(cap, 1.0))
+
+
+def effective_rho_ladder(rhos: np.ndarray, eq_mask: np.ndarray,
+                         rho_cap: float = np.inf) -> np.ndarray:
+    """Per-rung effective per-row ρ: ``min(ρ_k · boost_row, rho_cap)``.
+
+    Shape (N_rho, nc) fp64. This is THE definition of ρ⃗ everywhere — bank
+    build, λ = ρ⃗(p − z) reconstruction, rung-switch re-encoding."""
+    rhos = np.asarray(rhos, dtype=np.float64)
+    boost = np.where(np.asarray(eq_mask, bool), EQ_RHO_BOOST, 1.0)
+    return np.minimum(rhos[:, None] * boost[None, :], rho_cap)
 
 
 class Bank(NamedTuple):
@@ -165,12 +231,13 @@ def _cho_solve(cf, I):
 
 def build_bank_np(H: np.ndarray, g: np.ndarray, A: np.ndarray,
                   eq_mask: np.ndarray, rhos: np.ndarray, sigma: float,
-                  alpha: float = 1.0):
+                  alpha: float = 1.0, rho_cap: float = np.inf):
     """fp64 host bank build over the whole ladder.
 
     Returns numpy ``(W, B, b)`` with shapes (N,D,D), (N,D,nx), (N,D).
     ``alpha != 1`` builds the over-relaxed [x; z; p] parametrization
-    (see ``_bank_blocks_np``).
+    (see ``_bank_blocks_np``). ``rho_cap`` bounds the per-row effective ρ
+    (see ``auto_rho_cap``; ``inf`` = exact reference semantics).
     """
     H = np.asarray(H, dtype=np.float64)
     g = np.asarray(g, dtype=np.float64).reshape(-1)
@@ -181,21 +248,22 @@ def build_bank_np(H: np.ndarray, g: np.ndarray, A: np.ndarray,
     N = rhos.shape[0]
     W = np.empty((N, D, D), dtype=np.float64)
     B = np.empty((N, D, nx), dtype=np.float64)
-    for k, rho in enumerate(rhos):
-        rho_vec = np.full((nc,), rho, dtype=np.float64)
-        rho_vec[eq_mask] = rho * EQ_RHO_BOOST
-        W[k], B[k] = _bank_blocks_np(H, A, rho_vec, sigma, alpha)
+    rho_eff = effective_rho_ladder(rhos, eq_mask, rho_cap)
+    for k in range(N):
+        W[k], B[k] = _bank_blocks_np(H, A, rho_eff[k], sigma, alpha)
     b = np.einsum("kdx,x->kd", B, g)
     return W, B, b
 
 
-def build_bank_jnp(H, g, A, eq_mask, rhos, sigma, alpha: float = 1.0):
+def build_bank_jnp(H, g, A, eq_mask, rhos, sigma, alpha: float = 1.0,
+                   rho_cap=jnp.inf):
     """On-device bank build: one vmapped batched solve over the ladder.
 
     jit-friendly; dtype follows the inputs. Used for building banks for many
     problems at once (vmap this over a problem batch). ``alpha`` must be a
     static Python float; ``alpha != 1`` builds the over-relaxed [x; z; p]
-    parametrization (see ``_bank_blocks_np``).
+    parametrization (see ``_bank_blocks_np``). ``rho_cap`` may be a traced
+    scalar (per-problem caps vmap over it).
     """
     H = jnp.asarray(H)
     g = jnp.asarray(g)
@@ -208,8 +276,11 @@ def build_bank_jnp(H, g, A, eq_mask, rhos, sigma, alpha: float = 1.0):
     Ic = jnp.eye(nc, dtype=dtype)
     sigma = jnp.asarray(sigma, dtype=dtype)
 
+    cap = jnp.asarray(rho_cap, dtype=dtype)
+
     def one(rho):
-        rho_vec = jnp.where(eq_mask, rho * EQ_RHO_BOOST, rho).astype(dtype)
+        rho_vec = jnp.minimum(
+            jnp.where(eq_mask, rho * EQ_RHO_BOOST, rho), cap).astype(dtype)
         M = H + sigma * Ix + A.T @ (rho_vec[:, None] * A)
         K = jnp.linalg.solve(M, Ix)
         KAt = K @ A.T

@@ -308,7 +308,7 @@ def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
 )
 def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          rho_ind0, done0=None, Wt_bank_hi=None,
-                         rho_boost=None, *,
+                         rho_eff=None, *,
                          nx: int, nc: int,
                          max_iter: int, check_interval: int,
                          adaptive_rho: bool, adaptive_rho_tolerance: float,
@@ -375,11 +375,13 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
 
     def lam_of(Y, rho_ind):
         """True λ: the slot (alpha=1) or ρ⃗(p − z) of the relaxed
-        parametrization (see ``iteration.solve_loop``)."""
+        parametrization — ``rho_eff`` is the (N_rho, nc) shared
+        effective-ρ ladder (see ``iteration.solve_loop``)."""
         X, Z, last = split(Y)
         if alpha == 1.0:
             return last
-        return rung_rho(rho_ind) * rho_boost * (last - Z)
+        # (nc,) in shared-rho mode, (B, nc) with per-problem rungs.
+        return jnp.take(rho_eff, rho_ind, axis=0) * (last - Z)
 
     def check(Y, rho, rho_ind):
         X, Z, _ = split(Y)
@@ -429,11 +431,11 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                 chk = -((-(k + n_steps)) // check_interval)
                 new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
             if alpha != 1.0:
-                # Re-encode p for the new rung (scale 1 where it held;
-                # done rows froze new_ind so they are no-ops too).
-                scale = rhos_t[rho_ind] / rhos_t[new_ind]
-                if not shared:
-                    scale = scale[:, None]
+                # Re-encode p for the new rung with the elementwise
+                # ρ⃗_old/ρ⃗_new (all-ones where it held — incl. capped
+                # rows and done rows, whose new_ind froze).
+                scale = (jnp.take(rho_eff, rho_ind, axis=0)
+                         / jnp.take(rho_eff, new_ind, axis=0))
                 Z_cur = Y[:, nx:nx + nc]
                 P_cur = Y[:, nx + nc:nx + 2 * nc]
                 Y = Y.at[:, nx + nc:nx + 2 * nc].set(
@@ -514,7 +516,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                      "alpha"),
 )
 def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
-                         rho_ind0, Wt_bank_hi=None, rho_boost=None, *,
+                         rho_ind0, Wt_bank_hi=None, rho_eff=None, *,
                          nx: int, nc: int,
                          max_iter: int,
                          check_interval: int, adaptive_rho: bool,
@@ -559,13 +561,19 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
     def split(Y):
         return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
 
+    def _rho_vec(rho_ind):
+        """(B, nc) effective per-row ρ at each problem's rung —
+        ``rho_eff`` is (B, N_rho, nc) (per-problem equality patterns and
+        per-problem ρ caps)."""
+        return jnp.take_along_axis(
+            rho_eff, rho_ind[:, None, None], axis=1)[:, 0, :]
+
     def lam_of(Y, rho_ind):
-        """True λ: the slot (alpha=1) or ρ⃗(p − z) — rho_boost is (B, nc)
-        here (per-problem equality patterns)."""
+        """True λ: the slot (alpha=1) or ρ⃗(p − z)."""
         X, Z, last = split(Y)
         if alpha == 1.0:
             return last
-        return rhos_t[rho_ind][:, None] * rho_boost * (last - Z)
+        return _rho_vec(rho_ind) * (last - Z)
 
     def step(state, n_steps: int, W_op, precision: str):
         if check_infeasibility:
@@ -592,7 +600,7 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
             if alpha != 1.0:
                 # p re-encodes for each problem's new rung (see
                 # solve_batched_shared).
-                scale = (rhos_t[rho_ind] / rhos_t[new_ind])[:, None]
+                scale = _rho_vec(rho_ind) / _rho_vec(new_ind)
                 P_cur = Y[:, nx + nc:nx + 2 * nc]
                 Y = Y.at[:, nx + nc:nx + 2 * nc].set(
                     Z + scale * (P_cur - Z))

@@ -299,7 +299,7 @@ def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
     ),
 )
 def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
-               rho_boost=None, *,
+               rho_eff=None, *,
                nx: int, nc: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
@@ -337,8 +337,9 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
     ``alpha != 1`` (ADMM over-relaxation, OSQP §5.2) runs the bank built
     in the [x; z; p] parametrization (``bank._bank_blocks_np``): λ is
     reconstructed as ``ρ⃗ (p − z)`` for residuals/certificates using
-    ``rho_boost`` (the (nc,) equality-row ×1e3 boost vector), and a rung
-    switch rescales p by the scalar ρ_old/ρ_new (the boost cancels).
+    ``rho_eff`` (the (N_rho, nc) per-rung effective per-row ρ:
+    ``min(ρ_k · eq_boost, rho_cap)`` — ``core.bank.effective_rho_ladder``),
+    and a rung switch re-encodes p elementwise by ρ⃗_old/ρ⃗_new.
     """
     dtype = y0.dtype
     eps = jnp.asarray(eps_abs, dtype=dtype)
@@ -359,7 +360,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
         x, z, last = split(y)
         if alpha == 1.0:
             return last
-        return bank.rhos[rho_ind] * rho_boost * (last - z)
+        rv = lax.dynamic_index_in_dim(rho_eff, rho_ind, 0, keepdims=False)
+        return rv * (last - z)
 
     def check(y, rho, rho_ind):
         x, z, _ = split(y)
@@ -393,9 +395,12 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
                 new_ind = jnp.where(chk % rho_stride == 0, new_ind, rho_ind)
             if alpha != 1.0:
                 # p is rung-scaled (p = z + R⁻¹λ): re-encode for the new
-                # rung. The eq-row boost cancels, so the scale is the
-                # scalar ρ_old/ρ_new (exactly 1 when the rung held).
-                scale = bank.rhos[rho_ind] / bank.rhos[new_ind]
+                # rung with the elementwise ρ⃗_old/ρ⃗_new (all-ones when
+                # the rung held; the rho_cap makes it row-dependent).
+                scale = (lax.dynamic_index_in_dim(rho_eff, rho_ind, 0,
+                                                  keepdims=False)
+                         / lax.dynamic_index_in_dim(rho_eff, new_ind, 0,
+                                                    keepdims=False))
                 z_cur = y[nx:nx + nc]
                 p_cur = y[nx + nc:nx + 2 * nc]
                 y = y.at[nx + nc:nx + 2 * nc].set(

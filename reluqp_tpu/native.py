@@ -89,9 +89,10 @@ def available() -> bool:
         return False
 
 
-def build_bank(H, A, g, eq_mask, rhos, sigma
+def build_bank(H, A, g, eq_mask, rhos, sigma, rho_cap: float = np.inf
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Native fp64 bank build; same contract as ``core.bank.build_bank_np``."""
+    """Native fp64 bank build; same contract as ``core.bank.build_bank_np``
+    (incl. the precision-aware ``rho_cap`` on the per-row effective ρ)."""
     lib = _load()
     H = np.ascontiguousarray(H, dtype=np.float64)
     A = np.ascontiguousarray(A, dtype=np.float64)
@@ -108,7 +109,8 @@ def build_bank(H, A, g, eq_mask, rhos, sigma
         _dptr(H), _dptr(A), _dptr(g),
         eq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         _dptr(rhos), ctypes.c_int(N), ctypes.c_int(nx), ctypes.c_int(nc),
-        ctypes.c_double(sigma), _dptr(W), _dptr(B), _dptr(b))
+        ctypes.c_double(sigma), ctypes.c_double(rho_cap),
+        _dptr(W), _dptr(B), _dptr(b))
     if rc != 0:
         raise RuntimeError("native bank build failed (KKT not SPD)")
     return W, B, b

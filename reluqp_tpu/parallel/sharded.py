@@ -66,7 +66,7 @@ def replicate(arr, mesh: Mesh):
 
 def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
                          lo, hi, Y0, rho_ind0, *, done0=None,
-                         Wt_bank_hi=None, rho_boost=None,
+                         Wt_bank_hi=None, rho_eff=None,
                          axis_name: str = "qp",
                          rho_mode: str = "shared",
                          **solve_kw) -> BatchSolveResult:
@@ -107,17 +107,18 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
     args = [Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
             jnp.asarray(rho_ind0, jnp.int32)]
     has_done, has_hi = done0 is not None, Wt_bank_hi is not None
-    has_boost = rho_boost is not None
+    has_eff = rho_eff is not None
     if has_done:
         in_specs.append(bat)
         args.append(done0)
     if has_hi:
         in_specs.append(rep)
         args.append(Wt_bank_hi)
-    if has_boost:
-        # (nc,) equality-row boost for λ reconstruction under alpha != 1
+    if has_eff:
+        # (N_rho, nc) effective-ρ ladder for λ reconstruction under
+        # alpha != 1 (shared bank ⇒ replicated)
         in_specs.append(rep)
-        args.append(rho_boost)
+        args.append(rho_eff)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=tuple(in_specs),
              out_specs=out_specs, check_vma=False)
@@ -127,9 +128,9 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
         i += int(has_done)
         w_hi = a[i] if has_hi else None
         i += int(has_hi)
-        boost = a[i] if has_boost else None
+        eff = a[i] if has_eff else None
         return solve_batched_shared(
-            *a[:10], d0, w_hi, boost,
+            *a[:10], d0, w_hi, eff,
             rho_mode=rho_mode, axis_name=axis_name, **solve_kw)
 
     return run(*args)

@@ -103,7 +103,7 @@ def tp_chunk_runner(axis_name: str = "tp"):
 
 
 def solve_loop_tp(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0,
-                  W_hi=None, rho_boost=None, *, mesh: Mesh,
+                  W_hi=None, rho_eff=None, *, mesh: Mesh,
                   axis_name: str = "tp", **solve_kw) -> SolveResult:
     """``core.iteration.solve_loop`` under ``shard_map`` with the
     column-sharded bank.
@@ -121,13 +121,13 @@ def solve_loop_tp(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0,
                 rep, rep, rep]
     args = [bank, qp, y0, jnp.asarray(rho_ind0, jnp.int32),
             jnp.asarray(rho0, y0.dtype)]
-    has_hi, has_boost = W_hi is not None, rho_boost is not None
+    has_hi, has_eff = W_hi is not None, rho_eff is not None
     if has_hi:
         in_specs.append(wspec)
         args.append(W_hi)
-    if has_boost:
+    if has_eff:
         in_specs.append(rep)
-        args.append(rho_boost)
+        args.append(rho_eff)
     runner = tp_chunk_runner(axis_name)
     out_specs = SolveResult(*([rep] * len(SolveResult._fields)))
 
@@ -137,8 +137,8 @@ def solve_loop_tp(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0,
         i = 5
         w_hi = a[i] if has_hi else None
         i += int(has_hi)
-        boost = a[i] if has_boost else None
-        return solve_loop(a[0], a[1], a[2], a[3], a[4], w_hi, boost,
+        eff = a[i] if has_eff else None
+        return solve_loop(a[0], a[1], a[2], a[3], a[4], w_hi, eff,
                           chunk_runner=runner, **solve_kw)
 
     return run(*args)

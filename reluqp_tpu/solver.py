@@ -32,8 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classes import QP, SETTINGS_FIELDS, Info, Results, Settings
-from .core.bank import (EQ_RHO_BOOST, Bank, DeviceQP, build_bank_np,
-                        clamp_bounds, equality_mask, stacked_dim)
+from .core.bank import (Bank, DeviceQP, auto_rho_cap, build_bank_np,
+                        clamp_bounds, effective_rho_ladder, equality_mask,
+                        stacked_dim)
 from .core.iteration import solve_loop, xla_chunk_runner
 from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import (LANE, pad_dim, pallas_chunk_runner,
@@ -119,6 +120,7 @@ class ReLU_QP:
               alpha=1.0,
               iter_precision="highest",
               refine=True,
+              rho_cap="auto",
               device=None,
               precision="float32",
               backend="auto",
@@ -152,8 +154,8 @@ class ReLU_QP:
             check_infeasibility=check_infeasibility,
             eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf,
             rho_jump=rho_jump, alpha=alpha, iter_precision=iter_precision,
-            refine=refine, device=device, precision=precision,
-            backend=backend)
+            refine=refine, rho_cap=rho_cap, device=device,
+            precision=precision, backend=backend)
         stng = self.settings
         dtype = stng.precision_dtype
 
@@ -183,6 +185,13 @@ class ReLU_QP:
                                   stng.adaptive_rho,
                                   stng.adaptive_rho_tolerance)
         self.rho_ind = initial_rho_index(self.rhos_np, stng.rho)
+        # Precision-aware effective-ρ cap (computed on the SCALED A; see
+        # ``core.bank.auto_rho_cap``) and the per-rung effective per-row ρ
+        # ladder it induces — the single source of truth for ρ⃗.
+        self.rho_cap = (auto_rho_cap(self._A_s, stng.eps_abs, dtype, nx)
+                        if stng.rho_cap == "auto" else float(stng.rho_cap))
+        self._rho_eff_np = effective_rho_ladder(self.rhos_np, self.eq_mask,
+                                                self.rho_cap)
 
         # Backend pick + padded dimension. Tiers (auto, best first):
         #   "fused"  — whole-solve Pallas kernel, entire bank in VMEM;
@@ -229,11 +238,12 @@ class ReLU_QP:
             from . import native as _native
             W_np, B_np, b_np = _native.build_bank(
                 self._H_s, self._A_s, self._g_s, self.eq_mask,
-                self.rhos_np, stng.sigma)
+                self.rhos_np, stng.sigma, rho_cap=self.rho_cap)
         else:
             W_np, B_np, b_np = build_bank_np(
                 self._H_s, self._g_s, self._A_s, self.eq_mask,
-                self.rhos_np, stng.sigma, alpha=float(stng.alpha))
+                self.rhos_np, stng.sigma, alpha=float(stng.alpha),
+                rho_cap=self.rho_cap)
         w_dtype = jnp.bfloat16 if stng.iter_precision == "bf16" else None
         # Placement targets: with a mesh, the bank is column-sharded and
         # everything else replicated over it.
@@ -269,12 +279,11 @@ class ReLU_QP:
         self._unscale_z = put(jnp.asarray(self.scal.Einv, dtype=dtype))
         self._unscale_lam = put(jnp.asarray(self.scal.E * self.scal.cinv,
                                             dtype=dtype))
-        # Equality-row ρ-boost vector, needed on device to reconstruct
+        # Per-rung effective per-row ρ, needed on device to reconstruct
         # λ = ρ⃗(p − z) under the relaxed (alpha != 1) parametrization.
-        self._rho_boost = None
+        self._rho_eff = None
         if stng.alpha != 1.0:
-            self._rho_boost = put(jnp.asarray(
-                np.where(self.eq_mask, EQ_RHO_BOOST, 1.0), dtype=dtype))
+            self._rho_eff = put(jnp.asarray(self._rho_eff_np, dtype=dtype))
 
         # Whole-solve kernel operands (residual operator + padded g row).
         if self._fused:
@@ -468,7 +477,7 @@ class ReLU_QP:
                 setattr(self.settings, key, value)
             elif key in ("rho", "rho_min", "rho_max", "sigma", "adaptive_rho",
                          "adaptive_rho_interval", "adaptive_rho_tolerance",
-                         "alpha"):
+                         "alpha", "rho_cap"):
                 raise ValueError(f"Cannot change {key} after setup")
             else:
                 raise ValueError(f"Invalid setting: {key}")
@@ -502,12 +511,12 @@ class ReLU_QP:
         if self._mesh is not None:
             res = solve_loop_tp(
                 self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
-                self._W_hi, self._rho_boost, mesh=self._mesh,
+                self._W_hi, self._rho_eff, mesh=self._mesh,
                 axis_name=self._tp_axis, **loop_kw)
         else:
             res = solve_loop(
                 self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
-                self._W_hi, self._rho_boost,
+                self._W_hi, self._rho_eff,
                 chunk_runner=self._chunk_runner, **loop_kw)
 
         self.y = res.y
@@ -529,8 +538,7 @@ class ReLU_QP:
         if stng.alpha != 1.0:
             # λ = ρ⃗(p − z) in the relaxed parametrization, at the rung the
             # solve finished on.
-            last = (float(self.rhos_np[self.rho_ind]) * self._rho_boost
-                    * (last - z_s))
+            last = self._rho_eff[self.rho_ind] * (last - z_s)
         lam = last * self._unscale_lam
 
         from .core.iteration import STATUS_STRINGS
@@ -598,9 +606,8 @@ class ReLU_QP:
     # warm start / reset                                                 #
     # ------------------------------------------------------------------ #
     def _rho_vec_np(self, rho_ind: int) -> np.ndarray:
-        """ρ⃗ at a rung: ladder value with the eq-row boost (host)."""
-        return self.rhos_np[rho_ind] * np.where(self.eq_mask, EQ_RHO_BOOST,
-                                                1.0)
+        """ρ⃗ at a rung: capped eq-boosted effective per-row ρ (host)."""
+        return self._rho_eff_np[rho_ind]
 
     def warm_start(self, x=None, z=None, lam=None, rho: Optional[float] = None):
         """Inject primal/dual state and/or re-pick ρ (reference

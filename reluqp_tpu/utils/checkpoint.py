@@ -66,6 +66,9 @@ def save_solver(solver, path: str) -> None:
         Dp=np.asarray(solver.Dp),
         scal_D=solver.scal.D, scal_E=solver.scal.E,
         scal_c=np.asarray(solver.scal.c),
+        # Resolved at setup (the bank was built with it); older files
+        # without this field were built uncapped -> inf on load.
+        rho_cap=np.asarray(solver.rho_cap),
     )
 
 
@@ -73,7 +76,7 @@ def load_solver(path: str, device=None):
     """Restore a ``ReLU_QP`` from ``save_solver`` output WITHOUT
     re-factorizing: the runtime-layout bank is device_put directly."""
     from ..classes import QP, Info, Results, Settings
-    from ..core.bank import EQ_RHO_BOOST, Bank, DeviceQP, equality_mask
+    from ..core.bank import Bank, DeviceQP, equality_mask
     from ..core.iteration import xla_chunk_runner
     from ..ops.fused_step import pad_dim, pallas_chunk_runner, \
         vmem_bytes_needed
@@ -147,7 +150,13 @@ def load_solver(path: str, device=None):
     solver._unscale_x = put(solver.scal.D)
     solver._unscale_z = put(solver.scal.Einv)
     solver._unscale_lam = put(solver.scal.E * solver.scal.cinv)
-    solver._rho_boost = put(np.where(solver.eq_mask, EQ_RHO_BOOST, 1.0)) \
+    from ..core.bank import effective_rho_ladder
+    solver.rho_cap = float(data["rho_cap"]) if "rho_cap" in data \
+        else float("inf")
+    solver._rho_eff_np = effective_rho_ladder(solver.rhos_np,
+                                              solver.eq_mask,
+                                              solver.rho_cap)
+    solver._rho_eff = put(solver._rho_eff_np) \
         if stng.alpha != 1.0 else None
     solver.y = put(data["y"])
     jax.block_until_ready((solver.bank, solver.qp_dev, solver.y))
@@ -240,6 +249,7 @@ def save_batched_solver(m, path: str) -> None:
         unlam=hetero_led(m._unlam),
         scal_D=np.asarray(m.scal.D), scal_E=np.asarray(m.scal.E),
         scal_c=np.asarray(m.scal.c),
+        rho_cap=np.asarray(m.rho_cap),
         eq_pattern=eq, l_np=m._l_np, u_np=m._u_np,
         # Setup-accurate bias + hi/lo cast residuals (fp64 bias fidelity
         # survives the round trip; see batch._bias_split).
@@ -327,7 +337,7 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     """
     from ..batch import BatchedReLU_QP, BatchInfo, BatchResults
     from ..classes import Settings
-    from ..core.bank import EQ_RHO_BOOST, stacked_dim
+    from ..core.bank import stacked_dim
     from ..ops.fused_step import batch_tile_rows, pad_dim, round_up
     from ..solver import _is_tpu
     from .scaling import Scaling
@@ -452,13 +462,23 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
                                                            dtype=dtype)
     m._unlam = put(data["unlam"]) if m.hetero \
         else jnp.asarray(data["unlam"], dtype=dtype)
-    m._rho_boost = None
+    m.rho_cap = (np.asarray(data["rho_cap"]) if "rho_cap" in data
+                 else (np.full(m.B_n, np.inf) if m.hetero
+                       else float("inf")))
+    m._rho_eff = None
     if stng.alpha != 1.0:
+        from ..core.bank import effective_rho_ladder as _eff
         from ..core.bank import equality_mask as _eqm
-        eq_b = (_eqm(m._l_np, m._u_np, stng.eq_tol) if m.hetero
-                else m._eq_pattern)
-        m._rho_boost = put(np.where(eq_b, EQ_RHO_BOOST, 1.0),
-                           rep=not m.hetero)
+        if m.hetero:
+            eq_b = _eqm(m._l_np, m._u_np, stng.eq_tol)
+            caps = np.broadcast_to(np.asarray(m.rho_cap, float),
+                                   (eq_b.shape[0],))
+            m._rho_eff = put(np.stack(
+                [_eff(m.rhos_np, eq_b[i], caps[i])
+                 for i in range(eq_b.shape[0])]))
+        else:
+            m._rho_eff = put(_eff(m.rhos_np, m._eq_pattern,
+                                  float(m.rho_cap)), rep=True)
     if "G_lo" in data:
         g_lo = np.asarray(data["G_lo"])
         m._G_lo = put(g_lo) if g_lo.size else None
