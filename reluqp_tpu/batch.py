@@ -917,7 +917,9 @@ class BatchedReLU_QP:
                                  res.n_iter_fast))
         run_time = time.perf_counter() - t0
         iters, conv, pri, dua, rho_est, n_tot, scode, n_fast = host
-        info = self.info
+        # Per-solve snapshots (same contract as ReLU_QP.solve): a
+        # BatchResults held by the caller is not mutated by later solves.
+        info = dataclasses.replace(self.info)
         info.iter = np.asarray(iters)[:Bn]
         info.status = np.asarray(conv)[:Bn]
         info.status_code = np.asarray(scode)[:Bn]
@@ -929,16 +931,15 @@ class BatchedReLU_QP:
         info.obj_val = None  # computed lazily via objective()
         info.run_time = run_time
         info.solve_time = info.update_time + run_time
-        self.results.x = x
         z_s = res.Y[:Bn, nx:nx + nc]
-        self.results.z = z_s * self._unz
         last = res.Y[:Bn, nx + nc:nx + 2 * nc]
         if self.settings.alpha != 1.0:
             # λ = ρ⃗(p − z) at each problem's final rung (relaxed
             # parametrization, core.batched.lam_of).
             last = self._rho_eff_at(res.rho_ind, Bn) * (last - z_s)
-        self.results.lam = last * self._unlam
-        self.results.info = info
+        self.info = info
+        self.results = BatchResults(x=x, z=z_s * self._unz,
+                                    lam=last * self._unlam, info=info)
 
     def objective(self) -> np.ndarray:
         """Per-problem objective ½xᵀHx + gᵀx in UNSCALED units.

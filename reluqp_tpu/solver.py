@@ -24,6 +24,7 @@ immediately (reference ``:251-276`` writes x/z/λ but never re-packs);
 from __future__ import annotations
 
 import time
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -542,7 +543,12 @@ class ReLU_QP:
         lam = last * self._unscale_lam
 
         from .core.iteration import STATUS_STRINGS
-        info = self.info
+        # Fresh per-solve snapshots: the reference mutates ONE shared
+        # Results/Info in place (``reluqpth.py:287-301``), so a Results
+        # held across a later update()+solve() silently changes under the
+        # caller. Here every solve returns its own frozen pair;
+        # ``self.results``/``self.info`` keep pointing at the latest.
+        info = dataclasses.replace(self.info)
         info.iter = int(iters)
         info.status = STATUS_STRINGS[int(scode)]
         info.obj_val = float(obj) * self.scal.cinv
@@ -552,10 +558,8 @@ class ReLU_QP:
         info.run_time = run_time
         info.solve_time = info.update_time + run_time
 
-        self.results.x = x
-        self.results.z = z
-        self.results.lam = lam
-        self.results.info = info
+        self.info = info
+        self.results = Results(x=x, z=z, lam=lam, info=info)
 
         if not stng.warm_starting:
             self.clear_primal_dual()
@@ -585,7 +589,7 @@ class ReLU_QP:
         z = y[self.nx:self.nx + self.nc] * self._unscale_z
         lam = y[self.nx + self.nc:self.nx + 2 * self.nc] * self._unscale_lam
 
-        info = self.info
+        info = dataclasses.replace(self.info)   # per-solve snapshot
         info.iter = int(stats_h[0]) if conv else stng.max_iter
         info.status = "solved" if conv else "max_iters_reached"
         info.obj_val = float(obj_h) * self.scal.cinv
@@ -594,10 +598,8 @@ class ReLU_QP:
         info.rho_estimate = float(stats_h[3])
         info.run_time = run_time
         info.solve_time = info.update_time + run_time
-        self.results.x = x
-        self.results.z = z
-        self.results.lam = lam
-        self.results.info = info
+        self.info = info
+        self.results = Results(x=x, z=z, lam=lam, info=info)
         if not stng.warm_starting:
             self.clear_primal_dual()
         return self.results

@@ -282,3 +282,24 @@ def test_eps_abs_update_is_recompile_free():
     rb = b.solve()
     assert solve_batched_shared._cache_size() == n0
     assert rb.info.status.all()
+
+
+def test_results_are_per_solve_snapshots():
+    """Each solve returns its own frozen Results/Info — a handle held
+    across a later update()+solve() must not change under the caller
+    (the reference mutates one shared object in place,
+    ``reluqpth.py:287-301``; documented divergence)."""
+    qp = canonical_qp()
+    m = ReLU_QP()
+    m.setup(qp.H, qp.g, qp.A, qp.l, qp.u)
+    r1 = m.solve()
+    x1 = np.asarray(r1.x).copy()
+    it1 = r1.info.iter
+    m.update(g=qp.g * 3.0)
+    r2 = m.solve()
+    assert r2 is not r1 and r2.info is not r1.info
+    np.testing.assert_array_equal(np.asarray(r1.x), x1)
+    assert r1.info.iter == it1
+    assert not np.allclose(np.asarray(r2.x), x1)
+    # the solver attributes track the LATEST solve
+    assert m.results is r2 and m.info is r2.info
