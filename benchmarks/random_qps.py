@@ -30,13 +30,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def reluqp_solve(H, g, A, l, u, tol, backend="auto",
                  iter_precision="highest", precision="float32",
-                 max_iter=4000):
+                 max_iter=4000, scaling=False):
     from reluqp_tpu import ReLU_QP
     m = ReLU_QP()
     t0 = time.perf_counter()
     m.setup(H, g, A, l, u, eps_abs=tol, backend=backend,
             iter_precision=iter_precision, precision=precision,
-            max_iter=max_iter)
+            max_iter=max_iter, scaling=scaling)
     setup_t = time.perf_counter() - t0
     res = m.solve()
     return m, res, setup_t
@@ -177,6 +177,12 @@ def main(argv=None):
                         "CPU) reproduces the reference's fp64-default "
                         "strict-tolerance regime")
     p.add_argument("--max-iter", type=int, default=4000)
+    p.add_argument("--scaling", action="store_true",
+                   help="Ruiz equilibration. Required for fp32 at tol "
+                        "<= 1e-4 beyond nx~300: the unscaled family's "
+                        "||H|| and sigma_max(A) grow with nx past what a "
+                        "float32 dual certificate can resolve "
+                        "(docs/perf_notes.md, rho_cap section)")
     p.add_argument("--plot", action="store_true")
     p.add_argument("--device-loop", action="store_true",
                    help="also record per-solve latency from an on-device "
@@ -230,7 +236,7 @@ def main(argv=None):
     for _ in range(2):
         reluqp_solve(inst.H, inst.g, inst.A, inst.l, inst.u, args.tol,
                      args.backend, args.iter_precision, args.precision,
-                     args.max_iter)
+                     args.max_iter, args.scaling)
 
     records = []
     if args.sizes and os.path.exists(args.out):
@@ -249,7 +255,8 @@ def main(argv=None):
             m, res, setup_t = reluqp_solve(inst.H, inst.g, inst.A, inst.l,
                                            inst.u, args.tol, args.backend,
                                            args.iter_precision,
-                                           args.precision, args.max_iter)
+                                           args.precision, args.max_iter,
+                                           args.scaling)
             assert res.info.status == "solved", \
                 f"nx={nx} seed={seed}: {res.info.status}"
             # warm re-solve measures the steady-state path
