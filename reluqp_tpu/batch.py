@@ -35,9 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classes import SETTINGS_FIELDS, Settings
-from .core.bank import (auto_rho_cap, build_bank_np, effective_rho_ladder,
-                        equality_mask,
-                        stacked_dim)
+from .core.bank import (auto_rho_cap, auto_rho_cap_batch, build_bank_np,
+                        effective_rho_ladder, effective_rho_ladder_batch,
+                        equality_mask, stacked_dim)
 from .core.batched import (BatchSolveResult, solve_batched_hetero,
                            solve_batched_shared)
 from .core.ladder import initial_rho_index, setup_rhos
@@ -534,20 +534,19 @@ class BatchedReLU_QP:
             np.broadcast_to(Ev * np.reshape(sc.cinv, (-1, 1)),
                             (self.B_n, self.nc)), dtype=dtype))
 
-        # Per-problem precision-aware ρ caps on the SCALED A rows.
+        # Per-problem precision-aware ρ caps on the SCALED A rows — one
+        # batched power iteration, not B Python-level sigma_max_sq calls.
         if self.settings.rho_cap == "auto":
-            caps = np.array([auto_rho_cap(A[i], self.settings.eps_abs,
-                                          dtype, self.nx)
-                             for i in range(self.B_n)])
+            caps = auto_rho_cap_batch(A, self.settings.eps_abs, dtype,
+                                      self.nx)
         else:
             caps = np.full(self.B_n, float(self.settings.rho_cap))
         self.rho_cap = caps
         self._rho_eff = None
         if self.settings.alpha != 1.0:
             self._rho_eff = self._put(jnp.asarray(
-                np.stack([effective_rho_ladder(self.rhos_np, eq_masks[i],
-                                               caps[i])
-                          for i in range(self.B_n)]), dtype=dtype))
+                effective_rho_ladder_batch(self.rhos_np, eq_masks, caps),
+                dtype=dtype))
 
         N = len(self.rhos_np)
         self._check_bank_memory(N, dtype)

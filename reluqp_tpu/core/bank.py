@@ -42,7 +42,9 @@ __all__ = [
     "clamp_bounds",
     "stacked_dim",
     "auto_rho_cap",
+    "auto_rho_cap_batch",
     "effective_rho_ladder",
+    "effective_rho_ladder_batch",
     "sigma_max_sq",
 ]
 
@@ -107,6 +109,37 @@ def auto_rho_cap(A, eps_abs: float, dtype, nx: int,
     return float(max(cap, 1.0))
 
 
+def auto_rho_cap_batch(A, eps_abs: float, dtype, nx: int,
+                       theta: float = 0.1, iters: int = 40) -> np.ndarray:
+    """Vectorized ``auto_rho_cap`` over a ``(B, nc, nx)`` stack of A's.
+
+    One batched fp64 power iteration (two einsum contractions per step)
+    replaces B independent ``sigma_max_sq`` calls — the per-problem Python
+    loop was the dominant host cost of a large hetero setup after the bank
+    factorizations were threaded. Returns ``(B,)`` caps with the same
+    semantics as the scalar helper: ``inf`` under float64 iterates or
+    degenerate spectra, else the θ-scaled bound clamped to ≥ 1.
+    """
+    A = np.asarray(A, dtype=np.float64)
+    B = A.shape[0]
+    if np.dtype(dtype) == np.float64 or A.size == 0:
+        return np.full(B, np.inf)
+    v = np.ones((B, A.shape[2])) / np.sqrt(A.shape[2])
+    s = np.zeros(B)
+    for _ in range(iters):
+        w = np.einsum("bcx,bc->bx", A, np.einsum("bcx,bx->bc", A, v))
+        s = np.linalg.norm(w, axis=-1)
+        # Degenerate rows stay at w = 0 → s = 0 → cap = inf below (the
+        # scalar helper's early return); the guard only avoids 0/0.
+        v = w / np.maximum(s, 1e-300)[:, None]
+    eps_mach = float(np.finfo(np.dtype(dtype)).eps)
+    bound = theta * float(eps_abs) * float(np.sqrt(max(nx, 1)))
+    with np.errstate(divide="ignore"):
+        cap = bound / (eps_mach * s)
+    return np.where(np.isfinite(s) & (s > 0.0),
+                    np.maximum(cap, 1.0), np.inf)
+
+
 def effective_rho_ladder(rhos: np.ndarray, eq_mask: np.ndarray,
                          rho_cap: float = np.inf) -> np.ndarray:
     """Per-rung effective per-row ρ: ``min(ρ_k · boost_row, rho_cap)``.
@@ -116,6 +149,17 @@ def effective_rho_ladder(rhos: np.ndarray, eq_mask: np.ndarray,
     rhos = np.asarray(rhos, dtype=np.float64)
     boost = np.where(np.asarray(eq_mask, bool), EQ_RHO_BOOST, 1.0)
     return np.minimum(rhos[:, None] * boost[None, :], rho_cap)
+
+
+def effective_rho_ladder_batch(rhos: np.ndarray, eq_masks: np.ndarray,
+                               rho_caps: np.ndarray) -> np.ndarray:
+    """Vectorized ``effective_rho_ladder``: ``(B, N_rho, nc)`` in one shot
+    from per-problem ``(B, nc)`` equality masks and ``(B,)`` caps."""
+    rhos = np.asarray(rhos, dtype=np.float64)
+    boost = np.where(np.asarray(eq_masks, bool), EQ_RHO_BOOST, 1.0)
+    return np.minimum(rhos[None, :, None] * boost[:, None, :],
+                      np.reshape(np.asarray(rho_caps, np.float64),
+                                 (-1, 1, 1)))
 
 
 class Bank(NamedTuple):

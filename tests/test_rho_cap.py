@@ -228,3 +228,31 @@ def test_checkpoint_roundtrip_preserves_cap(tmp_path):
     assert r1.info.status == "solved"
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
                                atol=1e-5)
+
+
+def test_auto_rho_cap_batch_matches_scalar():
+    """The batched power-iteration caps match per-problem scalar calls."""
+    from reluqp_tpu.core.bank import (auto_rho_cap_batch,
+                                      effective_rho_ladder_batch)
+    rng = np.random.RandomState(3)
+    B, nc, nx = 7, 12, 20
+    A = rng.randn(B, nc, nx)
+    A[2] *= 50.0          # spread the spectra
+    A[5] = 0.0            # degenerate row → cap must be inf
+    caps = auto_rho_cap_batch(A, 1e-4, np.float32, nx)
+    for i in range(B):
+        assert caps[i] == pytest.approx(
+            auto_rho_cap(A[i], 1e-4, np.float32, nx), rel=1e-9, abs=0.0) \
+            or (np.isinf(caps[i])
+                and np.isinf(auto_rho_cap(A[i], 1e-4, np.float32, nx)))
+    assert np.isinf(caps[5])
+    # fp64 iterate: exact reference semantics, every cap inf
+    assert np.all(np.isinf(auto_rho_cap_batch(A, 1e-4, np.float64, nx)))
+
+    eq = rng.rand(B, nc) < 0.3
+    lad = _ladder()
+    eff = effective_rho_ladder_batch(lad, eq, caps)
+    assert eff.shape == (B, len(lad), nc)
+    for i in range(B):
+        np.testing.assert_allclose(
+            eff[i], effective_rho_ladder(lad, eq[i], caps[i]))
