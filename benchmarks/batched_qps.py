@@ -102,30 +102,16 @@ def chunk_us_per_iter(m, n_steps: int = 100) -> float:
             return jnp.sum(Y)
         return k_chunks
 
-    args = lambda eps: (m.Wt_bank, m.bias_all, m.lo, m.hi, m.Y + eps)
-
-    def measure(reps_delta):
-        from reluqp_tpu.utils.timing import entropy_rng, min_delta
-        rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
-        f_lo, f_hi = mk(2), mk(2 + reps_delta)
-        float(jax.device_get(f_lo(*args(rng.uniform(1e-4, 1e-3)))))  # compile
-        float(jax.device_get(f_hi(*args(rng.uniform(1e-4, 1e-3)))))
-
-        def timed(f):
-            t0 = time.perf_counter()
-            float(jax.device_get(f(*args(rng.uniform(1e-4, 1e-3)))))
-            return time.perf_counter() - t0
-
-        return min_delta(lambda: timed(f_lo), lambda: timed(f_hi))
-
-    reps_delta = 10
-    d = measure(reps_delta)
-    if d < _NOISE_S:                      # below tunnel jitter: lengthen
-        reps_delta *= 8
-        d = measure(reps_delta)
-        if d < _NOISE_S:
-            return float("nan")           # honest: unmeasurable, not 0
-    return d / (reps_delta * n_steps) * 1e6
+    from reluqp_tpu.utils.timing import (entropy_rng, jit_chain_timer,
+                                         two_point_step_time)
+    rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
+    fresh = lambda j: rng.uniform(1e-4, 1e-3)
+    timed = jit_chain_timer(
+        mk, lambda eps: (m.Wt_bank, m.bias_all, m.lo, m.hi, m.Y + eps),
+        fresh)
+    d = two_point_step_time(timed, fresh, 2, 12,
+                            noise_s=_NOISE_S, jitter_s=_NOISE_S)
+    return d / n_steps * 1e6
 
 
 def solve_device_ms(m, reps_hi: int = 5) -> float:
@@ -168,28 +154,14 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
         return (m.Wt_bank, m.bias_all, m.rhos, m.H_dev, m.A_dev, m.G,
                 m.lo, m.hi, Y0 + eps, m._Wt_hi)
 
-    def measure(reps):
-        from reluqp_tpu.utils.timing import entropy_rng, min_delta
-        rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
-        f_lo, f_hi = mk(1), mk(1 + reps)
-        float(jax.device_get(f_lo(*args(rng.uniform(1e-7, 1e-6)))))
-        float(jax.device_get(f_hi(*args(rng.uniform(1e-7, 1e-6)))))
-
-        def timed(f):
-            t0 = time.perf_counter()
-            float(jax.device_get(f(*args(rng.uniform(1e-7, 1e-6)))))
-            return time.perf_counter() - t0
-
-        return min_delta(lambda: timed(f_lo), lambda: timed(f_hi))
-
-    reps = reps_hi - 1
-    d = measure(reps)
-    if d < _NOISE_S:                      # below tunnel jitter: lengthen
-        reps *= 8
-        d = measure(reps)
-        if d < _NOISE_S:
-            return float("nan")           # honest: unmeasurable, not 0
-    return d / reps * 1e3
+    from reluqp_tpu.utils.timing import (entropy_rng, jit_chain_timer,
+                                         two_point_step_time)
+    rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
+    fresh = lambda j: rng.uniform(1e-7, 1e-6)
+    timed = jit_chain_timer(mk, args, fresh)
+    d = two_point_step_time(timed, fresh, 1, reps_hi,
+                            noise_s=_NOISE_S, jitter_s=_NOISE_S)
+    return d * 1e3
 
 
 def _flop_account(m, B, dt):
@@ -240,7 +212,8 @@ def run_throughput(args):
         qps = B / dt
         row = dict(batch=B, nx=args.nx, backend=args.backend,
                    pallas=m._use_pallas, alpha=args.alpha,
-                   iter_precision=args.iter_precision, time_s=dt, qps=qps,
+                   iter_precision=args.iter_precision,
+                   setup_s=m.info.setup_time, time_s=dt, qps=qps,
                    n_iter_total=m.info.n_iter_total,
                    n_iter_fast=m.info.n_iter_fast, Dp=m.Dp,
                    B_pad=m.B_pad)

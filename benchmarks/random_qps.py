@@ -53,7 +53,6 @@ def device_loop_us(m, reps: int = 20) -> float:
     """
     import jax
     import jax.numpy as jnp
-    import time as _t
     from reluqp_tpu.core.iteration import solve_loop
 
     s = m.settings
@@ -83,28 +82,15 @@ def device_loop_us(m, reps: int = 20) -> float:
     y0 = jnp.zeros_like(m.y)
     noise_s = 2e-3   # axon tunnel dispatch jitter floor (~±1 ms)
 
-    def measure(n):
-        from reluqp_tpu.utils.timing import entropy_rng, min_delta
-        rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
-        f_lo, f_hi = mk(2), mk(2 + n)
-        float(jax.device_get(f_lo(m.bank, m.qp_dev, y0)))
-        float(jax.device_get(f_hi(m.bank, m.qp_dev, y0)))
-
-        def timed(f):
-            t0 = _t.perf_counter()
-            float(jax.device_get(f(m.bank, m.qp_dev,
-                                   y0 + rng.uniform(1e-7, 1e-6))))
-            return _t.perf_counter() - t0
-
-        return min_delta(lambda: timed(f_lo), lambda: timed(f_hi))
-
-    d = measure(reps)
-    if d < noise_s:                       # below tunnel jitter: lengthen
-        reps *= 8
-        d = measure(reps)
-        if d < noise_s:
-            return float("nan")           # honest: unmeasurable, not 0
-    return d / reps * 1e6
+    from reluqp_tpu.utils.timing import (entropy_rng, jit_chain_timer,
+                                         two_point_step_time)
+    rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
+    fresh = lambda j: rng.uniform(1e-7, 1e-6)
+    timed = jit_chain_timer(
+        mk, lambda eps: (m.bank, m.qp_dev, y0 + eps), fresh)
+    d = two_point_step_time(timed, fresh, 2, 2 + reps,
+                            noise_s=noise_s, jitter_s=noise_s)
+    return d * 1e6
 
 
 def native_check(H, g, A, l, u, tol):

@@ -672,7 +672,6 @@ class BatchedReLU_QP:
         8 GiB (v5e HBM is 16 GB/chip) and can be raised via the
         RELUQP_MAX_BANK_BYTES environment variable.
         """
-        import os
         cap = int(float(os.environ.get("RELUQP_MAX_BANK_BYTES", 8 << 30)))
         bs = jnp.dtype(dtype).itemsize
         w_bs = jnp.dtype(self._w_dtype(dtype)).itemsize

@@ -410,6 +410,10 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     return jnp.concatenate([x0[None], xs], axis=0), us, its
 
 
+# Module-level jit handles (here and _scenario_jit below) are intentional:
+# they ARE the process-wide compilation cache, keyed by the static argnames
+# — one compile per (shape, config), shared across every controller
+# instance. Per-instance jits would recompile identical configs.
 _rollout_jit = jax.jit(
     _rollout_impl,
     static_argnames=("nx_qp", "nc", "nu", "Dp", "n_steps", "max_iter",

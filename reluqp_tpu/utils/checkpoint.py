@@ -307,7 +307,8 @@ def _merge_shards(path: str) -> dict:
         cat0.append("rho_ind")
     if hetero:
         cat0 += ["Wt_bank", "B_bank", "H", "A", "unx", "unz", "unlam",
-                 "bias_all", "H_np", "A_np", "scal_D", "scal_E", "scal_c"]
+                 "bias_all", "H_np", "A_np", "scal_D", "scal_E", "scal_c",
+                 "rho_cap"]   # per-problem (B,) caps in the hetero regime
         if d0["B_lo"].size:
             cat0.append("B_lo")
     merged = dict(d0)

@@ -21,7 +21,8 @@ from typing import Callable, Dict, List
 import jax
 
 __all__ = ["Timer", "time_fn", "time_fn_fetched", "fetch",
-           "two_point_step_time", "trace", "entropy_rng", "min_delta"]
+           "two_point_step_time", "trace", "entropy_rng", "min_delta",
+           "jit_chain_timer"]
 
 
 def entropy_rng():
@@ -131,6 +132,34 @@ def min_delta(timed_lo: Callable[[], float],
         t_los.append(timed_lo())
         t_his.append(timed_hi())
     return min(t_his) - min(t_los)
+
+
+def jit_chain_timer(make_chain: Callable[[int], Callable],
+                    args_of: Callable[[object], tuple],
+                    fresh_input: Callable[[int], object]
+                    ) -> Callable[[object, int], float]:
+    """Adapt a jitted-chain builder to ``two_point_step_time``'s
+    ``timed(x, n)`` contract.
+
+    ``make_chain(n)`` returns a jitted function running an n-rep
+    result-dependent on-device chain; ``args_of(x)`` maps a fresh input
+    value to its argument tuple. Each chain length compiles once with an
+    UNTIMED warm-up dispatch on its own fresh input — the warm-up must
+    not reuse the timed call's value or the tunnel memoizes the pair and
+    the timed dispatch replays the cached result.
+    """
+    fns: Dict[int, Callable] = {}
+
+    def timed(x, n: int) -> float:
+        f = fns.get(n)
+        if f is None:
+            f = fns[n] = make_chain(n)
+            float(jax.device_get(f(*args_of(fresh_input(-n)))))
+        t0 = time.perf_counter()
+        float(jax.device_get(f(*args_of(x))))
+        return time.perf_counter() - t0
+
+    return timed
 
 
 def two_point_step_time(timed: Callable[[object, int], float],

@@ -93,6 +93,10 @@ def _merged_restore_check(mode, ckpt):
 
     m = load_batched_solver(ckpt)
     assert m.B_n == W.B_LOCAL * N_PROC
+    if mode == "hetero":
+        # per-problem caps must reassemble to the GLOBAL batch, not stay
+        # shard 0's local rows (alpha != 1 restores broadcast from them)
+        assert np.shape(m.rho_cap) == (m.B_n,), np.shape(m.rho_cap)
     res = m.solve()   # warm from the checkpointed state
     assert np.asarray(res.info.status).all()
     x = np.asarray(res.x)

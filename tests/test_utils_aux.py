@@ -294,3 +294,41 @@ def test_hetero_bank_memory_guard_counts_process_local_mesh(monkeypatch):
     m3 = BatchedReLU_QP()
     m3.setup(H, G, A, L, U, mesh=mesh)                  # plain mesh too
     assert m3.solve().info.status.all()
+
+
+def test_jit_chain_timer_compiles_untimed_with_distinct_input():
+    """Each chain length compiles once on its OWN fresh input (a warm-up
+    reusing the timed value would be memoized by the tunnel), and the
+    timed call dispatches the caller's value."""
+    import jax.numpy as jnp
+    from reluqp_tpu.utils.timing import jit_chain_timer
+
+    built, seen = [], []
+
+    def mk(n):
+        built.append(n)
+        import jax
+
+        @jax.jit
+        def chain(x):
+            return jnp.sum(x) * n
+        return chain
+
+    ctr = [100]
+
+    def fresh(j):
+        ctr[0] += 1
+        return float(ctr[0])
+
+    timed = jit_chain_timer(mk, lambda x: (seen.append(x)
+                                           or jnp.full((4,), x),),
+                            fresh)
+    t = timed(1.0, 3)
+    assert t >= 0.0
+    assert built == [3]
+    # warm-up used a fresh value (101.0), then the timed value itself
+    assert seen == [101.0, 1.0]
+    timed(2.0, 3)        # cached: no rebuild, no extra warm-up
+    assert built == [3] and seen[-1] == 2.0
+    timed(4.0, 5)        # new length: one rebuild + its own warm-up
+    assert built == [3, 5] and seen[-2] == 102.0 and seen[-1] == 4.0
