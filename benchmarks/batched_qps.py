@@ -45,21 +45,18 @@ def _make_batch(nx, n_eq, n_ineq, B, seed0=0):
     base = rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=seed0,
                    compute_sol=False)
     rng = np.random.RandomState(seed0)
-    G = np.empty((B, nx))
-    L = np.empty((B, n_eq + n_ineq))
-    U = np.empty((B, n_eq + n_ineq))
-    # Vectorized variant of update_qp's construction (same distribution).
+    # Vectorized variant of update_qp's construction (same distribution,
+    # whole batch in a handful of numpy calls instead of 7·B).
     A_eq, C = base.A[:n_eq], base.A[n_eq:]
-    for i in range(B):
-        act = rng.randn(n_ineq) > 0.5
-        mu = rng.randn(n_eq)
-        lam = rng.randn(n_ineq) * act
-        x = rng.randn(nx)
-        b = A_eq @ x
-        d = C @ x - rng.randn(n_ineq) * (~act)
-        G[i] = -base.H @ x - A_eq.T @ mu - C.T @ lam
-        L[i] = np.concatenate([b, d])
-        U[i] = np.concatenate([b, np.full(n_ineq, np.inf)])
+    act = rng.randn(B, n_ineq) > 0.5
+    mu = rng.randn(B, n_eq)
+    lam = rng.randn(B, n_ineq) * act
+    x = rng.randn(B, nx)
+    b = x @ A_eq.T
+    d = x @ C.T - rng.randn(B, n_ineq) * (~act)
+    G = -(x @ base.H.T) - mu @ A_eq - lam @ C
+    L = np.concatenate([b, d], axis=1)
+    U = np.concatenate([b, np.full((B, n_ineq), np.inf)], axis=1)
     return base.H, G, base.A, L, U
 
 
@@ -211,7 +208,8 @@ def run_throughput(args):
         dt = time.perf_counter() - t0
         qps = B / dt
         row = dict(batch=B, nx=args.nx, backend=args.backend,
-                   pallas=m._use_pallas, alpha=args.alpha,
+                   pallas=m._use_pallas or m._hetero_pallas,
+                   alpha=args.alpha,
                    iter_precision=args.iter_precision,
                    setup_s=m.info.setup_time, time_s=dt, qps=qps,
                    n_iter_total=m.info.n_iter_total,
