@@ -34,9 +34,11 @@ _NOISE_S = 2e-3
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Per-chip dense peak used for the MFU column (TPU v5e ≈ 197 TFLOP/s
-# bf16; fp32 Precision.HIGHEST issues 6 bf16 passes per matmul).
+# Per-chip dense peaks used for the roofline columns (TPU v5e ≈ 197
+# TFLOP/s bf16, ≈ 819 GB/s HBM; fp32 Precision.HIGHEST issues 6 bf16
+# passes per matmul). Ridge point ≈ 240 FLOP/byte.
 PEAK_BF16 = 197e12
+PEAK_HBM = 819e9
 PASSES = {"highest": 6, "high": 3, "default": 1, "bf16": 1}
 
 
@@ -46,7 +48,12 @@ def _make_batch(nx, n_eq, n_ineq, B, seed0=0):
                    compute_sol=False)
     rng = np.random.RandomState(seed0)
     # Vectorized variant of update_qp's construction (same distribution,
-    # whole batch in a handful of numpy calls instead of 7·B).
+    # whole batch in a handful of numpy calls instead of 7·B). NOTE: the
+    # vectorized form consumes the RNG stream in a different order than
+    # the old per-problem loop, so a given seed generates a DIFFERENT
+    # problem set than pre-vectorization runs — same-seed QPS numbers
+    # are not like-for-like across those versions (results carry the
+    # `batch_gen: "vectorized-v2"` tag below).
     A_eq, C = base.A[:n_eq], base.A[n_eq:]
     act = rng.randn(B, n_ineq) > 0.5
     mu = rng.randn(B, n_eq)
@@ -162,11 +169,15 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
 
 
 def _flop_account(m, B, dt):
-    """Model-FLOP accounting for one batched solve.
+    """Model-FLOP accounting for one batched solve (wall-time columns).
 
     Hardware-pass accounting splits by phase: ``n_iter_fast`` iterations
     ran at the reduced pass count, the rest (refine polish) and every
-    residual check at HIGHEST's 6 passes.
+    residual check at HIGHEST's 6 passes. ``mfu_wall_pct`` divides by
+    HOST wall time and therefore includes the axon-tunnel dispatch
+    overhead (~30 ms/solve here) — it is a lower bound only; the
+    device-side truth is ``mfu_device_pct`` (added by
+    ``_device_roofline`` from the overhead-cancelled device timers).
     """
     it = int(m.info.n_iter_total)
     it_fast = int(m.info.n_iter_fast)
@@ -181,10 +192,60 @@ def _flop_account(m, B, dt):
     hw_passes = (gemm_it * (it_fast * p_fast + (it - it_fast) * 6)
                  + resid * 6)
     return dict(
-        model_tflops=model / dt / 1e12,
-        mfu_pct=100.0 * hw_passes / dt / PEAK_BF16,
+        model_tflops_wall=model / dt / 1e12,
+        mfu_wall_pct=100.0 * hw_passes / dt / PEAK_BF16,
         gemm_flops_per_iter=gemm_it,
+        _model_flops=model,
+        _hw_flops=hw_passes,
     )
+
+
+def _device_roofline(m, row, dms_ms, chunk_us):
+    """Device-side MFU + HBM utilization + a one-line roofline verdict.
+
+    Chunk-level roofline: one iteration of the shared-bank kernel issues
+    ``gemm_flops_per_iter × passes`` bf16 MXU work; its amortized HBM
+    traffic per iteration is the per-check-window streaming (Pallas: W
+    block once per window + 5 reads/1 write of the (B_pad, Dp) row tiles
+    once per window; XLA fallback: W re-read every iteration) divided by
+    ``check_interval``. The binding resource is whichever floor is
+    larger; ``roofline_attained_pct`` is floor/measured for the measured
+    chunk time.
+    """
+    it = int(m.info.n_iter_total)
+    ci = int(m.settings.check_interval)
+    bs = 4  # fp32 state/bank storage
+    p_fast = PASSES[m.settings.iter_precision]
+    hw_it = row["gemm_flops_per_iter"] * p_fast
+    t_mxu_us = hw_it / PEAK_BF16 * 1e6
+    state_bytes = 6.0 * m.B_pad * m.Dp * bs          # b,lo,hi,Y in + Y out
+    w_bytes = float(m.Dp) * m.Dp * bs
+    if row.get("pallas"):
+        bytes_it = (state_bytes + w_bytes) / ci      # all per window
+    else:
+        bytes_it = state_bytes / ci + w_bytes        # W streamed per iter
+    t_hbm_us = bytes_it / PEAK_HBM * 1e6
+    floor_us = max(t_mxu_us, t_hbm_us)
+    bound = "MXU" if t_mxu_us >= t_hbm_us else "HBM"
+    dms_s = dms_ms * 1e-3
+    out = dict(
+        mfu_device_pct=100.0 * row["_hw_flops"] / dms_s / PEAK_BF16,
+        model_tflops_device=row["_model_flops"] / dms_s / 1e12,
+        hbm_gb_per_iter=bytes_it / 1e9,
+        hbm_gbps_chunk=bytes_it / (chunk_us * 1e-6) / 1e9,
+        hbm_util_chunk_pct=100.0 * bytes_it / (chunk_us * 1e-6) / PEAK_HBM,
+        chunk_floor_us=floor_us,
+        roofline_bound=bound,
+        roofline_attained_pct=100.0 * floor_us / chunk_us,
+        loop_overhead_pct=max(
+            0.0, 100.0 * (dms_ms * 1e3 - it * chunk_us) / (dms_ms * 1e3)),
+        roofline_verdict=(
+            f"{bound}-bound: floor {floor_us:.2f} us/it vs measured "
+            f"{chunk_us:.2f} us/it ({100.0 * floor_us / chunk_us:.0f}% of "
+            f"the binding roofline); MXU floor {t_mxu_us:.2f} us, HBM "
+            f"floor {t_hbm_us:.2f} us at {bytes_it / 1e6:.3f} MB/iter"),
+    )
+    return out
 
 
 def run_throughput(args):
@@ -217,18 +278,34 @@ def run_throughput(args):
                    B_pad=m.B_pad)
         row.update(_flop_account(m, B, dt))
         if args.hetero:
-            # per-problem banks: the loop is bank-bandwidth-bound (reads
-            # B·Dp² of W per iteration); the shared-bank device-timing
-            # helpers do not apply. Report the HBM roofline instead.
+            # per-problem banks: the loop is bank-bandwidth-bound (the
+            # XLA path reads B·Dp² of W per iteration; the hetero Pallas
+            # kernel gathers it once per check window). The shared-bank
+            # device-timing helpers do not apply, so the host wall time
+            # upper-bounds the per-iteration cost and lower-bounds the
+            # achieved bandwidth.
             row["hetero"] = True
-            bank_gb_per_iter = (m.B_pad * m.Dp * m.Dp
-                                * np.dtype(np.float32).itemsize / 1e9)
-            row["bank_gb_per_iter"] = bank_gb_per_iter
+            bank_bytes = (m.B_pad * m.Dp * m.Dp
+                          * np.dtype(np.float32).itemsize)
+            per_window = bool(m._hetero_pallas)
+            bytes_it = (bank_bytes / m.settings.check_interval
+                        if per_window else bank_bytes)
+            row["bank_gb_per_iter"] = bytes_it / 1e9
+            row["hbm_floor_us_per_iter"] = bytes_it / PEAK_HBM * 1e6
+            it_us = dt / max(m.info.n_iter_total, 1) * 1e6
+            row["hbm_gbps_wall_lb"] = bytes_it / (it_us * 1e-6) / 1e9
+            row["roofline_verdict"] = (
+                f"HBM-bound: bank stream {bytes_it / 1e9:.3f} GB/iter "
+                f"({'per-window gather' if per_window else 'per-iter'}), "
+                f"floor {row['hbm_floor_us_per_iter']:.1f} us/it; wall "
+                f"{it_us:.1f} us/it incl. dispatch -> >= "
+                f"{row['hbm_gbps_wall_lb']:.0f} GB/s achieved")
+            row.pop("_model_flops"), row.pop("_hw_flops")
             out.append(row)
             print(f"B={B:6d} nx={args.nx:4d} [hetero/{args.backend}/"
                   f"{args.iter_precision}]  host {dt*1e3:8.1f} ms  "
                   f"{qps:10.0f} QP/s  iters={m.info.n_iter_total:5d}  "
-                  f"bank stream {bank_gb_per_iter:.3f} GB/iter")
+                  f"{row['roofline_verdict']}")
             continue
         dms = solve_device_ms(m)
         row["solve_device_ms"] = dms
@@ -240,13 +317,17 @@ def run_throughput(args):
         row["chunk_mfu_pct"] = (100.0 * gf
                                 * PASSES[args.iter_precision]
                                 / (cu * 1e-6) / PEAK_BF16)
+        row.update(_device_roofline(m, row, dms, cu))
+        row.pop("_model_flops"), row.pop("_hw_flops")
         out.append(row)
         print(f"B={B:6d} nx={args.nx:4d} [{args.backend}/"
               f"{args.iter_precision}]  host {dt*1e3:8.1f} ms | device "
               f"{dms:8.1f} ms  {row['qps_device']:10.0f} QP/s"
               f"  iters={m.info.n_iter_total:5d}  "
               f"chunk {cu:7.1f} us/it {row['chunk_tflops']:.2f} TF/s"
-              f" ({row['chunk_mfu_pct']:.1f}% MFU)")
+              f" ({row['chunk_mfu_pct']:.1f}% chunk MFU, "
+              f"{row['mfu_device_pct']:.1f}% solve MFU)\n"
+              f"         {row['roofline_verdict']}")
     return out
 
 
@@ -312,7 +393,8 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"config": vars(args), "platform": plat, "note": note,
-                   "results": res}, f, indent=1)
+                   "batch_gen": "vectorized-v2", "results": res}, f,
+                  indent=1)
     print("wrote", args.out)
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "stacked_dim",
     "auto_rho_cap",
     "auto_rho_cap_batch",
+    "certifiable_eps_floor",
     "effective_rho_ladder",
     "effective_rho_ladder_batch",
     "sigma_max_sq",
@@ -109,6 +110,23 @@ def auto_rho_cap(A, eps_abs: float, dtype, nx: int,
     return float(max(cap, 1.0))
 
 
+def certifiable_eps_floor(rho_cap: float, s2: float, dtype, nx: int,
+                          theta: float = 0.1) -> float:
+    """Inverse of ``auto_rho_cap``: the tightest eps_abs a frozen cap
+    can still certify.
+
+    ``auto_rho_cap`` freezes the cap against the SETUP-time eps_abs
+    (``classes.py`` rho_cap note); if ``update_settings`` later tightens
+    eps_abs below this floor, rungs the solve needs are missing from the
+    capped ladder and the dual residual's reduced-precision noise floor
+    can keep the solve at max_iter. Returns 0.0 for an uncapped ladder
+    or a degenerate spectrum (every tolerance certifiable)."""
+    if not np.isfinite(rho_cap) or not np.isfinite(s2) or s2 <= 0.0:
+        return 0.0
+    eps_mach = float(np.finfo(np.dtype(dtype)).eps)
+    return float(rho_cap * eps_mach * s2 / (theta * np.sqrt(max(nx, 1))))
+
+
 def auto_rho_cap_batch(A, eps_abs: float, dtype, nx: int,
                        theta: float = 0.1, iters: int = 40) -> np.ndarray:
     """Vectorized ``auto_rho_cap`` over a ``(B, nc, nx)`` stack of A's.
@@ -134,8 +152,10 @@ def auto_rho_cap_batch(A, eps_abs: float, dtype, nx: int,
         v = w / np.maximum(s, 1e-300)[:, None]
     eps_mach = float(np.finfo(np.dtype(dtype)).eps)
     bound = theta * float(eps_abs) * float(np.sqrt(max(nx, 1)))
-    with np.errstate(divide="ignore"):
-        cap = bound / (eps_mach * s)
+    # Divide only where s > 0: s == 0 with bound == 0 would be a 0/0 NaN
+    # (the scalar helper returns inf there); the where() below selects the
+    # inf branch for those rows regardless of the placeholder quotient.
+    cap = bound / (eps_mach * np.where(s > 0.0, s, 1.0))
     return np.where(np.isfinite(s) & (s > 0.0),
                     np.maximum(cap, 1.0), np.inf)
 

@@ -34,7 +34,8 @@ import numpy as np
 
 from .classes import QP, SETTINGS_FIELDS, Info, Results, Settings
 from .core.bank import (Bank, DeviceQP, auto_rho_cap, build_bank_np,
-                        clamp_bounds, effective_rho_ladder, equality_mask,
+                        certifiable_eps_floor, clamp_bounds,
+                        effective_rho_ladder, equality_mask, sigma_max_sq,
                         stacked_dim)
 from .core.iteration import solve_loop, xla_chunk_runner
 from .core.ladder import initial_rho_index, setup_rhos
@@ -191,6 +192,7 @@ class ReLU_QP:
         # ladder it induces — the single source of truth for ρ⃗.
         self.rho_cap = (auto_rho_cap(self._A_s, stng.eps_abs, dtype, nx)
                         if stng.rho_cap == "auto" else float(stng.rho_cap))
+        self._sigma_max_sq = None   # lazy: eps-floor guard in update_settings
         self._rho_eff_np = effective_rho_ladder(self.rhos_np, self.eq_mask,
                                                 self.rho_cap)
 
@@ -460,6 +462,27 @@ class ReLU_QP:
         self.rho_ind = rho_ind_keep
         self.warm_start(x=x_u, z=z_u, lam=lam_u)
 
+    def _warn_eps_floor(self, eps_new: float) -> None:
+        """Warn when eps_abs is tightened past the frozen rho_cap's floor."""
+        if not np.isfinite(self.rho_cap):
+            return
+        if self._sigma_max_sq is None:
+            self._sigma_max_sq = sigma_max_sq(self._A_s)
+        floor = certifiable_eps_floor(self.rho_cap, self._sigma_max_sq,
+                                      self.settings.precision_dtype, self.nx)
+        if eps_new < floor * (1.0 - 1e-9):
+            import warnings
+            warnings.warn(
+                f"eps_abs={eps_new:g} is below {floor:g}, the certifiable "
+                f"floor of the rho_cap={self.rho_cap:g} frozen at setup "
+                f"(derived for the setup-time eps_abs): the capped "
+                f"ladder's {np.dtype(self.settings.precision_dtype).name} "
+                "dual-residual noise floor may keep the solve at "
+                "max_iter. Re-derive the cap for the new tolerance with "
+                "update_matrices(H, A) (a full re-setup), or set "
+                "rho_cap/precision explicitly at setup.",
+                RuntimeWarning, stacklevel=3)
+
     def update_settings(self, **kwargs):
         """Update runtime-mutable settings (reference ``reluqpth.py:185-199``).
 
@@ -472,9 +495,18 @@ class ReLU_QP:
         ``verbose`` shape the loop, so the next ``solve()`` after changing
         them compiles a fresh executable (cached per value); prefer
         setting those once at ``setup``.
+
+        Footgun guard: ``rho_cap`` is frozen against the setup-time
+        ``eps_abs`` (``classes.py`` rho_cap note). Tightening eps_abs
+        below the frozen cap's certifiable floor warns — the capped
+        ladder's reduced-precision dual noise floor would otherwise keep
+        the solve at max_iter silently. ``update_matrices(H, A)`` is the
+        re-derive path (full re-setup under the new tolerance).
         """
         for key, value in kwargs.items():
             if key in ("max_iter", "eps_abs", "verbose", "check_interval"):
+                if key == "eps_abs":
+                    self._warn_eps_floor(float(value))
                 setattr(self.settings, key, value)
             elif key in ("rho", "rho_min", "rho_max", "sigma", "adaptive_rho",
                          "adaptive_rho_interval", "adaptive_rho_tolerance",

@@ -230,6 +230,62 @@ def test_checkpoint_roundtrip_preserves_cap(tmp_path):
                                atol=1e-5)
 
 
+def test_eps_floor_warning_and_rederive_workaround():
+    """update_settings warns when eps_abs is tightened past the frozen
+    auto cap's certifiable floor, and update_matrices (the documented
+    re-derive path) produces a cap that converges at the new tolerance."""
+    import warnings as _warnings
+    from reluqp_tpu.core.bank import certifiable_eps_floor
+    inst = rand_qp(nx=120, n_eq=30, n_ineq=30, seed=0, compute_sol=False)
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-3)
+    assert np.isfinite(m.rho_cap)
+    floor = certifiable_eps_floor(m.rho_cap, sigma_max_sq(inst.A),
+                                  np.float32, 120)
+    eps_tight = floor / 100.0
+    with pytest.warns(RuntimeWarning, match="certifiable floor"):
+        m.update_settings(eps_abs=eps_tight)
+    # loosening back above the floor: silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        m.update_settings(eps_abs=1e-3)
+    # the documented workaround: update_matrices re-runs setup under the
+    # current settings, re-deriving the auto cap for the new tolerance
+    with pytest.warns(RuntimeWarning, match="certifiable floor"):
+        m.update_settings(eps_abs=1e-4)   # tighter than the 1e-3 floor
+    m.update_matrices(inst.H, inst.A)
+    r = m.solve()
+    assert r.info.status == "solved"
+    assert r.info.dua_res < 1e-4 * np.sqrt(120)
+
+
+def test_eps_floor_warning_silent_for_uncapped():
+    """fp64 (cap = inf) and explicit inf caps never warn."""
+    import warnings as _warnings
+    inst = rand_qp(nx=20, n_eq=5, n_ineq=5, seed=0, compute_sol=False)
+    for kw in (dict(precision="float64"), dict(rho_cap=float("inf"))):
+        m = ReLU_QP()
+        m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-3, **kw)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            m.update_settings(eps_abs=1e-12)
+
+
+def test_auto_rho_cap_batch_eps_abs_zero_degenerate():
+    """eps_abs == 0 with a zero-spectrum problem: the batched helper must
+    return inf (scalar semantics), never NaN, and raise no warnings."""
+    from reluqp_tpu.core.bank import auto_rho_cap_batch
+    A = np.zeros((3, 4, 8))
+    A[1] = np.random.RandomState(0).randn(4, 8)
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        caps = auto_rho_cap_batch(A, 0.0, np.float32, 8)
+    assert not np.any(np.isnan(caps))
+    assert np.isinf(caps[0]) and np.isinf(caps[2])
+    assert caps[1] == auto_rho_cap(A[1], 0.0, np.float32, 8) == 1.0
+
+
 def test_auto_rho_cap_batch_matches_scalar():
     """The batched power-iteration caps match per-problem scalar calls."""
     from reluqp_tpu.core.bank import (auto_rho_cap_batch,
