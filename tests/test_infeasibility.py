@@ -115,3 +115,52 @@ def test_batched_hetero_mixed_statuses():
     assert codes[1] == STATUS_PRIMAL_INFEASIBLE, res.info.status_strings()
     assert codes[2] == STATUS_DUAL_INFEASIBLE, res.info.status_strings()
     assert res.info.n_iter_total < 4000
+
+
+# --------------------------------------------------------------------- #
+# alpha != 1: certificates from the [x; z; p] parametrization            #
+# --------------------------------------------------------------------- #
+# Under over-relaxation the state carries p (pre-clip z) instead of λ;
+# the certificates consume λ = ρ⃗(p − z) reconstructed per check window
+# (core/iteration.py). These pin that the reconstruction feeds the
+# OSQP-style tests correctly in both directions plus the feasible case.
+
+def test_primal_infeasible_detected_alpha_relaxed():
+    H = np.eye(2)
+    g = np.zeros(2)
+    A = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([1.0, -np.inf, -1.0])
+    u = np.array([np.inf, -1.0, 1.0])
+    m = ReLU_QP()
+    m.setup(H, g, A, l, u, check_infeasibility=True, backend="xla",
+            alpha=1.6, max_iter=4000)
+    res = m.solve()
+    assert res.info.status == "primal_infeasible", res.info.status
+
+
+def test_dual_infeasible_detected_alpha_relaxed():
+    H = np.diag([1.0, 0.0])
+    g = np.array([0.0, 1.0])
+    A = np.array([[1.0, 0.0]])
+    l = np.array([-1.0])
+    u = np.array([1.0])
+    m = ReLU_QP()
+    m.setup(H, g, A, l, u, check_infeasibility=True, backend="xla",
+            alpha=1.6, max_iter=4000)
+    res = m.solve()
+    assert res.info.status == "dual_infeasible", res.info.status
+
+
+def test_feasible_alpha_relaxed_with_checks_matches_reference_solution():
+    qp = canonical_qp()
+    m = ReLU_QP()
+    m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, check_infeasibility=True,
+            alpha=1.6, eps_abs=1e-5, backend="xla")
+    res = m.solve()
+    assert res.info.status == "solved"
+    assert np.max(np.abs(np.asarray(res.x, np.float64) - qp.x_sol)) < 1e-3
+    # the reconstructed λ satisfies the dual residual the solve reported
+    lam = np.asarray(res.lam, np.float64)
+    x = np.asarray(res.x, np.float64)
+    dua = np.max(np.abs(qp.H @ x + qp.A.T @ lam + qp.g))
+    assert dua < 5 * 1e-5 * np.sqrt(qp.H.shape[0])

@@ -303,3 +303,31 @@ def test_results_are_per_solve_snapshots():
     assert not np.allclose(np.asarray(r2.x), x1)
     # the solver attributes track the LATEST solve
     assert m.results is r2 and m.info is r2.info
+
+
+def test_rho_jump_with_refine_reduced_precision():
+    """Feature intersection: rho_jump (estimator-indexed rung jumps) under
+    the two-phase refine solve at iter_precision='high'. The jump decision
+    consumes residuals computed at HIGHEST, so reduced-precision iterates
+    must not corrupt the rung walk; the refine polish must still reach the
+    fp64 solution at the requested tolerance."""
+    import numpy as np
+    from reluqp_tpu import ReLU_QP
+    from reluqp_tpu.utils.problems import rand_qp
+
+    for seed in (0, 1):
+        inst = rand_qp(nx=60, n_eq=15, n_ineq=15, seed=seed,
+                       compute_sol=False)
+        ref = ReLU_QP()
+        ref.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-5,
+                  precision="float64")
+        x_ref = np.asarray(ref.solve().x, np.float64)
+        m = ReLU_QP()
+        # start far from the right rung so the jump path actually fires
+        m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, eps_abs=1e-4,
+                rho=1e-5, backend="xla", rho_jump=True,
+                iter_precision="high", refine=True)
+        r = m.solve()
+        assert r.info.status == "solved", (seed, r.info.status)
+        assert np.max(np.abs(np.asarray(r.x, np.float64) - x_ref)) < 5e-3
+        assert r.info.dua_res < 1e-4 * np.sqrt(60)

@@ -138,3 +138,36 @@ def test_tp_bank_is_sharded_and_never_gathered():
     assert sizes, "no all-gather shapes parsed from HLO"
     assert max(sizes) <= 4 * m.Dp, \
         f"bank-sized all-gather in the TP loop: {sizes}"
+
+
+def test_tp_warm_start_iteration_parity_with_single_device():
+    """Feature intersection (round-2 VERDICT item 7): a warm-started TP
+    solve must follow the same trajectory as the warm-started
+    single-device solve — same iteration count, same solution — and the
+    warm start must actually pay (fewer iterations than cold)."""
+    inst = _inst(seed=11)
+
+    def run(mesh):
+        m = ReLU_QP()
+        kw = dict(eps_abs=1e-4, backend="xla")
+        if mesh is not None:
+            kw["mesh"] = mesh
+        m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, **kw)
+        r_cold = m.solve()
+        assert r_cold.info.status == "solved"
+        # inject the converged point, re-solve warm on drifted g
+        m.update(g=inst.g * 1.002)
+        m.warm_start(x=np.asarray(r_cold.x), z=np.asarray(r_cold.z),
+                     lam=np.asarray(r_cold.lam))
+        r_warm = m.solve()
+        assert r_warm.info.status == "solved"
+        return r_cold, r_warm
+
+    c1, w1 = run(None)
+    c8, w8 = run(_mesh8())
+    assert w1.info.iter < c1.info.iter, (w1.info.iter, c1.info.iter)
+    # lockstep: TP warm path takes exactly the single-device iterations
+    assert w8.info.iter == w1.info.iter, (w8.info.iter, w1.info.iter)
+    assert c8.info.iter == c1.info.iter, (c8.info.iter, c1.info.iter)
+    np.testing.assert_allclose(np.asarray(w8.x, np.float64),
+                               np.asarray(w1.x, np.float64), atol=1e-5)
