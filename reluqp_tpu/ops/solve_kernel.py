@@ -89,18 +89,21 @@ def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
 
 
 def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
-            tol, eps_abs, rho_min, rho_max, rho_jump, rho_stride, unroll,
+            tol, rho_min, rho_max, rho_jump, rho_stride, unroll,
             # refs
-            rho0_ref, wt_ref, b_ref, rhos_ref, mres_ref, g_ref, lo_ref,
-            hi_ref, y_ref, yout_ref, stats_ref):
+            rho0_ref, wt_ref, b_ref, rhos_ref, eps_ref, mres_ref, g_ref,
+            lo_ref, hi_ref, y_ref, yout_ref, stats_ref):
     dtype = y_ref.dtype
     lo = lo_ref[:]
     hi = hi_ref[:]
     g_row = g_ref[:]
     n_rho = wt_ref.shape[0]
     n_chunks = max_iter // check_interval
-    eps_pri = eps_abs * np.sqrt(nc)
-    eps_dua = eps_abs * np.sqrt(nx)
+    # eps_abs is an SMEM runtime scalar (not a kernel constant):
+    # update_settings(eps_abs=...) stays recompile-free on this backend
+    # just like the XLA loop, where it is a traced argument.
+    eps_pri = eps_ref[0] * np.sqrt(nc).astype(np.float32)
+    eps_dua = eps_ref[0] * np.sqrt(nx).astype(np.float32)
     # mask rows beyond the real segment entries (padding lanes are exactly
     # zero in M_res, so |·| maxima over full segments are already correct)
 
@@ -211,7 +214,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
 @functools.partial(
     jax.jit,
     static_argnames=("nx", "nc", "nxp", "ncp", "max_iter", "check_interval",
-                     "adaptive_rho", "adaptive_rho_tolerance", "eps_abs",
+                     "adaptive_rho", "adaptive_rho_tolerance",
                      "rho_min", "rho_max", "rho_jump",
                      "adaptive_rho_interval"))
 def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
@@ -228,7 +231,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
     unroll = True if dp <= 512 else 1
     kernel = functools.partial(
         _kernel, nx, nc, nxp, ncp, max_iter, check_interval,
-        bool(adaptive_rho), float(adaptive_rho_tolerance), float(eps_abs),
+        bool(adaptive_rho), float(adaptive_rho_tolerance),
         float(rho_min), float(rho_max), bool(rho_jump),
         rho_update_stride(adaptive_rho_interval, check_interval), unroll)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -238,6 +241,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Wt_bank (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b_bank (N, 1, Dp)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # rhos (scalars)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # eps_abs (runtime)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # M_res
             pl.BlockSpec(memory_space=pltpu.VMEM),   # g_row
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lo
@@ -264,6 +268,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
         ),
     )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), op.Wt_bank,
       op.b_bank.reshape(n_rho, 1, dp), op.rhos.astype(jnp.float32),
+      jnp.asarray(eps_abs, jnp.float32).reshape(1),
       op.M_res, op.g_row, op.lo.reshape(1, -1), op.hi.reshape(1, -1),
       y0.reshape(1, -1))
     return y.reshape(-1), stats.reshape(-1)

@@ -489,9 +489,9 @@ class ReLU_QP:
         Mutable: ``max_iter``, ``eps_abs``, ``verbose``, ``check_interval``.
         The ρ/σ family raises (changing it would invalidate the bank).
 
-        Note: ``eps_abs`` is a traced argument of the compiled loop —
-        changing it is recompile-free (except under ``backend='fused'``,
-        where it is a kernel constant). ``max_iter``/``check_interval``/
+        Note: ``eps_abs`` is a traced argument of the compiled loop (an
+        SMEM runtime scalar under ``backend='fused'``) — changing it is
+        recompile-free on every backend. ``max_iter``/``check_interval``/
         ``verbose`` shape the loop, so the next ``solve()`` after changing
         them compiles a fresh executable (cached per value); prefer
         setting those once at ``setup``.
@@ -713,7 +713,7 @@ class ReLU_QP:
 
 @partial(jax.jit, static_argnames=(
     "nx", "nc", "nxp", "ncp", "max_iter", "check_interval", "adaptive_rho",
-    "adaptive_rho_tolerance", "eps_abs", "rho_min", "rho_max", "rho_jump",
+    "adaptive_rho_tolerance", "rho_min", "rho_max", "rho_jump",
     "adaptive_rho_interval"))
 def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
                  rho_ind0, *, nx, nc, nxp, ncp, max_iter, check_interval,
