@@ -186,6 +186,7 @@ class BatchedReLU_QP:
             self.Dp = self.D   # pure-XLA GEMMs need no lane padding
             self.B_pad = B_n
 
+        self._w_pri = self._w_dua = None   # set by scaled setup paths
         self.rhos_np = setup_rhos(stng.rho, stng.rho_min, stng.rho_max,
                                   stng.adaptive_rho,
                                   stng.adaptive_rho_tolerance)
@@ -333,6 +334,9 @@ class BatchedReLU_QP:
             (batch_led if self.hetero else shared).append("_Wt_hi")
         if getattr(self, "_rho_eff", None) is not None:
             (batch_led if self.hetero else shared).append("_rho_eff")
+        for wname in ("_w_pri", "_w_dua"):
+            if getattr(self, wname, None) is not None:
+                (batch_led if self.hetero else shared).append(wname)
         for name in batch_led:
             setattr(self, name, glob(getattr(self, name)))
         for name in shared:
@@ -454,6 +458,12 @@ class BatchedReLU_QP:
         self._unx = jnp.asarray(sc.D, dtype=dtype)
         self._unz = jnp.asarray(sc.Einv, dtype=dtype)
         self._unlam = jnp.asarray(sc.E * sc.cinv, dtype=dtype)
+        # Residual unscale weights (OSQP scaled_termination=False
+        # default; see core.bank.DeviceQP): 1-D shared vectors broadcast
+        # over the (padded) batch inside batched_residuals.
+        if self.settings.scaling and not self.settings.scaled_termination:
+            self._w_pri = jnp.asarray(sc.Einv, dtype=dtype)
+            self._w_dua = jnp.asarray(sc.cinv * sc.Dinv, dtype=dtype)
 
         # Precision-aware effective-ρ cap on the SCALED A (shared across
         # the batch — one A) and the per-rung ρ⃗ ladder it induces.
@@ -533,6 +543,15 @@ class BatchedReLU_QP:
         self._unlam = self._put(jnp.asarray(
             np.broadcast_to(Ev * np.reshape(sc.cinv, (-1, 1)),
                             (self.B_n, self.nc)), dtype=dtype))
+        # Per-problem residual unscale weights (hetero never batch-pads:
+        # B_pad == B_n, so (B, ·) weights match the loop shapes).
+        if self.settings.scaling and not self.settings.scaled_termination:
+            self._w_pri = self._put(jnp.asarray(
+                np.broadcast_to(np.asarray(sc.Einv), (self.B_n, self.nc)),
+                dtype=dtype))
+            self._w_dua = self._put(jnp.asarray(
+                np.reshape(sc.cinv, (-1, 1)) * np.asarray(sc.Dinv),
+                dtype=dtype))
 
         # Per-problem precision-aware ρ caps on the SCALED A rows — one
         # batched power iteration, not B Python-level sigma_max_sq calls.
@@ -884,7 +903,8 @@ class BatchedReLU_QP:
             res = solve_batched_hetero(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                self._Wt_hi, self._rho_eff, chunk_runner=runner, **kw)
+                self._Wt_hi, self._rho_eff, self._w_pri, self._w_dua,
+                chunk_runner=runner, **kw)
         else:
             runner = pallas_batched_chunk_runner if self._use_pallas else None
             done0 = None
@@ -893,7 +913,8 @@ class BatchedReLU_QP:
             res = solve_batched_shared(
                 self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
                 self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                done0, self._Wt_hi, self._rho_eff, rho_mode=self.rho_mode,
+                done0, self._Wt_hi, self._rho_eff, self._w_pri,
+                self._w_dua, rho_mode=self.rho_mode,
                 chunk_runner=runner, **kw)
         self._fill_results(res, t0)
         if not stng.warm_starting:

@@ -120,10 +120,18 @@ class Settings:
     warm_starting: bool = True
     # Modified Ruiz equilibration (utils/scaling.py). The reference's flag
     # is an unimplemented placeholder; here True scales the problem at
-    # setup, solves with scaled termination (OSQP scaled_termination
-    # semantics — Info residuals are in scaled space), and unscales
-    # x/z/λ/objective in Results.
+    # setup, iterates on the scaled problem, and unscales x/z/λ/objective
+    # in Results. Termination follows ``scaled_termination`` below.
     scaling: bool = False
+    # Residual space for convergence checks under scaling (no effect when
+    # scaling=False). False (default, OSQP's default): residuals, the ρ
+    # estimator, and Info.pri_res/dua_res are UNSCALED — eps_abs means
+    # the same thing with and without scaling, and solutions meet the
+    # reference's acceptance gate in original units. True: OSQP's
+    # scaled_termination=True — cheaper per check (no unscale weights)
+    # but eps_abs certifies the scaled residuals only, which can be
+    # looser by the equilibration's dynamic range in original units.
+    scaled_termination: bool = False
     rho: float = 0.1
     rho_min: float = 1e-6
     rho_max: float = 1e6

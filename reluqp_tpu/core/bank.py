@@ -26,7 +26,7 @@ Behavioral parity with the reference ``ReLU_Layer.setup_matrices``
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -192,13 +192,23 @@ class Bank(NamedTuple):
 
 
 class DeviceQP(NamedTuple):
-    """Device-side problem data used by the iteration/residual path."""
+    """Device-side problem data used by the iteration/residual path.
+
+    ``w_pri``/``w_dua`` are optional residual unscale weights (OSQP's
+    ``scaled_termination=False`` default): under Ruiz equilibration the
+    loop iterates on the scaled problem, and the UNSCALED residual
+    vectors are ``E⁻¹ (Āx̄ − z̄)`` and ``(1/c) D⁻¹ (H̄x̄ + Āᵀλ̄ + ḡ)``, so
+    ``w_pri = 1/E`` (nc,) and ``w_dua = 1/(c·D)`` (nx,). ``None`` (the
+    default, and always when scaling is off) keeps residuals in the
+    iterate's own units."""
 
     H: jax.Array     # (nx, nx)
     g: jax.Array     # (nx,)
     A: jax.Array     # (nc, nx)
     lo: jax.Array    # (D,)  -inf outside the z-segment, l inside
     hi: jax.Array    # (D,)  +inf outside the z-segment, u inside
+    w_pri: Optional[jax.Array] = None   # (nc,) primal residual unscale
+    w_dua: Optional[jax.Array] = None   # (nx,) dual residual unscale
 
 
 def stacked_dim(nx: int, nc: int) -> int:

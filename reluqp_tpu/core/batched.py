@@ -71,12 +71,15 @@ class BatchSolveResult(NamedTuple):
                              #    (0 unless two-phase refine was active)
 
 
-def batched_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
+def batched_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float,
+                      w_pri=None, w_dua=None):
     """Per-problem residuals + ρ estimates for a shared-(H,A) batch.
 
     Batched analogue of the reference ``compute_residuals``
     (``ReLU-QP-py/reluqp/reluqpth.py:307-318``); all contractions are GEMMs
-    against the shared ``H``/``A``.
+    against the shared ``H``/``A``. Optional ``w_pri`` (nc,)/(B,nc) and
+    ``w_dua`` (nx,)/(B,nx) weight the residual vectors into UNSCALED
+    units under Ruiz equilibration (``iteration.compute_residuals``).
 
     Args: X (B,nx), Z (B,nc), Lam (B,nc), g (B,nx) or (nx,), rho (B,).
     Returns (pri, dua, rho_new), each (B,).
@@ -88,6 +91,13 @@ def batched_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
     HX = jnp.matmul(X, H.T, precision=hp)      # (B, nx)
     AtL = jnp.matmul(Lam, A, precision=hp)     # (B, nx)
     g = jnp.broadcast_to(g, HX.shape)
+    if w_pri is not None:
+        AX = w_pri * AX
+        Z = w_pri * Z
+    if w_dua is not None:
+        HX = w_dua * HX
+        AtL = w_dua * AtL
+        g = w_dua * g
     pri = jnp.max(jnp.abs(AX - Z), axis=-1)
     dua = jnp.max(jnp.abs(HX + AtL + g), axis=-1)
     scale_p = jnp.maximum(jnp.max(jnp.abs(AX), axis=-1),
@@ -102,12 +112,23 @@ def batched_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
     return pri, dua, jnp.clip(rho * ratio, rho_min, rho_max)
 
 
-def _hetero_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float):
-    """Per-problem residuals when every problem has its own (H, A, g)."""
+def _hetero_residuals(H, A, g, X, Z, Lam, rho, rho_min: float, rho_max: float,
+                      w_pri=None, w_dua=None):
+    """Per-problem residuals when every problem has its own (H, A, g).
+
+    ``w_pri`` (B,nc) / ``w_dua`` (B,nx): per-problem unscale weights
+    (``iteration.compute_residuals``)."""
     hp = lax.Precision.HIGHEST
     AX = jnp.einsum("bcx,bx->bc", A, X, precision=hp)
     HX = jnp.einsum("bxy,by->bx", H, X, precision=hp)
     AtL = jnp.einsum("bcx,bc->bx", A, Lam, precision=hp)
+    if w_pri is not None:
+        AX = w_pri * AX
+        Z = w_pri * Z
+    if w_dua is not None:
+        HX = w_dua * HX
+        AtL = w_dua * AtL
+        g = w_dua * g
     pri = jnp.max(jnp.abs(AX - Z), axis=-1)
     dua = jnp.max(jnp.abs(HX + AtL + g), axis=-1)
     scale_p = jnp.maximum(jnp.max(jnp.abs(AX), axis=-1),
@@ -308,7 +329,7 @@ def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
 )
 def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          rho_ind0, done0=None, Wt_bank_hi=None,
-                         rho_eff=None, *,
+                         rho_eff=None, w_pri=None, w_dua=None, *,
                          nx: int, nc: int,
                          max_iter: int, check_interval: int,
                          adaptive_rho: bool, adaptive_rho_tolerance: float,
@@ -386,7 +407,7 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     def check(Y, rho, rho_ind):
         X, Z, _ = split(Y)
         return batched_residuals(H, A, G, X, Z, lam_of(Y, rho_ind), rho,
-                                 rho_min, rho_max)
+                                 rho_min, rho_max, w_pri, w_dua)
 
     def step(state, n_steps: int, W_op, precision: str):
         if check_infeasibility:
@@ -516,7 +537,8 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                      "alpha"),
 )
 def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
-                         rho_ind0, Wt_bank_hi=None, rho_eff=None, *,
+                         rho_ind0, Wt_bank_hi=None, rho_eff=None,
+                         w_pri=None, w_dua=None, *,
                          nx: int, nc: int,
                          max_iter: int,
                          check_interval: int, adaptive_rho: bool,
@@ -586,7 +608,7 @@ def solve_batched_hetero(Wt_bank, bias_bank, rhos, H, A, G, lo, hi, Y0,
         X, Z, _ = split(Y)
         Lam = lam_of(Y, rho_ind)
         pri_n, dua_n, rho_new = _hetero_residuals(
-            H, A, G, X, Z, Lam, rho, rho_min, rho_max)
+            H, A, G, X, Z, Lam, rho, rho_min, rho_max, w_pri, w_dua)
         pri = jnp.where(done, pri, pri_n)
         dua = jnp.where(done, dua, dua_n)
         rho = jnp.where(done, rho, rho_new)

@@ -154,12 +154,16 @@ def xla_chunk_runner(W_bank, b_bank, rho_ind, lo, hi, y, n_steps: int,
     return lax.fori_loop(0, n_steps, body, y, unroll=min(n_steps, 4))
 
 
-def compute_residuals(H, A, g, x, z, lam, rho, rho_min: float, rho_max: float):
+def compute_residuals(H, A, g, x, z, lam, rho, rho_min: float, rho_max: float,
+                      w_pri=None, w_dua=None):
     """Residuals + OSQP-style ρ rebalancing estimate.
 
     Parity with reference ``compute_residuals`` (``reluqpth.py:307-318``),
     with tiny-guarded denominators so an all-zero iterate cannot poison the
-    estimate with NaNs.
+    estimate with NaNs. Optional ``w_pri``/``w_dua`` weight the residual
+    vectors (and the relative-scale terms, so the ρ estimate stays
+    consistent) into UNSCALED units under Ruiz equilibration — OSQP's
+    ``scaled_termination=False`` default; see ``DeviceQP``.
     """
     # Precision.HIGHEST: fast-bf16 MXU passes pollute residuals ~1e-2 and
     # stall convergence below eps_abs (observed on TPU v5e).
@@ -167,6 +171,13 @@ def compute_residuals(H, A, g, x, z, lam, rho, rho_min: float, rho_max: float):
     t1 = jnp.matmul(A, x, precision=hp)
     t2 = jnp.matmul(H, x, precision=hp)
     t3 = jnp.matmul(A.T, lam, precision=hp)
+    if w_pri is not None:
+        t1 = w_pri * t1
+        z = w_pri * z
+    if w_dua is not None:
+        t2 = w_dua * t2
+        t3 = w_dua * t3
+        g = w_dua * g
     pri = jnp.max(jnp.abs(t1 - z))
     dua = jnp.max(jnp.abs(t2 + t3 + g))
     scale_p = jnp.maximum(jnp.max(jnp.abs(t1)), jnp.max(jnp.abs(z)))
@@ -366,7 +377,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
     def check(y, rho, rho_ind):
         x, z, _ = split(y)
         return compute_residuals(qp.H, qp.A, qp.g, x, z,
-                                 lam_of(y, rho_ind), rho, rho_min, rho_max)
+                                 lam_of(y, rho_ind), rho, rho_min, rho_max,
+                                 qp.w_pri, qp.w_dua)
 
     RUNNING = jnp.asarray(-1, jnp.int32)
 

@@ -340,7 +340,8 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                   Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None,
-                  rho_eff=None, bias_c=None, M_hi=None, M_lo=None, *,
+                  rho_eff=None, bias_c=None, M_hi=None, M_lo=None,
+                  w_pri=None, w_dua=None, *,
                   nx_qp: int,
                   nc: int, nu: int, Dp: int, n_steps: int, max_iter: int,
                   check_interval: int, adaptive_rho: bool,
@@ -389,7 +390,8 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                 b_bank = b_bank + jnp.einsum("kdn,n->kd", M_lo, x,
                                              precision=hp)
         bank = Bank(W=W_bank, B=B_bank, b=b_bank, rhos=rhos)
-        qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi)
+        qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi,
+                      w_pri=w_pri, w_dua=w_dua)
         res = solve_loop(
             bank, qp, y, rho_ind, rhos[rho_ind], W_hi, rho_eff,
             nx=nx_qp, nc=nc, max_iter=max_iter,
@@ -469,6 +471,7 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         solver.y, solver.rho_ind,
         cst(np.asarray(x_init, np.float64).reshape(nxp)),
         solver._W_hi, solver._rho_eff, bias_c, M_hi, M_lo,
+        solver.qp_dev.w_pri, solver.qp_dev.w_dua,
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
         n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,
@@ -528,7 +531,8 @@ def solver_plant_B(prob: CondensedMPC) -> np.ndarray:
 def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            lu_x0, Kg, Ad, Bd, v0_scale, noise, Y0,
                            rho_ind0, X0, Wt_hi=None, rho_eff=None,
-                           bias_c=None, M_hi=None, M_lo=None, *,
+                           bias_c=None, M_hi=None, M_lo=None,
+                           w_pri=None, w_dua=None, *,
                            nx_qp: int, nc: int, nu: int, n_steps: int,
                            max_iter: int, check_interval: int,
                            adaptive_rho: bool,
@@ -571,7 +575,7 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                                                  precision=hp)
         res = solve_batched_shared(
             Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y, rho_ind,
-            None, Wt_hi, rho_eff,
+            None, Wt_hi, rho_eff, w_pri, w_dua,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
@@ -661,7 +665,7 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
         cst(sc.D[:nu]),
         noise, m.Y, m.rho_ind, X0, m._Wt_hi, m._rho_eff,
-        bias_c, M_hi, M_lo,
+        bias_c, M_hi, M_lo, m._w_pri, m._w_dua,
         nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
         max_iter=solve_max_iter or stng.max_iter,
         check_interval=stng.check_interval,

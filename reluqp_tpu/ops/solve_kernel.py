@@ -52,29 +52,38 @@ class FullSolveOperand(NamedTuple):
     hi: jax.Array        # (1, Dp)
 
 
-def build_residual_operator(H, A, g, dp: int, dtype):
+def build_residual_operator(H, A, g, dp: int, dtype, w_pri=None,
+                            w_dua=None):
     """Host build of (M_res, g_row) with lane-aligned segments.
 
     Segment layout in the result row: [Ax | z | Hx | Aᵀλ] with nc, nc,
     nx, nx entries padded to ncp/ncp/nxp/nxp (multiples of 128).
+
+    Optional ``w_pri`` (nc,) / ``w_dua`` (nx,) fold the residual unscale
+    weights (``core.bank.DeviceQP``) into the operator columns and
+    ``g_row``, so the in-kernel residuals/ρ-estimate are in UNSCALED
+    units at zero extra runtime cost.
     """
     H = np.asarray(H, dtype=np.float64)
     A = np.asarray(A, dtype=np.float64)
     g = np.asarray(g, dtype=np.float64).reshape(-1)
     nx, nc = H.shape[0], A.shape[0]
+    wp = np.ones(nc) if w_pri is None else np.asarray(w_pri, np.float64)
+    wd = np.ones(nx) if w_dua is None else np.asarray(w_dua, np.float64)
     nxp = round_up(max(nx, LANE), LANE)
     ncp = round_up(max(nc, LANE), LANE)
     R = 2 * ncp + 2 * nxp
     M = np.zeros((dp, R), dtype=np.float64)
     # x rows
-    M[:nx, 0:nc] = A.T                      # → Ax
-    M[:nx, 2 * ncp:2 * ncp + nx] = H        # → Hx
+    M[:nx, 0:nc] = A.T * wp[None, :]        # → w_pri ⊙ Ax
+    M[:nx, 2 * ncp:2 * ncp + nx] = H * wd[None, :]      # → w_dua ⊙ Hx
     # z rows
-    M[nx:nx + nc, ncp:ncp + nc] = np.eye(nc)            # → z
+    M[nx:nx + nc, ncp:ncp + nc] = np.diag(wp)           # → w_pri ⊙ z
     # λ rows
-    M[nx + nc:nx + 2 * nc, 2 * ncp + nxp:2 * ncp + nxp + nx] = A  # → Aᵀλ
+    M[nx + nc:nx + 2 * nc, 2 * ncp + nxp:2 * ncp + nxp + nx] = \
+        A * wd[None, :]                     # → w_dua ⊙ Aᵀλ
     g_row = np.zeros((1, nxp), dtype=np.float64)
-    g_row[0, :nx] = g
+    g_row[0, :nx] = wd * g
     return (jnp.asarray(M, dtype=dtype), jnp.asarray(g_row, dtype=dtype),
             nxp, ncp)
 

@@ -67,6 +67,7 @@ def replicate(arr, mesh: Mesh):
 def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
                          lo, hi, Y0, rho_ind0, *, done0=None,
                          Wt_bank_hi=None, rho_eff=None,
+                         w_pri=None, w_dua=None,
                          axis_name: str = "qp",
                          rho_mode: str = "shared",
                          **solve_kw) -> BatchSolveResult:
@@ -119,6 +120,16 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
         # alpha != 1 (shared bank ⇒ replicated)
         in_specs.append(rep)
         args.append(rho_eff)
+    has_wp, has_wd = w_pri is not None, w_dua is not None
+    if has_wp:
+        # residual unscale weights (iteration.compute_residuals): shared
+        # scaling vectors are 1-D (replicated); per-problem (B, ·) shard
+        # on the batch axis
+        in_specs.append(rep if np.ndim(w_pri) == 1 else bat)
+        args.append(w_pri)
+    if has_wd:
+        in_specs.append(rep if np.ndim(w_dua) == 1 else bat)
+        args.append(w_dua)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=tuple(in_specs),
              out_specs=out_specs, check_vma=False)
@@ -129,8 +140,12 @@ def solve_sharded_shared(mesh: Mesh, Wt_bank, bias_all, rhos, H, A, G,
         w_hi = a[i] if has_hi else None
         i += int(has_hi)
         eff = a[i] if has_eff else None
+        i += int(has_eff)
+        wp = a[i] if has_wp else None
+        i += int(has_wp)
+        wd = a[i] if has_wd else None
         return solve_batched_shared(
-            *a[:10], d0, w_hi, eff,
+            *a[:10], d0, w_hi, eff, wp, wd,
             rho_mode=rho_mode, axis_name=axis_name, **solve_kw)
 
     return run(*args)

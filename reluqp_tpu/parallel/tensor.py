@@ -117,7 +117,9 @@ def solve_loop_tp(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0,
     rep = P()
     wspec = P(None, None, axis_name)
     in_specs = [Bank(W=wspec, B=rep, b=rep, rhos=rep),
-                DeviceQP(H=rep, g=rep, A=rep, lo=rep, hi=rep),
+                DeviceQP(H=rep, g=rep, A=rep, lo=rep, hi=rep,
+                         w_pri=None if qp.w_pri is None else rep,
+                         w_dua=None if qp.w_dua is None else rep),
                 rep, rep, rep]
     args = [bank, qp, y0, jnp.asarray(rho_ind0, jnp.int32),
             jnp.asarray(rho0, y0.dtype)]

@@ -104,6 +104,7 @@ class ReLU_QP:
               verbose=False,
               warm_starting=True,
               scaling=False,
+              scaled_termination=False,
               rho=0.1,
               rho_min=1e-6,
               rho_max=1e6,
@@ -147,6 +148,7 @@ class ReLU_QP:
         t0 = time.perf_counter()
         self.settings = Settings(
             verbose=verbose, warm_starting=warm_starting, scaling=scaling,
+            scaled_termination=scaled_termination,
             rho=rho, rho_min=rho_min, rho_max=rho_max, sigma=sigma,
             adaptive_rho=adaptive_rho,
             adaptive_rho_interval=adaptive_rho_interval,
@@ -273,10 +275,24 @@ class ReLU_QP:
         # Device problem data (clamp bounds in padded layout).
         lo, hi = self._padded_bounds(self._l_s, self._u_s, dtype)
         put = lambda a: jax.device_put(a, dev_rep)
-        self.qp_dev = DeviceQP(H=put(jnp.asarray(self._H_s, dtype=dtype)),
-                               g=put(jnp.asarray(self._g_s, dtype=dtype)),
-                               A=put(jnp.asarray(self._A_s, dtype=dtype)),
-                               lo=put(lo), hi=put(hi))
+        # Residual unscale weights (OSQP scaled_termination=False default):
+        # convergence, the ρ estimator, and Info residuals are checked in
+        # ORIGINAL units even though the loop iterates on the scaled
+        # problem. None when scaling is off (identity) or when the user
+        # opts into scaled termination.
+        unscaled_term = stng.scaling and not stng.scaled_termination
+        w_pri_np = self.scal.Einv if unscaled_term else None
+        w_dua_np = (self.scal.cinv * self.scal.Dinv) if unscaled_term \
+            else None
+        self.qp_dev = DeviceQP(
+            H=put(jnp.asarray(self._H_s, dtype=dtype)),
+            g=put(jnp.asarray(self._g_s, dtype=dtype)),
+            A=put(jnp.asarray(self._A_s, dtype=dtype)),
+            lo=put(lo), hi=put(hi),
+            w_pri=None if w_pri_np is None
+            else put(jnp.asarray(w_pri_np, dtype=dtype)),
+            w_dua=None if w_dua_np is None
+            else put(jnp.asarray(w_dua_np, dtype=dtype)))
         # Unscaling vectors on device (identity when scaling is off).
         self._unscale_x = put(jnp.asarray(self.scal.D, dtype=dtype))
         self._unscale_z = put(jnp.asarray(self.scal.Einv, dtype=dtype))
@@ -291,7 +307,8 @@ class ReLU_QP:
         # Whole-solve kernel operands (residual operator + padded g row).
         if self._fused:
             M_res, g_row, nxp, ncp = build_residual_operator(
-                self._H_s, self._A_s, self._g_s, self.Dp, dtype)
+                self._H_s, self._A_s, self._g_s, self.Dp, dtype,
+                w_pri=w_pri_np, w_dua=w_dua_np)
             self._M_res = put(M_res)
             self._g_row = put(g_row)
             self._nxp, self._ncp = nxp, ncp

@@ -145,14 +145,23 @@ def load_solver(path: str, device=None):
     solver._W_hi = put(data["bank_W"]) \
         if stng.iter_precision == "bf16" and stng.refine else None
     lo, hi = solver._padded_bounds(solver._l_s, solver._u_s, dtype)
-    solver.qp_dev = DeviceQP(H=put(solver._H_s), g=put(solver._g_s),
-                             A=put(solver._A_s), lo=put(lo), hi=put(hi))
+    # Residual unscale weights are derived state (scal + settings), not
+    # serialized — rebuild them exactly as setup() does.
+    unscaled_term = stng.scaling and not getattr(stng, "scaled_termination",
+                                                 False)
+    solver.qp_dev = DeviceQP(
+        H=put(solver._H_s), g=put(solver._g_s),
+        A=put(solver._A_s), lo=put(lo), hi=put(hi),
+        w_pri=put(solver.scal.Einv) if unscaled_term else None,
+        w_dua=put(solver.scal.cinv * solver.scal.Dinv)
+        if unscaled_term else None)
     solver._unscale_x = put(solver.scal.D)
     solver._unscale_z = put(solver.scal.Einv)
     solver._unscale_lam = put(solver.scal.E * solver.scal.cinv)
     from ..core.bank import effective_rho_ladder
     solver.rho_cap = float(data["rho_cap"]) if "rho_cap" in data \
         else float("inf")
+    solver._sigma_max_sq = None   # lazy (update_settings eps-floor guard)
     solver._rho_eff_np = effective_rho_ladder(solver.rhos_np,
                                               solver.eq_mask,
                                               solver.rho_cap)
@@ -480,6 +489,21 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
         else:
             m._rho_eff = put(_eff(m.rhos_np, m._eq_pattern,
                                   float(m.rho_cap)), rep=True)
+    # Residual unscale weights are derived state (scal + settings), not
+    # serialized — rebuild them exactly as setup() does.
+    m._w_pri = m._w_dua = None
+    if stng.scaling and not getattr(stng, "scaled_termination", False):
+        sc = m.scal
+        if m.hetero:
+            m._w_pri = m._put(jnp.asarray(
+                np.broadcast_to(np.asarray(sc.Einv), (m.B_n, m.nc)),
+                dtype=dtype))
+            m._w_dua = m._put(jnp.asarray(
+                np.reshape(np.asarray(sc.cinv), (-1, 1))
+                * np.asarray(sc.Dinv), dtype=dtype))
+        else:
+            m._w_pri = jnp.asarray(sc.Einv, dtype=dtype)
+            m._w_dua = jnp.asarray(sc.cinv * sc.Dinv, dtype=dtype)
     if "G_lo" in data:
         g_lo = np.asarray(data["G_lo"])
         m._G_lo = put(g_lo) if g_lo.size else None

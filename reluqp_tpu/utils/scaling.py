@@ -10,9 +10,12 @@ scaled problem
     H̄ = c·D H D,  ḡ = c·D g,  Ā = E A D,  l̄ = E l,  ū = E u
 
 is better conditioned for ADMM. Solutions map back as ``x = D x̄``,
-``z = E⁻¹ z̄``, ``λ = (1/c)·E λ̄``. Termination is checked in scaled space
-(OSQP's ``scaled_termination=True`` mode); this is documented in
-``Settings.scaling``.
+``z = E⁻¹ z̄``, ``λ = (1/c)·E λ̄``. Termination defaults to UNSCALED
+residuals (OSQP's ``scaled_termination=False`` default): the loops weight
+the residual vectors by ``E⁻¹`` / ``(1/c)·D⁻¹`` before the ∞-norms
+(``core.bank.DeviceQP`` w_pri/w_dua), so eps_abs means the same thing
+with and without scaling. ``Settings.scaled_termination=True`` opts into
+the scaled-space check.
 """
 from __future__ import annotations
 

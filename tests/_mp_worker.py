@@ -78,8 +78,11 @@ def main():
     A_of = (lambda i: As[i]) if hetero else (lambda i: As)
 
     m = BatchedReLU_QP()
+    # fp32 + eps 1e-6 needs OSQP's scaled-space termination (the
+    # unscaled round-3 default cannot certify 1e-6 in float32);
+    # the test targets the multi-process machinery, not numerics.
     m.setup(Hs, G, As, L, U, eps_abs=1e-6, backend="xla", scaling=True,
-            mesh=mesh, process_local=True)
+            scaled_termination=True, mesh=mesh, process_local=True)
     assert m.B_n == B_global, (m.B_n, B_global)
     res = m.solve()
     status = np.asarray(res.info.status)

@@ -95,8 +95,11 @@ def test_scaling_with_alpha():
     g = S @ inst.g
     A = inst.A @ S
     m = ReLU_QP()
+    # fp64: the round-3 default certifies UNSCALED residuals, and a
+    # float32 iterate cannot reach unscaled eps=1e-5 across this
+    # 10^4-dynamic-range instance (an honest max_iter, not a regression)
     m.setup(H, g, A, inst.l, inst.u, alpha=A16, scaling=True,
-            eps_abs=1e-5, backend="xla")
+            eps_abs=1e-5, backend="xla", precision="float64")
     r = m.solve()
     assert r.info.status == "solved"
     x_sol = np.linalg.solve(S, inst.x_sol)

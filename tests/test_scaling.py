@@ -162,7 +162,13 @@ def test_hetero_batch_scaling_objective_and_warm_start():
         A[i] = inst.A * s[None, :]
         L[i], U[i] = inst.l, inst.u
     m = BatchedReLU_QP()
-    m.setup(H, G, A, L, U, scaling=True, eps_abs=1e-5)
+    # scaled_termination=True: a float32 iterate cannot certify UNSCALED
+    # eps=1e-5 on this 10^3-dynamic-range instance (the round-3 default
+    # terminates on unscaled residuals and honestly reports max_iter
+    # there); this test exercises the scaled-space machinery —
+    # objective/warm-start plumbing — at the old semantics.
+    m.setup(H, G, A, L, U, scaling=True, eps_abs=1e-5,
+            scaled_termination=True)
     r = m.solve()
     assert r.info.status.all()
     x = np.asarray(r.x, np.float64)
@@ -192,3 +198,94 @@ def test_checkpoint_with_scaling(tmp_path):
     r = m2.solve()
     assert r.info.status == "solved"
     assert np.max(np.abs(np.asarray(r.x, np.float64) - inst.x_sol)) < 1e-2
+
+
+def test_unscaled_termination_is_default_and_tightens_solutions():
+    """OSQP-default semantics (round-3): under scaling, convergence is
+    certified on UNSCALED residuals, so eps_abs means the same thing with
+    and without scaling. The scaled_termination=True opt-in reproduces the
+    old scaled-space check (typically stopping earlier/looser)."""
+    from reluqp_tpu.utils.problems import kkt_error
+    rng = np.random.RandomState(3)
+    nx = 12
+    inst = rand_qp(nx=nx, n_eq=3, n_ineq=5, seed=3, compute_sol=False)
+    s = 10.0 ** np.linspace(-2, 2, nx)
+    H = inst.H * s[:, None] * s[None, :]
+    g = inst.g * s
+    A = inst.A * s[None, :]
+    eps = 1e-5
+
+    runs = {}
+    for st in (False, True):
+        m = ReLU_QP()
+        m.setup(H, g, A, inst.l, inst.u, scaling=True, eps_abs=eps,
+                backend="xla", precision="float64",
+                scaled_termination=st)
+        r = m.solve()
+        assert r.info.status == "solved"
+        x = np.asarray(r.x, np.float64)
+        # direct unscaled KKT check of the returned solution
+        dua, pri, _ = kkt_error(H, g, A, inst.l, inst.u, x,
+                                lam=np.asarray(r.lam, np.float64))
+        runs[st] = dict(iters=r.info.iter, pri=pri, dua=dua,
+                        rep_pri=r.info.pri_res, rep_dua=r.info.dua_res)
+    # default (unscaled): the reported residuals ARE unscaled — they must
+    # certify the direct unscaled KKT error at the eps_abs thresholds
+    u_ = runs[False]
+    assert u_["pri"] < eps * np.sqrt(8) * 1.01, u_   # bound violation
+    assert u_["dua"] < eps * np.sqrt(nx) * 1.01, u_  # stationarity
+    # the REPORTED residuals are in unscaled units and under threshold
+    assert u_["rep_pri"] < eps * np.sqrt(8), u_
+    assert u_["rep_dua"] < eps * np.sqrt(nx), u_
+    # the scaled opt-in stops on scaled residuals: no unscaled guarantee
+    # (on this badly-scaled instance it stops earlier)
+    assert runs[True]["iters"] <= runs[False]["iters"]
+
+
+def test_unscaled_termination_batched_shared_and_hetero():
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.utils.problems import kkt_error
+    rng = np.random.RandomState(4)
+    nx, n_eq, n_ineq = 10, 2, 4
+    nc = n_eq + n_ineq
+    eps = 1e-4
+    B = 3
+    s_list, insts = [], []
+    for i in range(B):
+        inst = rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=10 + i,
+                       compute_sol=False)
+        s = 10.0 ** rng.uniform(-1.5, 1.5, nx)
+        insts.append((inst.H * s[:, None] * s[None, :], inst.g * s,
+                      inst.A * s[None, :], inst.l, inst.u))
+    # hetero batch (per-problem scalings)
+    H = np.stack([t[0] for t in insts])
+    G = np.stack([t[1] for t in insts])
+    A = np.stack([t[2] for t in insts])
+    L = np.stack([t[3] for t in insts])
+    U = np.stack([t[4] for t in insts])
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, scaling=True, eps_abs=eps, backend="xla",
+            max_iter=10000)
+    res = m.solve()
+    assert res.info.status.all(), res.info.status
+    for i in range(B):
+        x = np.asarray(res.x[i], np.float64)
+        dua, pri, _ = kkt_error(H[i], G[i], A[i], L[i], U[i], x,
+                                lam=np.asarray(res.lam[i], np.float64))
+        assert pri < eps * np.sqrt(nc) * 2, (i, pri)
+        assert dua < eps * np.sqrt(nx) * 2, (i, dua)
+    # shared batch (one scaling for the whole batch)
+    base = insts[0]
+    G2 = np.stack([base[1] * (1 + 0.01 * k) for k in range(B)])
+    m2 = BatchedReLU_QP()
+    m2.setup(base[0], G2, base[2], np.tile(base[3], (B, 1)),
+             np.tile(base[4], (B, 1)), scaling=True, eps_abs=eps,
+             backend="xla", max_iter=10000)
+    res2 = m2.solve()
+    assert res2.info.status.all()
+    for i in range(B):
+        x = np.asarray(res2.x[i], np.float64)
+        dua, pri, _ = kkt_error(base[0], G2[i], base[2], base[3], base[4],
+                                x, lam=np.asarray(res2.lam[i], np.float64))
+        assert pri < eps * np.sqrt(nc) * 2, (i, pri)
+        assert dua < eps * np.sqrt(nx) * 2, (i, dua)

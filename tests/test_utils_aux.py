@@ -103,7 +103,11 @@ def test_batched_checkpoint_roundtrip_hetero(tmp_path):
                                              save_batched_solver)
     H, G, A, L, U = _hetero_batch()
     m = BatchedReLU_QP()
-    m.setup(H, G, A, L, U, scaling=True, eps_abs=1e-5)
+    # fp32 + 1e-5 across this batch's dynamic range needs OSQP's
+    # scaled-space termination (the round-3 default certifies
+    # unscaled residuals); also exercises the flag's serialization.
+    m.setup(H, G, A, L, U, scaling=True, scaled_termination=True,
+            eps_abs=1e-5)
     r1 = m.solve()
     assert r1.info.status.all()
     m.clear_primal_dual()
@@ -137,7 +141,11 @@ def test_batched_checkpoint_pre_masters_format_loads(tmp_path):
                                              save_batched_solver)
     H, G, A, L, U = _hetero_batch()
     m = BatchedReLU_QP()
-    m.setup(H, G, A, L, U, scaling=True, eps_abs=1e-5)
+    # fp32 + 1e-5 across this batch's dynamic range needs OSQP's
+    # scaled-space termination (the round-3 default certifies
+    # unscaled residuals); also exercises the flag's serialization.
+    m.setup(H, G, A, L, U, scaling=True, scaled_termination=True,
+            eps_abs=1e-5)
     r1 = m.solve()
     m.clear_primal_dual()
     p_new = os.path.join(tmp_path, "new.npz")
