@@ -31,6 +31,13 @@ import numpy as np
 # jitter (~±1 ms observed) and cannot be trusted; the helpers lengthen
 # the chain and, failing that, report NaN rather than a fabricated 0.
 _NOISE_S = 2e-3
+# Escalation bar for the two-point fit: deltas must clear the DISPATCH
+# jitter scale, not just the noise floor — under host contention a
+# min-per-side fit whose short side never reaches its floor can
+# under-report several-fold (see benchmarks/tensor_parallel.py, where a
+# 2 ms bar let a 4x-low Dp=4096 reading through). Chunk/solve chains are
+# stretched until the delta is >= this.
+_JITTER_S = 25e-3
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -114,7 +121,7 @@ def chunk_us_per_iter(m, n_steps: int = 100) -> float:
         mk, lambda eps: (m.Wt_bank, m.bias_all, m.lo, m.hi, m.Y + eps),
         fresh)
     d = two_point_step_time(timed, fresh, 2, 12,
-                            noise_s=_NOISE_S, jitter_s=_NOISE_S)
+                            noise_s=_NOISE_S, jitter_s=_JITTER_S)
     return d / n_steps * 1e6
 
 
@@ -164,7 +171,7 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
     fresh = lambda j: rng.uniform(1e-7, 1e-6)
     timed = jit_chain_timer(mk, args, fresh)
     d = two_point_step_time(timed, fresh, 1, reps_hi,
-                            noise_s=_NOISE_S, jitter_s=_NOISE_S)
+                            noise_s=_NOISE_S, jitter_s=_JITTER_S)
     return d * 1e3
 
 
