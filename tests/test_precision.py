@@ -95,13 +95,14 @@ def test_iter_precision_matches_highest_result():
     np.testing.assert_allclose(xs["default"], xs["highest"], atol=1e-6)
 
 
-def test_fused_backend_rejects_reduced_precision():
-    """The whole-solve-in-VMEM kernel runs HIGHEST only; the chunked
-    pallas kernels accept every iter_precision (pass count is a kernel
-    parameter)."""
+def test_fused_backend_accepts_reduced_precision_on_tpu_only():
+    """Round 3: the whole-solve kernel supports reduced iter_precision
+    (in-kernel bf16x3 phase A + HIGHEST polish, tests/test_fused_features
+    validates the numerics); on a non-TPU device backend='fused' still
+    raises — for the device, not the precision."""
     qp = canonical_qp()
     m = ReLU_QP()
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="TPU"):
         m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, backend="fused",
                 iter_precision="high")
 
