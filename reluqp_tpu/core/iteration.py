@@ -310,7 +310,7 @@ def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
     ),
 )
 def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
-               rho_eff=None, *,
+               rho_eff=None, bias_lazy=None, *,
                nx: int, nc: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
@@ -344,6 +344,16 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
       between ρ-ladder updates, rounded up to the check cadence
       (``rho_update_stride``). Residual/convergence checks still run
       every ``check_interval`` iterations regardless.
+
+    ``bias_lazy``: optional ``(bias_c, M_hi, M_lo, x)`` state-affine bias
+    provider — the bias at rung k is ``b_k = c_k + M_k x`` and the loop
+    materializes it for the CURRENT rung only, on window entry
+    (one (Dp, n_plant) gather+matvec), instead of the caller refreshing
+    all N rungs up front. In the warm-MPC rollout the full refresh reads
+    the whole (N, Dp, n_plant) operator from HBM every control step and
+    dominates the per-step cost once check windows are small;
+    the lazy form cuts that traffic N×. ``bias_c``/``M_lo`` may be
+    ``None`` (zero). When set, ``bank.b`` is ignored.
 
     ``alpha != 1`` (ADMM over-relaxation, OSQP §5.2) runs the bank built
     in the [x; z; p] parametrization (``bank._bank_blocks_np``): λ is
@@ -386,12 +396,31 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
         k, status = state[3], state[6]
         return jnp.logical_and(status < 0, k < n_chunks * check_interval)
 
+    def bias_of(rho_ind):
+        """Bias bank for the runner: the materialized bank, or (lazy) the
+        current rung's state-affine bias broadcast into bank shape — the
+        runner's dynamic_index folds the broadcast away, so only ONE
+        (Dp, n_plant) operator row is ever read."""
+        if bias_lazy is None:
+            return bank.b
+        hp = lax.Precision.HIGHEST
+        c_b, M_b, Ml_b, x_b = bias_lazy
+        row = lambda a: lax.dynamic_index_in_dim(a, rho_ind, 0,
+                                                 keepdims=False)
+        b_loc = jnp.matmul(row(M_b), x_b, precision=hp)
+        if Ml_b is not None:
+            b_loc = b_loc + jnp.matmul(row(Ml_b), x_b, precision=hp)
+        if c_b is not None:
+            b_loc = b_loc + row(c_b)
+        b_loc = b_loc.astype(dtype)
+        return jnp.broadcast_to(b_loc, (bank.b.shape[0],) + b_loc.shape)
+
     def step(state, n_steps: int, W_op, precision: str):
         if check_infeasibility:
             y, rho_ind, rho, k, pri, dua, status, x_prev, lam_prev = state
         else:
             y, rho_ind, rho, k, pri, dua, status = state
-        y = chunk_runner(W_op, bank.b, rho_ind, qp.lo, qp.hi, y,
+        y = chunk_runner(W_op, bias_of(rho_ind), rho_ind, qp.lo, qp.hi, y,
                          n_steps, precision)
         pri, dua, rho_new = check(y, rho, rho_ind)
         if check_infeasibility:
@@ -467,8 +496,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
         # residual evaluation (reference fallthrough, ``reluqpth.py:243-248``).
         def tail(args):
             y, rho_ind, rho, k, pri, dua, status = args
-            y = chunk_runner(tail_W, bank.b, rho_ind, qp.lo, qp.hi, y, rem,
-                             tail_prec)
+            y = chunk_runner(tail_W, bias_of(rho_ind), rho_ind, qp.lo,
+                             qp.hi, y, rem, tail_prec)
             pri, dua, rho = check(y, rho, rho_ind)
             solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
             status = jnp.where(solved, STATUS_SOLVED, status)

@@ -367,6 +367,8 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     pad_lo = jnp.full((Dp,), -jnp.inf, dtype=dtype)
     pad_hi = jnp.full((Dp,), jnp.inf, dtype=dtype)
     hp = jax.lax.Precision.HIGHEST
+    # bank.b placeholder — the loop materializes the bias lazily per rung
+    b_unused = jnp.zeros((rhos.shape[0], Dp), dtype=dtype)
 
     def ctrl_step(carry, _):
         y, rho_ind, x = carry
@@ -375,7 +377,9 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
         lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
         hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
         if M_hi is None:
-            b_bank = jnp.einsum("kdx,x->kd", B_bank, g, precision=hp)
+            # b_k = B_k ḡ(x), materialized lazily per check window for
+            # the current rung only (solve_loop bias_lazy).
+            bias_lazy = (None, B_bank, None, g)
         else:
             # State-affine bias, precomputed in fp64 on host:
             # b_k(x) = B_k(ḡ0 + Ḡx0 x) = c_k + M_k x. More accurate
@@ -383,17 +387,18 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
             # iteration-dtype rounding that shifts the ADMM fixed
             # point), and HALF the contraction length (plant nx, not
             # QP nx); M's own storage rounding is removed by its cast
-            # residual M_lo.
-            b_bank = bias_c + jnp.einsum("kdn,n->kd", M_hi, x,
-                                         precision=hp)
-            if M_lo is not None:
-                b_bank = b_bank + jnp.einsum("kdn,n->kd", M_lo, x,
-                                             precision=hp)
-        bank = Bank(W=W_bank, B=B_bank, b=b_bank, rhos=rhos)
+            # residual M_lo. Lazy per-rung materialization inside the
+            # solve loop (bias_lazy) reads ONE (Dp, n_plant) operator
+            # row per check window instead of all N per control step —
+            # the full N-rung refresh streamed the whole (N, Dp,
+            # n_plant) operator from HBM every step and dominated the
+            # warm-step cost at small check windows.
+            bias_lazy = (bias_c, M_hi, M_lo, x)
+        bank = Bank(W=W_bank, B=B_bank, b=b_unused, rhos=rhos)
         qp = DeviceQP(H=H, g=g, A=A, lo=lo, hi=hi,
                       w_pri=w_pri, w_dua=w_dua)
         res = solve_loop(
-            bank, qp, y, rho_ind, rhos[rho_ind], W_hi, rho_eff,
+            bank, qp, y, rho_ind, rhos[rho_ind], W_hi, rho_eff, bias_lazy,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
