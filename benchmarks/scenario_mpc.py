@@ -35,6 +35,11 @@ def main(argv=None):
                    help="batch solver backend (xla|pallas — pallas needs "
                         "B within one VMEM tile so the batch stays "
                         "unpadded)")
+    p.add_argument("--check-interval", type=int, default=25,
+                   help="residual-check window; in the warm regime every "
+                        "step converges at its first check, so this IS "
+                        "the per-step iteration count (see bench.py and "
+                        "results/mpc_check_interval_ab_tpu.json)")
     p.add_argument("--repeats", type=int, default=1,
                    help="independent measurements per batch size; the "
                         "record carries the max (congestion noise is "
@@ -73,7 +78,8 @@ def main(argv=None):
         m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
                 np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
                 eps_abs=args.tol, backend=args.backend,
-                iter_precision=args.iter_precision)
+                iter_precision=args.iter_precision,
+                check_interval=args.check_interval)
         # Axon-safe two-point timing: fresh X0 per timed dispatch, scalar
         # fetch forces execution, overhead cancelled by differencing a
         # short and a long rollout (docs/perf_notes.md).

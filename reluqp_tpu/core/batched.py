@@ -329,7 +329,8 @@ def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
 )
 def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
                          rho_ind0, done0=None, Wt_bank_hi=None,
-                         rho_eff=None, w_pri=None, w_dua=None, *,
+                         rho_eff=None, w_pri=None, w_dua=None,
+                         bias_lazy=None, *,
                          nx: int, nc: int,
                          max_iter: int, check_interval: int,
                          adaptive_rho: bool, adaptive_rho_tolerance: float,
@@ -364,6 +365,13 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         aggregated with ``lax.psum`` so every chip exits the loop together.
       done0: optional (B,) bool mask of rows to treat as pre-converged
         (inert batch-padding rows), excluded from the ρ walk statistics.
+      bias_lazy: optional ``(bias_c (N,Dp)|None, M_hi (N,Dp,np),
+        M_lo|None, X (B,np))`` state-affine bias provider (shared-ρ mode
+        only): per check window the loop materializes the CURRENT rung's
+        per-problem bias ``c_k + X M_kᵀ`` as one GEMM instead of the
+        caller refreshing all N rungs up front — same HBM-traffic
+        argument as ``iteration.solve_loop``. ``bias_all`` is ignored
+        (pass any (1,1,1) placeholder).
     """
     B = Y0.shape[0]
     dtype = Y0.dtype
@@ -409,14 +417,40 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         return batched_residuals(H, A, G, X, Z, lam_of(Y, rho_ind), rho,
                                  rho_min, rho_max, w_pri, w_dua)
 
+    if bias_lazy is not None and not shared:
+        raise ValueError("bias_lazy requires rho_mode='shared' (one rung "
+                         "per window; per-problem rungs need the full "
+                         "materialized bias bank)")
+
+    def bias_of(rho_ind):
+        """Bias bank for the runner: materialized, or (lazy) the current
+        rung's per-problem bias broadcast into bank shape — the runner's
+        dynamic_index folds the broadcast away."""
+        if bias_lazy is None:
+            return bias_all
+        hp = lax.Precision.HIGHEST
+        c_b, M_b, Ml_b, X_b = bias_lazy
+        M_k = lax.dynamic_index_in_dim(M_b, rho_ind, 0, keepdims=False)
+        b_loc = jnp.matmul(X_b, M_k.T, precision=hp)       # (B, Dp)
+        if Ml_b is not None:
+            Ml_k = lax.dynamic_index_in_dim(Ml_b, rho_ind, 0,
+                                            keepdims=False)
+            b_loc = b_loc + jnp.matmul(X_b, Ml_k.T, precision=hp)
+        if c_b is not None:
+            b_loc = b_loc + lax.dynamic_index_in_dim(
+                c_b, rho_ind, 0, keepdims=False)[None, :]
+        b_loc = b_loc.astype(dtype)
+        return jnp.broadcast_to(b_loc[None], (Wt_bank.shape[0],)
+                                + b_loc.shape)
+
     def step(state, n_steps: int, W_op, precision: str):
         if check_infeasibility:
             (Y, rho_ind, rho, k, pri, dua, done, iters, status,
              X_prev, Lam_prev, _) = state
         else:
             Y, rho_ind, rho, k, pri, dua, done, iters, status, _ = state
-        Y = chunk_runner(W_op, bias_all, rho_ind, lo, hi, Y, n_steps,
-                         precision)
+        Y = chunk_runner(W_op, bias_of(rho_ind), rho_ind, lo, hi, Y,
+                         n_steps, precision)
         pri_n, dua_n, rho_new = check(Y, rho, rho_ind)
         if check_infeasibility:
             lam_now = lam_of(Y, rho_ind)

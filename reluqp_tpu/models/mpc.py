@@ -561,6 +561,8 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
         runner = None
     pad_lo = jnp.full((B_n, Dp), -jnp.inf, dtype=dtype)
     pad_hi = jnp.full((B_n, Dp), jnp.inf, dtype=dtype)
+    # bias_all placeholder — the loop materializes the bias lazily
+    b_unused = jnp.zeros((1, 1, 1), dtype=dtype)
 
     def ctrl_step(carry, w):
         Y, rho_ind, X = carry
@@ -569,18 +571,20 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
         lo = pad_lo.at[:, nx_qp:nx_qp + nc].set(l0[None, :] + shift)
         hi = pad_hi.at[:, nx_qp:nx_qp + nc].set(u0_[None, :] + shift)
         if M_hi is None:
-            bias_all = jnp.einsum("ndx,bx->nbd", B_bank, G, precision=hp)
+            # b_k = B_k ḡ(x_b), materialized lazily per check window for
+            # the current rung only (solve_batched_shared bias_lazy).
+            bias_lazy = (None, B_bank, None, G)
         else:
             # State-affine bias per scenario (see _rollout_impl):
-            # b_k(x_b) = c_k + M_k x_b, fp64-precomputed maps.
-            bias_all = bias_c[:, None, :] + jnp.einsum(
-                "ndp,bp->nbd", M_hi, X, precision=hp)
-            if M_lo is not None:
-                bias_all = bias_all + jnp.einsum("ndp,bp->nbd", M_lo, X,
-                                                 precision=hp)
+            # b_k(x_b) = c_k + M_k x_b, fp64-precomputed maps. Lazy
+            # per-rung materialization: the full N-rung refresh built an
+            # (N, B, Dp) tensor and streamed the whole (N, Dp, n_plant)
+            # operator from HBM every ensemble step; the loop now runs
+            # one (B, n_plant)@(n_plant, Dp) GEMM per check window.
+            bias_lazy = (bias_c, M_hi, M_lo, X)
         res = solve_batched_shared(
-            Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y, rho_ind,
-            None, Wt_hi, rho_eff, w_pri, w_dua,
+            Wt_bank, b_unused, rhos, H, A, G, lo, hi, Y, rho_ind,
+            None, Wt_hi, rho_eff, w_pri, w_dua, bias_lazy,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
