@@ -369,11 +369,17 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     hp = jax.lax.Precision.HIGHEST
     # bank.b placeholder — the loop materializes the bias lazily per rung
     b_unused = jnp.zeros((rhos.shape[0], Dp), dtype=dtype)
+    # one stacked refresh matvec per step (g and the l/u shift share x):
+    # two separate small matvecs cost two sequential op latencies inside
+    # the scan; stacking is free at trace time
+    gl_map = jnp.concatenate([g_x0, lu_x0], axis=0)
+    n_g = g_x0.shape[0]
 
     def ctrl_step(carry, _):
         y, rho_ind, x = carry
-        g = g0 + jnp.matmul(g_x0, x, precision=hp)
-        shift = jnp.matmul(lu_x0, x, precision=hp)
+        gs = jnp.matmul(gl_map, x, precision=hp)
+        g = g0 + gs[:n_g]
+        shift = gs[n_g:]
         lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
         hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
         if M_hi is None:
