@@ -106,11 +106,21 @@ def main(argv=None):
     records = []
     if os.path.exists(args.out):
         # resume semantics: sizes named in --nxs are (re)measured, the
-        # rest of the existing file is kept
+        # rest of the existing file is kept — but ONLY when the run
+        # protocol matches, so a file never mixes records measured under
+        # different tolerances/precisions while claiming one config.
         with open(args.out) as f:
-            rerun = set(int(n) for n in args.nxs)
-            records = [r for r in json.load(f)["records"]
-                       if r["nx"] not in rerun]
+            prev = json.load(f)
+        prev_cfg = prev.get("config", {})
+        for key in ("tol", "precision", "scaling", "seeds"):
+            if key in prev_cfg and prev_cfg[key] != getattr(args, key):
+                raise SystemExit(
+                    f"refusing to resume into {args.out}: its records were "
+                    f"measured with {key}={prev_cfg[key]!r} but this run "
+                    f"uses {key}={getattr(args, key)!r} — pass a different "
+                    "--out (one results file = one protocol)")
+        rerun = set(int(n) for n in args.nxs)
+        records = [r for r in prev["records"] if r["nx"] not in rerun]
         if records:
             print(f"resuming: kept {len(records)} records from {args.out}")
     for nx in args.nxs:

@@ -128,24 +128,33 @@ def run_tpu_overhead(args):
         # model's only assumption is that the iteration streams the bank
         # at ~HBM_GBPS, so measured GB/s within ~20% of the model at
         # large D validates the extrapolation's premise.
+        # None (not NaN) when the fit was unmeasurable: machine-read JSON
+        # must stay valid JSON (timing.py convention; json.dump would
+        # otherwise emit the non-standard NaN token)
         gbps_plain = bank_mb / 1e3 / (us_plain * 1e-6) \
-            if us_plain == us_plain else float("nan")
+            if us_plain == us_plain else None
         gbps_tp = bank_mb / 1e3 / (us_tp * 1e-6) \
-            if us_tp == us_tp else float("nan")
+            if us_tp == us_tp else None
+        de_nan = lambda v: None if (v is None or v != v) else v
         row = dict(nx=nx, nc=nx // 2, Dp=m.Dp,
-                   us_per_iter_plain=us_plain, us_per_iter_tp1=us_tp,
+                   us_per_iter_plain=de_nan(us_plain),
+                   us_per_iter_tp1=de_nan(us_tp),
                    tp1_overhead_pct=(us_tp / us_plain - 1.0) * 100.0
                    if us_plain == us_plain and us_tp == us_tp else None,
                    bank_block_mb=bank_mb, hbm_floor_us=floor_us,
                    hbm_gbps_achieved_plain=gbps_plain,
                    hbm_gbps_achieved_tp1=gbps_tp,
-                   pct_of_model_plain=100.0 * gbps_plain / HBM_GBPS,
-                   pct_of_model_tp1=100.0 * gbps_tp / HBM_GBPS,
+                   pct_of_model_plain=None if gbps_plain is None
+                   else 100.0 * gbps_plain / HBM_GBPS,
+                   pct_of_model_tp1=None if gbps_tp is None
+                   else 100.0 * gbps_tp / HBM_GBPS,
                    model_us_8chip=max(floor_us / 8, 2.0))
         rows.append(row)
+        fmt = lambda v, spec: ("   n/a" if v is None else format(v, spec))
         print(f"nx={nx:5d} Dp={m.Dp:5d}  plain {us_plain:7.2f} us/it "
-              f"({gbps_plain:5.0f} GB/s, {row['pct_of_model_plain']:3.0f}% "
-              f"of model)  tp(1) {us_tp:7.2f} us/it ({gbps_tp:5.0f} GB/s)"
+              f"({fmt(gbps_plain, '5.0f')} GB/s, "
+              f"{fmt(row['pct_of_model_plain'], '3.0f')}% of model)  "
+              f"tp(1) {us_tp:7.2f} us/it ({fmt(gbps_tp, '5.0f')} GB/s)"
               f"  bank {bank_mb:7.1f} MB  HBM floor {floor_us:6.1f} us  "
               f"(8-chip model {row['model_us_8chip']:.1f} us)")
     return rows

@@ -36,8 +36,9 @@ import numpy as np
 
 from .classes import SETTINGS_FIELDS, Settings
 from .core.bank import (auto_rho_cap, auto_rho_cap_batch, build_bank_np,
-                        effective_rho_ladder, effective_rho_ladder_batch,
-                        equality_mask, stacked_dim)
+                        certifiable_eps_floor, effective_rho_ladder,
+                        effective_rho_ladder_batch, equality_mask,
+                        sigma_max_sq, sigma_max_sq_batch, stacked_dim)
 from .core.batched import (BatchSolveResult, solve_batched_hetero,
                            solve_batched_shared)
 from .core.ladder import initial_rho_index, setup_rhos
@@ -45,10 +46,25 @@ from .ops.fused_step import (batch_tile_rows, pad_dim,
                              pallas_batched_chunk_runner,
                              pallas_hetero_chunk_runner, round_up,
                              vmem_bytes_needed)
-from .utils.scaling import (identity_scaling, ruiz_equilibrate,
-                            ruiz_equilibrate_batch)
+from .utils.scaling import (identity_scaling, residual_unscale_weights,
+                            ruiz_equilibrate, ruiz_equilibrate_batch)
 
 __all__ = ["BatchedReLU_QP", "BatchResults", "BatchInfo"]
+
+
+def _hetero_eps_floor(caps, A_scaled, dtype, nx: int) -> float:
+    """Batch-wide certifiable eps floor: the max per-problem floor (one
+    problem stalling is enough to warrant the update_settings warning).
+    0.0 when every cap is inf (nothing frozen)."""
+    caps = np.asarray(caps, np.float64)
+    finite = np.isfinite(caps)
+    if not np.any(finite):
+        return 0.0
+    s2 = sigma_max_sq_batch(np.asarray(A_scaled, np.float64))
+    eps_mach = float(np.finfo(np.dtype(dtype)).eps)
+    floors = np.where(finite & (s2 > 0.0),
+                      caps * eps_mach * s2 / np.sqrt(max(nx, 1)), 0.0)
+    return float(np.max(floors))
 
 
 @dataclasses.dataclass
@@ -458,12 +474,13 @@ class BatchedReLU_QP:
         self._unx = jnp.asarray(sc.D, dtype=dtype)
         self._unz = jnp.asarray(sc.Einv, dtype=dtype)
         self._unlam = jnp.asarray(sc.E * sc.cinv, dtype=dtype)
-        # Residual unscale weights (OSQP scaled_termination=False
-        # default; see core.bank.DeviceQP): 1-D shared vectors broadcast
-        # over the (padded) batch inside batched_residuals.
-        if self.settings.scaling and not self.settings.scaled_termination:
-            self._w_pri = jnp.asarray(sc.Einv, dtype=dtype)
-            self._w_dua = jnp.asarray(sc.cinv * sc.Dinv, dtype=dtype)
+        # Residual unscale weights (utils.scaling.residual_unscale_weights
+        # — THE single derivation): 1-D shared vectors broadcast over the
+        # (padded) batch inside batched_residuals.
+        wp, wd = residual_unscale_weights(sc, self.settings)
+        if wp is not None:
+            self._w_pri = jnp.asarray(wp, dtype=dtype)
+            self._w_dua = jnp.asarray(wd, dtype=dtype)
 
         # Precision-aware effective-ρ cap on the SCALED A (shared across
         # the batch — one A) and the per-rung ρ⃗ ladder it induces.
@@ -471,6 +488,10 @@ class BatchedReLU_QP:
                                      self.nx)
                         if self.settings.rho_cap == "auto"
                         else float(self.settings.rho_cap))
+        # host copy of the scaled A for the lazy eps-floor guard in
+        # update_settings (same footgun as ReLU_QP._warn_eps_floor)
+        self._A_scaled_np = np.asarray(A, np.float64)
+        self._sigma_max_sq = None
         self._rho_eff = None
         if self.settings.alpha != 1.0:
             self._rho_eff = self._put(
@@ -545,13 +566,11 @@ class BatchedReLU_QP:
                             (self.B_n, self.nc)), dtype=dtype))
         # Per-problem residual unscale weights (hetero never batch-pads:
         # B_pad == B_n, so (B, ·) weights match the loop shapes).
-        if self.settings.scaling and not self.settings.scaled_termination:
+        wp, wd = residual_unscale_weights(sc, self.settings)
+        if wp is not None:
             self._w_pri = self._put(jnp.asarray(
-                np.broadcast_to(np.asarray(sc.Einv), (self.B_n, self.nc)),
-                dtype=dtype))
-            self._w_dua = self._put(jnp.asarray(
-                np.reshape(sc.cinv, (-1, 1)) * np.asarray(sc.Dinv),
-                dtype=dtype))
+                np.broadcast_to(wp, (self.B_n, self.nc)), dtype=dtype))
+            self._w_dua = self._put(jnp.asarray(wd, dtype=dtype))
 
         # Per-problem precision-aware ρ caps on the SCALED A rows — one
         # batched power iteration, not B Python-level sigma_max_sq calls.
@@ -561,6 +580,10 @@ class BatchedReLU_QP:
         else:
             caps = np.full(self.B_n, float(self.settings.rho_cap))
         self.rho_cap = caps
+        # eps-floor for the update_settings guard, computed EAGERLY
+        # while the scaled A stack is in scope (storing the stack would
+        # pin B·nc·nx fp64 on the host)
+        self._eps_floor = _hetero_eps_floor(caps, A, dtype, self.nx)
         self._rho_eff = None
         if self.settings.alpha != 1.0:
             self._rho_eff = self._put(jnp.asarray(
@@ -856,13 +879,47 @@ class BatchedReLU_QP:
         self.warm_start(x=x_u, z=z_u, lam=lam_u)
         self.info.update_time = time.perf_counter() - t0
 
+    def _warn_eps_floor(self, eps_new: float) -> None:
+        """Warn when eps_abs is tightened past the frozen caps' floor
+        (same footgun guard as ``ReLU_QP._warn_eps_floor``; the batched
+        caps are equally frozen against the setup-time eps_abs)."""
+        if self.hetero:
+            floor = float(getattr(self, "_eps_floor", 0.0))
+        else:
+            cap = float(self.rho_cap)
+            if not np.isfinite(cap) or \
+                    getattr(self, "_A_scaled_np", None) is None:
+                return
+            if self._sigma_max_sq is None:
+                self._sigma_max_sq = sigma_max_sq(self._A_scaled_np)
+            floor = certifiable_eps_floor(
+                cap, self._sigma_max_sq, self.settings.precision_dtype,
+                self.nx)
+        if eps_new < floor * (1.0 - 1e-9):
+            import warnings
+            warnings.warn(
+                f"eps_abs={eps_new:g} is below {floor:g}, the certifiable "
+                "floor of the rho cap(s) frozen at setup (derived for the "
+                "setup-time eps_abs): the capped ladder's "
+                f"{np.dtype(self.settings.precision_dtype).name} "
+                "dual-residual noise floor may keep some problems at "
+                "max_iter. Re-derive the caps for the new tolerance with "
+                "update_matrices (a full re-setup), or set "
+                "rho_cap/precision explicitly at setup.",
+                RuntimeWarning, stacklevel=3)
+
     def update_settings(self, **kwargs):
         """Runtime-mutable settings, same rules as ``ReLU_QP`` (reference
         ``reluqpth.py:185-199``): the ρ/σ family is bank-invalidating.
         ``eps_abs`` changes are recompile-free (traced argument);
-        ``max_iter``/``check_interval`` recompile the loop."""
+        ``max_iter``/``check_interval`` recompile the loop.
+
+        Footgun guard: tightening ``eps_abs`` below the frozen rho caps'
+        certifiable floor warns (see ``ReLU_QP.update_settings``)."""
         for key, value in kwargs.items():
             if key in ("max_iter", "eps_abs", "verbose", "check_interval"):
+                if key == "eps_abs":
+                    self._warn_eps_floor(float(value))
                 setattr(self.settings, key, value)
             elif key in ("rho", "rho_min", "rho_max", "sigma",
                          "adaptive_rho", "adaptive_rho_interval",

@@ -47,6 +47,7 @@ __all__ = [
     "effective_rho_ladder",
     "effective_rho_ladder_batch",
     "sigma_max_sq",
+    "sigma_max_sq_batch",
 ]
 
 # Equality-row penalty boost: ρ⃗ = ρ · EQ_RHO_BOOST on rows with u−l ≤ eq_tol
@@ -110,10 +111,18 @@ def auto_rho_cap(A, eps_abs: float, dtype, nx: int,
     return float(max(cap, 1.0))
 
 
-def certifiable_eps_floor(rho_cap: float, s2: float, dtype, nx: int,
-                          theta: float = 0.1) -> float:
-    """Inverse of ``auto_rho_cap``: the tightest eps_abs a frozen cap
-    can still certify.
+def certifiable_eps_floor(rho_cap: float, s2: float, dtype, nx: int) -> float:
+    """The tightest eps_abs a frozen ρ cap can still certify.
+
+    A rung at the cap carries dual-residual noise
+    ``eps_mach · rho_cap · σ_max²``; certification needs
+    ``eps_abs · √nx`` above that, so the floor is their crossing point.
+    Note this is θ× BELOW the setup-time eps_abs the cap was derived
+    for: ``auto_rho_cap`` builds in a θ (=0.1) noise margin, so
+    tolerances down to ``θ · eps_setup`` remain certifiable at every
+    rung and tightening within that margin must NOT warn (round-3
+    review finding: the earlier /θ form made the floor equal the
+    setup eps, flagging every legitimate tightening).
 
     ``auto_rho_cap`` freezes the cap against the SETUP-time eps_abs
     (``classes.py`` rho_cap note); if ``update_settings`` later tightens
@@ -124,7 +133,24 @@ def certifiable_eps_floor(rho_cap: float, s2: float, dtype, nx: int,
     if not np.isfinite(rho_cap) or not np.isfinite(s2) or s2 <= 0.0:
         return 0.0
     eps_mach = float(np.finfo(np.dtype(dtype)).eps)
-    return float(rho_cap * eps_mach * s2 / (theta * np.sqrt(max(nx, 1))))
+    return float(rho_cap * eps_mach * s2 / np.sqrt(max(nx, 1)))
+
+
+def sigma_max_sq_batch(A, iters: int = 40) -> np.ndarray:
+    """Batched ``sigma_max_sq``: σ_max(A_b)² for a (B, nc, nx) stack via
+    one vectorized power iteration (two einsum contractions per step).
+    Degenerate (all-zero) rows return 0."""
+    A = np.asarray(A, dtype=np.float64)
+    B = A.shape[0]
+    v = np.ones((B, A.shape[2])) / np.sqrt(max(A.shape[2], 1))
+    s = np.zeros(B)
+    for _ in range(iters):
+        w = np.einsum("bcx,bc->bx", A, np.einsum("bcx,bx->bc", A, v))
+        s = np.linalg.norm(w, axis=-1)
+        # Degenerate rows stay at w = 0 → s = 0 (callers map that to an
+        # uncapped ladder); the guard only avoids 0/0.
+        v = w / np.maximum(s, 1e-300)[:, None]
+    return s
 
 
 def auto_rho_cap_batch(A, eps_abs: float, dtype, nx: int,
@@ -142,14 +168,7 @@ def auto_rho_cap_batch(A, eps_abs: float, dtype, nx: int,
     B = A.shape[0]
     if np.dtype(dtype) == np.float64 or A.size == 0:
         return np.full(B, np.inf)
-    v = np.ones((B, A.shape[2])) / np.sqrt(A.shape[2])
-    s = np.zeros(B)
-    for _ in range(iters):
-        w = np.einsum("bcx,bc->bx", A, np.einsum("bcx,bx->bc", A, v))
-        s = np.linalg.norm(w, axis=-1)
-        # Degenerate rows stay at w = 0 → s = 0 → cap = inf below (the
-        # scalar helper's early return); the guard only avoids 0/0.
-        v = w / np.maximum(s, 1e-300)[:, None]
+    s = sigma_max_sq_batch(A, iters=iters)
     eps_mach = float(np.finfo(np.dtype(dtype)).eps)
     bound = theta * float(eps_abs) * float(np.sqrt(max(nx, 1)))
     # Divide only where s > 0: s == 0 with bound == 0 would be a 0/0 NaN

@@ -46,7 +46,8 @@ from .parallel.tensor import (solve_loop_tp, tp_bank_sharding, tp_pad_dim,
 from .ops.solve_kernel import (FullSolveOperand, build_residual_operator,
                                build_alpha_operand, build_infeas_operand,
                                full_solve, full_solve_vmem_bytes)
-from .utils.scaling import identity_scaling, ruiz_equilibrate
+from .utils.scaling import (identity_scaling, residual_unscale_weights,
+                            ruiz_equilibrate)
 
 __all__ = ["ReLU_QP", "prepare_bank"]
 
@@ -281,10 +282,7 @@ class ReLU_QP:
         # ORIGINAL units even though the loop iterates on the scaled
         # problem. None when scaling is off (identity) or when the user
         # opts into scaled termination.
-        unscaled_term = stng.scaling and not stng.scaled_termination
-        w_pri_np = self.scal.Einv if unscaled_term else None
-        w_dua_np = (self.scal.cinv * self.scal.Dinv) if unscaled_term \
-            else None
+        w_pri_np, w_dua_np = residual_unscale_weights(self.scal, stng)
         # kept for update(g)'s fused g_row refresh + operand rebuilds
         self._w_pri_np, self._w_dua_np = w_pri_np, w_dua_np
         self.qp_dev = DeviceQP(

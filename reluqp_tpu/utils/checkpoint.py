@@ -146,15 +146,16 @@ def load_solver(path: str, device=None):
         if stng.iter_precision == "bf16" and stng.refine else None
     lo, hi = solver._padded_bounds(solver._l_s, solver._u_s, dtype)
     # Residual unscale weights are derived state (scal + settings), not
-    # serialized — rebuild them exactly as setup() does.
-    unscaled_term = stng.scaling and not getattr(stng, "scaled_termination",
-                                                 False)
+    # serialized — THE shared derivation (scaling.residual_unscale_weights)
+    # guarantees restored solvers terminate against the same units.
+    from .scaling import residual_unscale_weights
+    wp, wd = residual_unscale_weights(solver.scal, stng)
     solver.qp_dev = DeviceQP(
         H=put(solver._H_s), g=put(solver._g_s),
         A=put(solver._A_s), lo=put(lo), hi=put(hi),
-        w_pri=put(solver.scal.Einv) if unscaled_term else None,
-        w_dua=put(solver.scal.cinv * solver.scal.Dinv)
-        if unscaled_term else None)
+        w_pri=None if wp is None else put(wp),
+        w_dua=None if wd is None else put(wd))
+    solver._w_pri_np, solver._w_dua_np = wp, wd
     solver._unscale_x = put(solver.scal.D)
     solver._unscale_z = put(solver.scal.Einv)
     solver._unscale_lam = put(solver.scal.E * solver.scal.cinv)
@@ -475,6 +476,16 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
     m.rho_cap = (np.asarray(data["rho_cap"]) if "rho_cap" in data
                  else (np.full(m.B_n, np.inf) if m.hetero
                        else float("inf")))
+    # eps-floor guard state for update_settings, rebuilt from the
+    # restored scaled A (stored at iteration dtype — close enough for a
+    # warning heuristic; multi-process restores use the local shard).
+    from ..batch import _hetero_eps_floor
+    if m.hetero:
+        m._eps_floor = _hetero_eps_floor(
+            m.rho_cap, np.asarray(data["A"], np.float64), dtype, m.nx)
+    else:
+        m._A_scaled_np = np.asarray(data["A"], np.float64)
+        m._sigma_max_sq = None
     m._rho_eff = None
     if stng.alpha != 1.0:
         from ..core.bank import effective_rho_ladder as _eff
@@ -490,20 +501,19 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
             m._rho_eff = put(_eff(m.rhos_np, m._eq_pattern,
                                   float(m.rho_cap)), rep=True)
     # Residual unscale weights are derived state (scal + settings), not
-    # serialized — rebuild them exactly as setup() does.
+    # serialized — THE shared derivation (scaling.residual_unscale_weights)
+    # guarantees restored solvers terminate against the same units.
+    from .scaling import residual_unscale_weights
     m._w_pri = m._w_dua = None
-    if stng.scaling and not getattr(stng, "scaled_termination", False):
-        sc = m.scal
+    wp, wd = residual_unscale_weights(m.scal, stng)
+    if wp is not None:
         if m.hetero:
             m._w_pri = m._put(jnp.asarray(
-                np.broadcast_to(np.asarray(sc.Einv), (m.B_n, m.nc)),
-                dtype=dtype))
-            m._w_dua = m._put(jnp.asarray(
-                np.reshape(np.asarray(sc.cinv), (-1, 1))
-                * np.asarray(sc.Dinv), dtype=dtype))
+                np.broadcast_to(wp, (m.B_n, m.nc)), dtype=dtype))
+            m._w_dua = m._put(jnp.asarray(wd, dtype=dtype))
         else:
-            m._w_pri = jnp.asarray(sc.Einv, dtype=dtype)
-            m._w_dua = jnp.asarray(sc.cinv * sc.Dinv, dtype=dtype)
+            m._w_pri = jnp.asarray(wp, dtype=dtype)
+            m._w_dua = jnp.asarray(wd, dtype=dtype)
     if "G_lo" in data:
         g_lo = np.asarray(data["G_lo"])
         m._G_lo = put(g_lo) if g_lo.size else None

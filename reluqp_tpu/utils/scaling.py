@@ -24,10 +24,31 @@ from typing import NamedTuple
 import numpy as np
 
 __all__ = ["Scaling", "ruiz_equilibrate", "ruiz_equilibrate_batch",
-           "identity_scaling"]
+           "identity_scaling", "residual_unscale_weights"]
 
 _MIN_SCALE = 1e-4
 _MAX_SCALE = 1e4
+
+
+def residual_unscale_weights(scal: "Scaling", settings):
+    """THE derivation of the residual unscale weights ``(w_pri, w_dua)``.
+
+    ``(None, None)`` unless ``settings.scaling`` with the default
+    unscaled termination — then ``w_pri = 1/E`` and ``w_dua = 1/(c·D)``
+    in fp64 (``core.bank.DeviceQP``). Handles both the shared (1-D) and
+    the per-problem batched (2-D) Scaling layouts. Every setup path AND
+    every checkpoint loader must call this — the weights are derived
+    state, and a restored solver must terminate against exactly the same
+    residual units as a freshly-built one.
+    """
+    if not (getattr(settings, "scaling", False)
+            and not getattr(settings, "scaled_termination", False)):
+        return None, None
+    import numpy as _np
+    c = _np.asarray(scal.cinv)
+    Dinv = _np.asarray(scal.Dinv)
+    w_dua = c.reshape(-1, 1) * Dinv if Dinv.ndim == 2 else c * Dinv
+    return _np.asarray(scal.Einv), w_dua
 
 
 class Scaling(NamedTuple):

@@ -249,10 +249,15 @@ def test_eps_floor_warning_and_rederive_workaround():
     with _warnings.catch_warnings():
         _warnings.simplefilter("error")
         m.update_settings(eps_abs=1e-3)
+    # tightening WITHIN the cap's built-in θ noise margin must be silent
+    # (the floor is θ·eps_setup = 1e-4, not eps_setup itself)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        m.update_settings(eps_abs=1.5e-4)
     # the documented workaround: update_matrices re-runs setup under the
     # current settings, re-deriving the auto cap for the new tolerance
     with pytest.warns(RuntimeWarning, match="certifiable floor"):
-        m.update_settings(eps_abs=1e-4)   # tighter than the 1e-3 floor
+        m.update_settings(eps_abs=1e-4 / 3)   # below the θ·eps_setup floor
     m.update_matrices(inst.H, inst.A)
     r = m.solve()
     assert r.info.status == "solved"
@@ -312,3 +317,50 @@ def test_auto_rho_cap_batch_matches_scalar():
     for i in range(B):
         np.testing.assert_allclose(
             eff[i], effective_rho_ladder(lad, eq[i], caps[i]))
+
+
+def test_batched_eps_floor_warning(tmp_path):
+    """The batched solver guards the same eps_abs footgun as ReLU_QP —
+    shared and hetero regimes, and the guard survives checkpoint restore
+    (round-3 review finding: the guard existed only on the single-QP
+    solver)."""
+    import warnings as _warnings
+
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.core.bank import certifiable_eps_floor
+    from reluqp_tpu.utils.checkpoint import (load_batched_solver,
+                                             save_batched_solver)
+    inst = rand_qp(nx=120, n_eq=30, n_ineq=30, seed=0, compute_sol=False)
+    B = 4
+    G = np.tile(inst.g, (B, 1))
+    L = np.tile(inst.l, (B, 1))
+    U = np.tile(inst.u, (B, 1))
+
+    m = BatchedReLU_QP()
+    m.setup(inst.H, G, inst.A, L, U, eps_abs=1e-3)
+    assert np.isfinite(float(m.rho_cap))
+    floor = certifiable_eps_floor(float(m.rho_cap), sigma_max_sq(inst.A),
+                                  np.float32, 120)
+    with pytest.warns(RuntimeWarning, match="certifiable floor"):
+        m.update_settings(eps_abs=floor / 100.0)
+    with _warnings.catch_warnings():        # loosening back: silent
+        _warnings.simplefilter("error")
+        m.update_settings(eps_abs=1e-3)
+
+    # hetero regime: per-problem caps, batch-wide max floor
+    Hs = np.stack([inst.H * (1.0 + 0.01 * i) for i in range(B)])
+    As = np.stack([inst.A for _ in range(B)])
+    mh = BatchedReLU_QP()
+    mh.setup(Hs, G, As, L, U, eps_abs=1e-3)
+    assert mh._eps_floor > 0.0
+    with pytest.warns(RuntimeWarning, match="certifiable floor"):
+        mh.update_settings(eps_abs=mh._eps_floor / 100.0)
+
+    # restored solvers keep the guard (derived state, rebuilt on load)
+    import os
+    p = os.path.join(tmp_path, "b.npz")
+    mh.update_settings(eps_abs=1e-3)
+    save_batched_solver(mh, p)
+    m2 = load_batched_solver(p)
+    with pytest.warns(RuntimeWarning, match="certifiable floor"):
+        m2.update_settings(eps_abs=m2._eps_floor / 100.0)
