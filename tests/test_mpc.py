@@ -203,3 +203,49 @@ def test_scenario_rollout_scan():
     noise = 0.01 * rng.randn(T, B, 2)
     Xs2, _, _ = scenario_rollout_scan(m, prob, X0, T, noise=noise)
     assert np.all(np.isfinite(np.asarray(Xs2)))
+
+
+def test_rollouts_with_alpha_relaxation():
+    """alpha != 1 through both rollout scans: the lazy per-rung bias, the
+    rung-switch p re-encode, and the scenario batched loop all compose
+    (round-3 intersection coverage)."""
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.models.mpc import (gen_condensed_mpc_qp, ihlqr,
+                                       scenario_rollout_scan)
+    Ad, Bd, Q, R = _di()
+    T = 25
+    x_init = np.array([1.0, 0.0])
+    ctrl = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+               eps_abs=1e-4, backend="xla", alpha=1.6)
+    xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x_init, T)
+    xs = np.asarray(xs, np.float64)
+    assert int(np.max(iters)) < ctrl.solver.settings.max_iter
+    assert np.linalg.norm(xs[-1]) < 0.25 * np.linalg.norm(x_init)
+    # matches the alpha=1 rollout's closed loop (same certified eps)
+    ctrl1 = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+                eps_abs=1e-4, backend="xla")
+    xs1, _, _ = mpc_rollout_scan(ctrl1.solver, ctrl1.prob, x_init, T)
+    assert np.max(np.abs(xs - np.asarray(xs1, np.float64))) < 5e-2
+
+    # scenario ensemble under alpha
+    N, K = 8, None
+    K, Qf = ihlqr(Ad, Bd, Q, R)
+    rows = []
+    for k in range(N):
+        r = np.zeros((1, N * 3))
+        r[0, k * 3] = 1.0
+        rows.append(r)
+    prob = gen_condensed_mpc_qp(Ad, Bd, Q, R, Qf, N, np.vstack(rows),
+                                -np.ones(N), np.ones(N), K=K)
+    B = 4
+    rng = np.random.RandomState(1)
+    X0 = np.array([[1.0, 0.0]]) + 0.2 * rng.randn(B, 2)
+    m = BatchedReLU_QP()
+    m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
+            np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
+            eps_abs=1e-4, backend="xla", alpha=1.6)
+    Xs, Us, _ = scenario_rollout_scan(m, prob, X0, T)
+    Xs = np.asarray(Xs, np.float64)
+    assert np.all(np.abs(np.asarray(Us, np.float64)) <= 1.0 + 1e-3)
+    assert np.all(np.linalg.norm(Xs[-1], axis=-1)
+                  < np.linalg.norm(Xs[0], axis=-1))
