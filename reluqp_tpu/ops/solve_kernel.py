@@ -225,18 +225,29 @@ def build_infeas_operand(A, g, l, u, nx: int, nc: int, dp: int,
 def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
                           dtype, alpha: float = 1.0,
                           iter_precision: str = "highest",
-                          check_infeasibility: bool = False) -> int:
+                          check_infeasibility: bool = False,
+                          stream_bank: bool = False) -> int:
     """Estimated VMEM footprint: bank + residual operator + vectors.
 
     ``iter_precision`` "high"/"bf16" adds one W-sized chunk temporary
     (the per-chunk bf16 hi/lo split); alpha adds the selector/scatter
     operands; infeasibility adds the certificate operands plus the
-    carried previous-check state.
+    carried previous-check state. ``stream_bank`` replaces the N-rung
+    resident bank with one (Dp, Dp) scratch (the bank stays in HBM).
     """
     bs = jnp.dtype(dtype).itemsize
     alpha_mode = alpha != 1.0
     R = 2 * ncp + (nxp if alpha_mode else 2 * nxp)
-    total = (n_rho * dp * dp + n_rho * dp + dp * R
+    # streaming holds ONE rung — but Mosaic's scoped stack adds several
+    # W-sized temporaries around the in-kernel matmuls (measured: 27.3 MB
+    # scoped allocation at Dp=1024 f32 = ~5 W-equivalents once M_res's
+    # 1.5 W-eq share is counted separately below; Dp=640 measured ~11 MB
+    # total and runs. The whole-bank mode never hits this because its
+    # bank bound binds first). Model the streaming footprint as 5 W-sized
+    # buffers; with the 12 MB budget this admits Dp ≤ 640 (the kHz-MPC
+    # regime the resident kernel could not reach) and refuses Dp = 1024.
+    bank_elems = 5 * dp * dp if stream_bank else n_rho * dp * dp
+    total = (bank_elems + n_rho * dp + dp * R
              + 8 * dp + 4 * R) * bs
     if alpha_mode:
         total += (2 * dp * ncp + ncp * nxp + n_rho * ncp) * bs
@@ -260,7 +271,7 @@ _ST_DINF = 3
 def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             tol, rho_min, rho_max, rho_jump, rho_stride, unroll,
             alpha_mode, verbose, iter_precision, refine,
-            check_infeas, eps_pinf, eps_dinf,
+            check_infeas, eps_pinf, eps_dinf, stream,
             # refs (scalar prefetch first, then inputs, then outputs)
             rho0_ref, wt_ref, b_ref, rhos_ref, eps_ref, mres_ref, g_ref,
             lo_ref, hi_ref, y_ref, *rest):
@@ -283,6 +294,26 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
          finl_ref, finu_ref, gdp_ref) = rest[i:i + 8]
         i += 8
     yout_ref, stats_ref = rest[i], rest[i + 1]
+    if stream:
+        # bank-streaming mode: wt_ref lives in HBM; w_scr holds the
+        # resident rung, copied on rung change only (a warm solve whose
+        # rung holds does ZERO bank HBM traffic after window 1 — better
+        # than the chunked path, which re-DMAs W every window).
+        w_scr_ref, dma_sem = rest[i + 2], rest[i + 3]
+
+    def ensure_resident(k_idx, res_idx):
+        """DMA rung ``k_idx`` into the VMEM scratch if not resident."""
+        if not stream:
+            return res_idx
+
+        @pl.when(res_idx != k_idx)
+        def _copy():
+            dma = pltpu.make_async_copy(wt_ref.at[k_idx], w_scr_ref,
+                                        dma_sem)
+            dma.start()
+            dma.wait()
+
+        return k_idx
     # eps_abs is an SMEM runtime scalar (not a kernel constant):
     # update_settings(eps_abs=...) stays recompile-free on this backend
     # just like the XLA loop, where it is a traced argument.
@@ -291,7 +322,9 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     hp = lax.Precision.HIGHEST
 
     def chunk(y, k_idx, n_steps: int, prec: str):
-        wt = wt_ref[k_idx]                       # (Dp, Dp) dynamic index
+        # (Dp, Dp): the resident scratch rung (streaming) or a dynamic
+        # index into the VMEM-resident bank
+        wt = w_scr_ref[:] if stream else wt_ref[k_idx]
         b = b_ref[k_idx]                         # (1, Dp) — bank is (N,1,Dp)
         if prec == "bf16":
             wt_b = wt.astype(jnp.bfloat16)
@@ -412,11 +445,14 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
 
     def make_body(prec: str):
         def body(state):
+            state = list(state)
+            res_idx = state.pop() if stream else None
             if check_infeas:
                 (y, k_idx, rho, k, pri, dua, status,
                  y_prev, lam_prev) = state
             else:
                 y, k_idx, rho, k, pri, dua, status = state
+            res_idx = ensure_resident(k_idx, res_idx)
             y = chunk(y, k_idx, check_interval, prec)
             pri, dua, rho_new, lam, d = residuals(y, rho, k_idx)
             if adaptive_rho:
@@ -490,9 +526,12 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
                                    _ST_PINF, status)
                 status = jnp.where(jnp.logical_and(status < 0, dinf),
                                    _ST_DINF, status)
-                return (y, k_idx, rho_new, k + check_interval, pri, dua,
-                        status, y, lam)
-            return (y, k_idx, rho_new, k + check_interval, pri, dua, status)
+                out = (y, k_idx, rho_new, k + check_interval, pri, dua,
+                       status, y, lam)
+            else:
+                out = (y, k_idx, rho_new, k + check_interval, pri, dua,
+                       status)
+            return out + (res_idx,) if stream else out
 
         return body
 
@@ -508,6 +547,8 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     if check_infeas:
         lam0, _ = lam_and_d(y_ref[:], k0)
         state0 = state0 + (y_ref[:], lam0)
+    if stream:
+        state0 = state0 + (jnp.asarray(-1, jnp.int32),)   # nothing resident
 
     two_phase = refine and iter_precision != "highest"
     k_fast = jnp.asarray(0, jnp.int32)
@@ -545,12 +586,14 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         tail_prec = "highest"
 
     y, k_idx, rho, k, pri, dua, status = state[:7]
+    res_final = state[-1] if stream else None
 
     rem = max_iter - n_chunks * check_interval
     if rem > 0:
         # max_iter % check_interval tail (solve_loop's rem path).
         def tail(args):
             y, k_idx, rho, k, pri, dua, status = args
+            ensure_resident(k_idx, res_final)
             y = chunk(y, k_idx, rem, tail_prec)
             pri, dua, rho, _, _ = residuals(y, rho, k_idx)
             solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
@@ -580,7 +623,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
                      "rho_min", "rho_max", "rho_jump",
                      "adaptive_rho_interval", "alpha_mode", "verbose",
                      "iter_precision", "refine", "check_infeasibility",
-                     "eps_prim_inf", "eps_dual_inf"))
+                     "eps_prim_inf", "eps_dual_inf", "stream_bank"))
 def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
                nxp: int, ncp: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
@@ -589,10 +632,17 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
                alpha_mode: bool = False, verbose: bool = False,
                iter_precision: str = "highest", refine: bool = True,
                check_infeasibility: bool = False,
-               eps_prim_inf: float = 1e-4, eps_dual_inf: float = 1e-4):
+               eps_prim_inf: float = 1e-4, eps_dual_inf: float = 1e-4,
+               stream_bank: bool = False):
     """One-launch full solve. Returns ``(y (Dp,), stats (8,))`` with stats
     ``[iters, pri, dua, rho_estimate, rho_ind, status_code, n_iter_fast,
-    0]`` as f32 (status codes = ``core.iteration.STATUS_*``)."""
+    0]`` as f32 (status codes = ``core.iteration.STATUS_*``).
+
+    ``stream_bank=True``: the weight bank stays in HBM and only the
+    CURRENT rung is held in a VMEM scratch, DMA'd on rung change —
+    extends the one-launch solve to problems whose whole bank exceeds
+    VMEM (D ≈ 370 → ≈ 1300 at fp32/18 rungs), and a solve whose rung
+    holds does zero bank HBM traffic after the first window."""
     from ..core.iteration import rho_update_stride
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
@@ -603,10 +653,12 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
         float(rho_min), float(rho_max), bool(rho_jump),
         rho_update_stride(adaptive_rho_interval, check_interval), unroll,
         bool(alpha_mode), bool(verbose), str(iter_precision), bool(refine),
-        bool(check_infeasibility), float(eps_prim_inf), float(eps_dual_inf))
+        bool(check_infeasibility), float(eps_prim_inf), float(eps_dual_inf),
+        bool(stream_bank))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
-        vmem,                                    # Wt_bank (whole)
+        # whole bank: VMEM-resident, or HBM with a per-rung DMA scratch
+        pl.BlockSpec(memory_space=pltpu.ANY) if stream_bank else vmem,
         vmem,                                    # b_bank (N, 1, Dp)
         pl.BlockSpec(memory_space=pltpu.SMEM),   # rhos (scalars)
         pl.BlockSpec(memory_space=pltpu.SMEM),   # eps_abs (runtime)
@@ -632,6 +684,10 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
                   io.u_nc, io.fin_l, io.fin_u, io.g_dp]
         in_specs += [vmem] * len(extra)
         args += extra
+    scratch = []
+    if stream_bank:
+        scratch = [pltpu.VMEM((dp, dp), op.Wt_bank.dtype),
+                   pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -640,6 +696,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
             vmem,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
+        scratch_shapes=scratch,
     )
     y, stats = pl.pallas_call(
         kernel,

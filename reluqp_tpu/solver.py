@@ -345,16 +345,25 @@ class ReLU_QP:
         nxp = round_up(max(self.nx, LANE), LANE)
         ncp = round_up(max(self.nc, LANE), LANE)
         n_rho = len(self.rhos_np)
-        fits = full_solve_vmem_bytes(
-            n_rho, dp, nxp, ncp, dtype, alpha=float(stng.alpha),
-            iter_precision=stng.iter_precision,
-            check_infeasibility=bool(stng.check_infeasibility)) \
-            <= _PALLAS_VMEM_BUDGET
+        vmem_kw = dict(alpha=float(stng.alpha),
+                       iter_precision=stng.iter_precision,
+                       check_infeasibility=bool(stng.check_infeasibility))
+        fits = full_solve_vmem_bytes(n_rho, dp, nxp, ncp, dtype,
+                                     **vmem_kw) <= _PALLAS_VMEM_BUDGET
+        # Whole bank too big for VMEM: stream it — the bank stays in
+        # HBM and the kernel DMAs the CURRENT rung into a scratch on
+        # rung change (zero bank traffic while the rung holds, which the
+        # chunked path re-DMAing W every window cannot do).
+        fits_stream = full_solve_vmem_bytes(
+            n_rho, dp, nxp, ncp, dtype, stream_bank=True,
+            **vmem_kw) <= _PALLAS_VMEM_BUDGET
+        self._stream_bank = not fits and fits_stream
         if stng.backend == "fused":
-            if not fits:
+            if not (fits or fits_stream):
                 raise ValueError(
-                    f"whole bank does not fit VMEM at D={self.D} "
-                    f"(N_rho={n_rho}); use backend='pallas' or 'xla'")
+                    f"even a single bank rung + residual operator does "
+                    f"not fit VMEM at D={self.D} (N_rho={n_rho}); use "
+                    "backend='pallas' or 'xla'")
             if not _is_tpu(stng.device):
                 raise ValueError("backend='fused' requires a TPU device")
             return True
@@ -655,7 +664,8 @@ class ReLU_QP:
             iter_precision=stng.iter_precision, refine=bool(stng.refine),
             check_infeasibility=bool(stng.check_infeasibility),
             eps_prim_inf=float(stng.eps_prim_inf),
-            eps_dual_inf=float(stng.eps_dual_inf))
+            eps_dual_inf=float(stng.eps_dual_inf),
+            stream_bank=bool(getattr(self, "_stream_bank", False)))
         stats_h, obj_h = jax.device_get((stats, obj))
         run_time = time.perf_counter() - t0
         self.y = y
@@ -766,7 +776,8 @@ class ReLU_QP:
     "nx", "nc", "nxp", "ncp", "max_iter", "check_interval", "adaptive_rho",
     "adaptive_rho_tolerance", "rho_min", "rho_max", "rho_jump",
     "adaptive_rho_interval", "alpha_mode", "verbose", "iter_precision",
-    "refine", "check_infeasibility", "eps_prim_inf", "eps_dual_inf"))
+    "refine", "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
+    "stream_bank"))
 def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
                  rho_ind0, alpha_op=None, infeas_op=None, *,
                  nx, nc, nxp, ncp, max_iter, check_interval,
@@ -775,7 +786,7 @@ def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
                  alpha_mode=False, verbose=False,
                  iter_precision="highest", refine=True,
                  check_infeasibility=False, eps_prim_inf=1e-4,
-                 eps_dual_inf=1e-4):
+                 eps_dual_inf=1e-4, stream_bank=False):
     from .core.iteration import compute_objective
     op = FullSolveOperand(Wt_bank=Wt_bank, b_bank=b_bank, rhos=rhos,
                           M_res=M_res, g_row=g_row, lo=lo, hi=hi,
@@ -790,6 +801,7 @@ def _fused_solve(Wt_bank, b_bank, rhos, M_res, g_row, lo, hi, H, g, y0,
         alpha_mode=alpha_mode, verbose=verbose,
         iter_precision=iter_precision, refine=refine,
         check_infeasibility=check_infeasibility,
-        eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf)
+        eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf,
+        stream_bank=stream_bank)
     obj = compute_objective(H, g, y[:nx])
     return y, stats, obj

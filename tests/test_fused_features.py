@@ -207,3 +207,47 @@ def test_fused_verbose_smoke(capfd):
     assert stats[5] == 1.0
     out = capfd.readouterr()
     assert "res_p" in out.out or "res_p" in out.err
+
+
+# --------------------------------------------------------------------- #
+# bank streaming (large-D whole-solve)                                  #
+# --------------------------------------------------------------------- #
+
+def test_stream_bank_bitwise_matches_resident():
+    """stream_bank=True (bank in HBM, current rung DMA'd to a VMEM
+    scratch on rung change) is bitwise identical to the VMEM-resident
+    kernel — plain, alpha, and infeasibility configurations."""
+    qp = canonical_qp()
+    for kw, build in ((dict(), dict()),
+                      (dict(alpha_mode=True), dict(alpha=A16)),
+                      (dict(check_infeasibility=True), dict(infeas=True))):
+        op_args = _make_op(qp.H, qp.g, qp.A, qp.l, qp.u, **build)
+        y_r, s_r = _solve(*op_args, **kw)
+        y_s, s_s = _solve(*op_args, stream_bank=True, **kw)
+        assert s_s[5] == s_r[5] == 1.0
+        np.testing.assert_array_equal(y_r, y_s)
+
+
+def test_stream_bank_rung_walk_random():
+    """A cold random QP walks the rho ladder — every walk re-DMAs the
+    rung; the streamed trajectory still matches the resident one."""
+    inst = rand_qp(nx=24, n_eq=6, n_ineq=6, seed=4, compute_sol=True)
+    op_args = _make_op(inst.H, inst.g, inst.A, inst.l, inst.u)
+    y_r, s_r = _solve(*op_args)
+    y_s, s_s = _solve(*op_args, stream_bank=True)
+    assert s_s[5] == 1.0
+    np.testing.assert_array_equal(y_r, y_s)
+    assert np.max(np.abs(y_s[:24] - inst.x_sol)) < 1e-2
+
+
+def test_stream_bank_vmem_model_gates():
+    """The VMEM model admits the kHz-MPC regime (Dp=640, which the
+    resident kernel cannot hold) and refuses Dp=1024 (measured Mosaic
+    scoped-stack OOM there)."""
+    from reluqp_tpu.ops.solve_kernel import full_solve_vmem_bytes
+    budget = 12 * 2 ** 20
+    assert full_solve_vmem_bytes(18, 640, 256, 256, jnp.float32) > budget
+    assert full_solve_vmem_bytes(18, 640, 256, 256, jnp.float32,
+                                 stream_bank=True) <= budget
+    assert full_solve_vmem_bytes(18, 1024, 512, 512, jnp.float32,
+                                 stream_bank=True) > budget
