@@ -438,7 +438,8 @@ _rollout_jit = jax.jit(
 
 
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
-                     solve_max_iter: Optional[int] = None):
+                     solve_max_iter: Optional[int] = None,
+                     kernel: str = "loop"):
     """Closed-loop MPC rollout as ONE compiled ``lax.scan`` on device.
 
     Per control step, entirely on device: refresh ``g``/``l``/``u`` from
@@ -455,6 +456,11 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
       x_init: (nx,) initial plant state.
       n_steps: number of control steps (static).
       solve_max_iter: per-step iteration cap (defaults to settings).
+      kernel: "loop" (default — the XLA/chunked solve loop per step) or
+        "fused" — the whole per-step solve, including the state-affine
+        bias refresh, as ONE kernel launch (``_rollout_kernel_impl``;
+        TPU only, alpha=1, requires the rung + residual operator to fit
+        VMEM). "auto" picks "fused" when eligible.
     """
     stng = solver.settings
     dtype = stng.precision_dtype
@@ -467,6 +473,18 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
     sc = solver.scal
     gD = sc.c * sc.D
     B64 = getattr(solver, "_B_np", None)
+    if kernel not in ("loop", "fused", "auto"):
+        raise ValueError("kernel must be 'loop', 'fused' or 'auto'")
+    if kernel != "loop":
+        stream = _kernel_rollout_eligible(solver)
+        if stream is None and kernel == "fused":
+            raise ValueError(
+                "kernel='fused' rollout needs a TPU device, alpha=1, no "
+                "infeasibility checks, the fp64 bias masters, and a rung "
+                "+ residual operator that fit VMEM")
+        if stream is not None:
+            return _kernel_rollout(solver, prob, x_init, n_steps,
+                                   solve_max_iter, stream)
     bias_c = M_hi = M_lo = None
     if B64 is not None:
         bias_c, M_hi, M_lo = _affine_bias_maps(
@@ -494,6 +512,159 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         rho_jump=bool(stng.rho_jump),
         adaptive_rho_interval=int(stng.adaptive_rho_interval),
         alpha=float(stng.alpha))
+
+
+def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
+                    solve_max_iter, stream_bank: bool):
+    """Host prep for the whole-solve-kernel rollout (see
+    ``_rollout_kernel_impl``): builds the residual operator, the
+    wd-weighted g maps, and the transposed lane-padded affine-bias
+    operator M_aff (N, npl_pad, Dp), then dispatches the jitted scan."""
+    from ..ops.fused_step import LANE, round_up
+    from ..ops.solve_kernel import build_residual_operator
+
+    stng = solver.settings
+    dtype = stng.precision_dtype
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
+    nu = prob.K.shape[0]
+    npl = prob.K.shape[1]
+    sc = solver.scal
+    gD = sc.c * sc.D
+    g0_s = gD * prob.g0
+    gx0_s = gD[:, None] * prob.g_x0
+    wd = np.ones(solver.nx) if solver._w_dua_np is None \
+        else np.asarray(solver._w_dua_np, np.float64)
+    M_res, _, nxp, ncp = build_residual_operator(
+        solver._H_s, solver._A_s, solver._g_s, solver.Dp, dtype,
+        w_pri=solver._w_pri_np, w_dua=solver._w_dua_np)
+    # b_k(x) = c_k + M_k x in fp64, transposed + lane-padded for the
+    # kernel's (1, npl)@(npl, Dp) bias GEMV; M's f32 storage rounding is
+    # accepted here (the XLA path's M_lo compensation is a <1 ulp(g)
+    # refinement — below the fp32 iterate's own noise floor).
+    B64 = solver._B_np
+    c64 = B64 @ g0_s                                     # (N, Dp)
+    M64 = B64 @ gx0_s                                    # (N, Dp, npl)
+    npl_pad = round_up(max(npl, LANE), LANE)
+    n_rho = B64.shape[0]
+    M_aff = np.zeros((n_rho, npl_pad, solver.Dp))
+    M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
+    gl_map = np.concatenate([wd[:, None] * gx0_s,
+                             sc.E[:, None] * prob.lu_x0], axis=0)
+    return _rollout_kernel_jit(
+        solver.bank.W, cst(c64).reshape(n_rho, -1), solver.bank.rhos,
+        M_res, cst(M_aff), cst(wd * g0_s), cst(gl_map),
+        cst(sc.E * prob.l0), cst(sc.E * prob.u0), cst(prob.K),
+        cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
+        cst(sc.D[:nu]), solver.y, solver.rho_ind,
+        cst(np.asarray(x_init, np.float64).reshape(npl)),
+        nx_qp=solver.nx, nc=solver.nc, nu=nu, nxp=nxp, ncp=ncp,
+        npl_pad=npl_pad, Dp=solver.Dp, n_steps=n_steps,
+        max_iter=solve_max_iter or stng.max_iter,
+        check_interval=stng.check_interval,
+        adaptive_rho=stng.adaptive_rho,
+        adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+        eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+        rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
+        adaptive_rho_interval=int(stng.adaptive_rho_interval),
+        iter_precision=stng.iter_precision, refine=bool(stng.refine),
+        verbose=bool(stng.verbose), stream_bank=bool(stream_bank))
+
+
+def _rollout_kernel_impl(Wt_bank, bias_c, rhos, M_res, M_aff, g0w, gl_map,
+                         l0, u0_, Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0,
+                         *, nx_qp: int, nc: int, nu: int, nxp: int,
+                         ncp: int, npl_pad: int, Dp: int, n_steps: int,
+                         max_iter: int, check_interval: int,
+                         adaptive_rho: bool, adaptive_rho_tolerance: float,
+                         eps_abs: float, rho_min: float, rho_max: float,
+                         rho_jump: bool, adaptive_rho_interval: int,
+                         iter_precision: str, refine: bool, verbose: bool,
+                         stream_bank: bool):
+    """Whole-solve-kernel rollout: per control step the ENTIRE solve —
+    iteration windows, residuals, ρ walk, convergence exit, AND the
+    state-affine bias refresh (``b_k(x) = c_k + M_k x``, M streamed per
+    rung from HBM next to W) — is one kernel launch; XLA handles only
+    the tiny g/bound refresh and the plant step between launches."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.solve_kernel import FullSolveOperand, full_solve
+
+    dtype = y0.dtype
+    hp = jax.lax.Precision.HIGHEST
+    pad_lo = jnp.full((Dp,), -jnp.inf, dtype=dtype)
+    pad_hi = jnp.full((Dp,), jnp.inf, dtype=dtype)
+    n_g = g0w.shape[0]
+    x_pad = jnp.zeros((1, npl_pad), dtype=dtype)
+    g_pad = jnp.zeros((1, nxp), dtype=dtype)
+
+    def ctrl_step(carry, _):
+        y, rho_ind, x = carry
+        gs = jnp.matmul(gl_map, x, precision=hp)
+        g_row = g_pad.at[0, :nx_qp].set(g0w + gs[:n_g])
+        shift = gs[n_g:]
+        lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
+        hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
+        x_row = x_pad.at[0, :x.shape[0]].set(x)
+        op = FullSolveOperand(Wt_bank=Wt_bank, b_bank=bias_c, rhos=rhos,
+                              M_res=M_res, g_row=g_row, lo=lo, hi=hi)
+        y, stats = full_solve(
+            op, y, rho_ind, (M_aff, x_row),
+            nx=nx_qp, nc=nc, nxp=nxp, ncp=ncp, max_iter=max_iter,
+            check_interval=check_interval, adaptive_rho=adaptive_rho,
+            adaptive_rho_tolerance=adaptive_rho_tolerance,
+            eps_abs=eps_abs, rho_min=rho_min, rho_max=rho_max,
+            rho_jump=rho_jump,
+            adaptive_rho_interval=adaptive_rho_interval,
+            iter_precision=iter_precision, refine=refine, verbose=verbose,
+            stream_bank=stream_bank)
+        rho_ind = stats[4].astype(jnp.int32)
+        v0 = y[:nu] * v0_scale
+        u = -jnp.matmul(Kg, x, precision=hp) + v0
+        x_next = (jnp.matmul(Ad, x, precision=hp)
+                  + jnp.matmul(Bd, u, precision=hp))
+        return (y, rho_ind, x_next), (x_next, u,
+                                      stats[0].astype(jnp.int32))
+
+    carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
+    _, (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
+                                    length=n_steps)
+    return jnp.concatenate([x0[None], xs], axis=0), us, its
+
+
+_rollout_kernel_jit = jax.jit(
+    _rollout_kernel_impl,
+    static_argnames=("nx_qp", "nc", "nu", "nxp", "ncp", "npl_pad", "Dp",
+                     "n_steps", "max_iter", "check_interval",
+                     "adaptive_rho", "adaptive_rho_tolerance", "rho_min",
+                     "rho_max", "rho_jump", "adaptive_rho_interval",
+                     "iter_precision", "refine", "verbose", "stream_bank"))
+
+
+def _kernel_rollout_eligible(solver) -> Optional[bool]:
+    """None when the whole-solve-kernel rollout cannot run, else the
+    stream_bank flag — ALWAYS True when eligible: inside a scan each
+    launch of a VMEM-resident-bank kernel would re-copy the whole bank
+    HBM→VMEM, while streaming holds the warm rung across windows and
+    re-DMAs only on rung change."""
+    from ..ops.fused_step import LANE, pad_dim, round_up
+    from ..ops.solve_kernel import full_solve_vmem_bytes
+    from ..solver import _PALLAS_VMEM_BUDGET, _is_tpu
+    stng = solver.settings
+    if not _is_tpu(stng.device) or stng.alpha != 1.0 \
+            or stng.check_infeasibility \
+            or getattr(solver, "_B_np", None) is None \
+            or solver.Dp != pad_dim(solver.D):
+        return None
+    nxp = round_up(max(solver.nx, LANE), LANE)
+    ncp = round_up(max(solver.nc, LANE), LANE)
+    n_rho = len(solver.rhos_np)
+    if full_solve_vmem_bytes(n_rho, solver.Dp, nxp, ncp,
+                             stng.precision_dtype, alpha=1.0,
+                             iter_precision=stng.iter_precision,
+                             check_infeasibility=False,
+                             stream_bank=True) <= _PALLAS_VMEM_BUDGET:
+        return True
+    return None
 
 
 def _affine_bias_maps(B64, g0_s, gx0_s, dtype):

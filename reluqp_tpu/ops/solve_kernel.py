@@ -271,7 +271,7 @@ _ST_DINF = 3
 def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             tol, rho_min, rho_max, rho_jump, rho_stride, unroll,
             alpha_mode, verbose, iter_precision, refine,
-            check_infeas, eps_pinf, eps_dinf, stream,
+            check_infeas, eps_pinf, eps_dinf, stream, bias_affine,
             # refs (scalar prefetch first, then inputs, then outputs)
             rho0_ref, wt_ref, b_ref, rhos_ref, eps_ref, mres_ref, g_ref,
             lo_ref, hi_ref, y_ref, *rest):
@@ -293,27 +293,56 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         (ainf_ref, invwp_ref, invwd_ref, lnc_ref, unc_ref,
          finl_ref, finu_ref, gdp_ref) = rest[i:i + 8]
         i += 8
+    if bias_affine:
+        # state-affine bias b_k(x) = c_k + M_k x (warm-MPC rollouts):
+        # b_ref holds c_k; M lives in HBM, streamed per rung like W.
+        maff_hi_ref, x_ref = rest[i], rest[i + 1]
+        i += 2
     yout_ref, stats_ref = rest[i], rest[i + 1]
+    j = i + 2
     if stream:
         # bank-streaming mode: wt_ref lives in HBM; w_scr holds the
         # resident rung, copied on rung change only (a warm solve whose
         # rung holds does ZERO bank HBM traffic after window 1 — better
         # than the chunked path, which re-DMAs W every window).
-        w_scr_ref, dma_sem = rest[i + 2], rest[i + 3]
+        w_scr_ref, dma_sem = rest[j], rest[j + 1]
+        j += 2
+    if bias_affine:
+        m_scr_ref, m_sem = rest[j], rest[j + 1]
+        j += 2
+
+    track = stream or bias_affine   # rung residency carried as state
 
     def ensure_resident(k_idx, res_idx):
-        """DMA rung ``k_idx`` into the VMEM scratch if not resident."""
-        if not stream:
+        """DMA rung ``k_idx``'s operands into VMEM scratch if not
+        resident (the W rung and, in affine-bias mode, its M row)."""
+        if not track:
             return res_idx
 
         @pl.when(res_idx != k_idx)
         def _copy():
-            dma = pltpu.make_async_copy(wt_ref.at[k_idx], w_scr_ref,
-                                        dma_sem)
-            dma.start()
-            dma.wait()
+            if stream:
+                dma = pltpu.make_async_copy(wt_ref.at[k_idx], w_scr_ref,
+                                            dma_sem)
+                dma.start()
+            if bias_affine:
+                dma_m = pltpu.make_async_copy(maff_hi_ref.at[k_idx],
+                                              m_scr_ref, m_sem)
+                dma_m.start()
+                dma_m.wait()
+            if stream:
+                dma.wait()
 
         return k_idx
+
+    def bias_row(k_idx):
+        """Current rung's (1, Dp) bias: stored row, or c_k + x @ M_kᵀ."""
+        b = b_ref[k_idx]
+        if bias_affine:
+            b = b + jnp.dot(x_ref[:], m_scr_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=hp).astype(dtype)
+        return b
     # eps_abs is an SMEM runtime scalar (not a kernel constant):
     # update_settings(eps_abs=...) stays recompile-free on this backend
     # just like the XLA loop, where it is a traced argument.
@@ -325,7 +354,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         # (Dp, Dp): the resident scratch rung (streaming) or a dynamic
         # index into the VMEM-resident bank
         wt = w_scr_ref[:] if stream else wt_ref[k_idx]
-        b = b_ref[k_idx]                         # (1, Dp) — bank is (N,1,Dp)
+        b = bias_row(k_idx)                      # (1, Dp) — bank is (N,1,Dp)
         if prec == "bf16":
             wt_b = wt.astype(jnp.bfloat16)
 
@@ -446,7 +475,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     def make_body(prec: str):
         def body(state):
             state = list(state)
-            res_idx = state.pop() if stream else None
+            res_idx = state.pop() if track else None
             if check_infeas:
                 (y, k_idx, rho, k, pri, dua, status,
                  y_prev, lam_prev) = state
@@ -531,7 +560,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             else:
                 out = (y, k_idx, rho_new, k + check_interval, pri, dua,
                        status)
-            return out + (res_idx,) if stream else out
+            return out + (res_idx,) if track else out
 
         return body
 
@@ -547,7 +576,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     if check_infeas:
         lam0, _ = lam_and_d(y_ref[:], k0)
         state0 = state0 + (y_ref[:], lam0)
-    if stream:
+    if track:
         state0 = state0 + (jnp.asarray(-1, jnp.int32),)   # nothing resident
 
     two_phase = refine and iter_precision != "highest"
@@ -586,7 +615,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         tail_prec = "highest"
 
     y, k_idx, rho, k, pri, dua, status = state[:7]
-    res_final = state[-1] if stream else None
+    res_final = state[-1] if track else None
 
     rem = max_iter - n_chunks * check_interval
     if rem > 0:
@@ -624,7 +653,8 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
                      "adaptive_rho_interval", "alpha_mode", "verbose",
                      "iter_precision", "refine", "check_infeasibility",
                      "eps_prim_inf", "eps_dual_inf", "stream_bank"))
-def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
+def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
+               nx: int, nc: int,
                nxp: int, ncp: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
@@ -642,7 +672,13 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
     CURRENT rung is held in a VMEM scratch, DMA'd on rung change —
     extends the one-launch solve to problems whose whole bank exceeds
     VMEM (D ≈ 370 → ≈ 1300 at fp32/18 rungs), and a solve whose rung
-    holds does zero bank HBM traffic after the first window."""
+    holds does zero bank HBM traffic after the first window.
+
+    ``bias_affine``: optional ``(M_aff (N, npl, Dp), x_row (1, npl))``
+    state-affine bias — the rung bias becomes ``b_k + x @ M_k`` with
+    ``op.b_bank`` holding the constant part. M stays in HBM and the
+    current rung's (npl, Dp) row is DMA'd alongside W on rung change
+    (the warm-MPC rollout's per-step bias refresh, in-kernel)."""
     from ..core.iteration import rho_update_stride
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
@@ -654,7 +690,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
         rho_update_stride(adaptive_rho_interval, check_interval), unroll,
         bool(alpha_mode), bool(verbose), str(iter_precision), bool(refine),
         bool(check_infeasibility), float(eps_prim_inf), float(eps_dual_inf),
-        bool(stream_bank))
+        bool(stream_bank), bias_affine is not None)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
         # whole bank: VMEM-resident, or HBM with a per-rung DMA scratch
@@ -684,10 +720,18 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, *, nx: int, nc: int,
                   io.u_nc, io.fin_l, io.fin_u, io.g_dp]
         in_specs += [vmem] * len(extra)
         args += extra
+    if bias_affine is not None:
+        M_aff, x_row = bias_affine
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY), vmem]
+        args += [M_aff, x_row]
     scratch = []
     if stream_bank:
         scratch = [pltpu.VMEM((dp, dp), op.Wt_bank.dtype),
                    pltpu.SemaphoreType.DMA(())]
+    if bias_affine is not None:
+        scratch += [pltpu.VMEM(bias_affine[0].shape[1:],
+                               bias_affine[0].dtype),
+                    pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

@@ -249,3 +249,42 @@ def test_rollouts_with_alpha_relaxation():
     assert np.all(np.abs(np.asarray(Us, np.float64)) <= 1.0 + 1e-3)
     assert np.all(np.linalg.norm(Xs[-1], axis=-1)
                   < np.linalg.norm(Xs[0], axis=-1))
+
+
+def test_kernel_rollout_matches_loop_rollout():
+    """The whole-solve-kernel rollout (interpret mode) reproduces the
+    loop rollout's closed loop; both certify the same eps each step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from reluqp_tpu.models.mpc import _kernel_rollout
+    Ad, Bd, Q, R = _di()
+    T = 15
+    x_init = np.array([1.0, 0.0])
+    ctrl = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+               eps_abs=1e-4, backend="xla")
+    xs_loop, us_loop, it_loop = mpc_rollout_scan(ctrl.solver, ctrl.prob,
+                                                 x_init, T)
+    ctrl2 = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+                eps_abs=1e-4, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        xs_k, us_k, it_k = _kernel_rollout(ctrl2.solver, ctrl2.prob,
+                                           x_init, T, None, True)
+    xs_k = np.asarray(xs_k, np.float64)
+    assert int(np.max(np.asarray(it_k))) < ctrl2.solver.settings.max_iter
+    assert np.max(np.abs(xs_k - np.asarray(xs_loop, np.float64))) < 5e-3
+    assert np.linalg.norm(xs_k[-1]) < 0.5 * np.linalg.norm(x_init)
+
+
+def test_kernel_rollout_gating():
+    """kernel='fused' raises off-TPU with a clear message; 'auto' falls
+    back to the loop path silently."""
+    import pytest
+    Ad, Bd, Q, R = _di()
+    ctrl = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+               eps_abs=1e-4, backend="xla")
+    with pytest.raises(ValueError, match="TPU"):
+        mpc_rollout_scan(ctrl.solver, ctrl.prob, np.array([1.0, 0.0]), 3,
+                         kernel="fused")
+    xs, us, it = mpc_rollout_scan(ctrl.solver, ctrl.prob,
+                                  np.array([1.0, 0.0]), 3, kernel="auto")
+    assert np.all(np.isfinite(np.asarray(xs)))
