@@ -653,16 +653,21 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
     if not _is_tpu(stng.device) or stng.alpha != 1.0 \
             or stng.check_infeasibility \
             or getattr(solver, "_B_np", None) is None \
+            or getattr(solver, "_mesh", None) is not None \
             or solver.Dp != pad_dim(solver.D):
         return None
     nxp = round_up(max(solver.nx, LANE), LANE)
     ncp = round_up(max(solver.nc, LANE), LANE)
+    # conservative bound on the plant dim (the eligibility check has no
+    # prob in scope; the true M_aff npl is the plant nx <= nx_qp)
+    npl = solver.nx
     n_rho = len(solver.rhos_np)
-    if full_solve_vmem_bytes(n_rho, solver.Dp, nxp, ncp,
-                             stng.precision_dtype, alpha=1.0,
-                             iter_precision=stng.iter_precision,
-                             check_infeasibility=False,
-                             stream_bank=True) <= _PALLAS_VMEM_BUDGET:
+    if full_solve_vmem_bytes(
+            n_rho, solver.Dp, nxp, ncp, stng.precision_dtype, alpha=1.0,
+            iter_precision=stng.iter_precision, check_infeasibility=False,
+            stream_bank=True,
+            bias_affine_npl=round_up(max(npl, LANE), LANE)) \
+            <= _PALLAS_VMEM_BUDGET:
         return True
     return None
 

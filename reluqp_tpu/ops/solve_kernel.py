@@ -226,7 +226,8 @@ def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
                           dtype, alpha: float = 1.0,
                           iter_precision: str = "highest",
                           check_infeasibility: bool = False,
-                          stream_bank: bool = False) -> int:
+                          stream_bank: bool = False,
+                          bias_affine_npl: int = 0) -> int:
     """Estimated VMEM footprint: bank + residual operator + vectors.
 
     ``iter_precision`` "high"/"bf16" adds one W-sized chunk temporary
@@ -257,6 +258,11 @@ def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
         total += (ncp * nxp + 2 * dp + 8 * ncp + 2 * nxp) * bs
         if not alpha_mode:
             total += dp * ncp * bs   # S_lam
+    if bias_affine_npl:
+        # M scratch + x_row + the (1, Dp) bias-GEMV temporary (the
+        # matmul temporaries are already inside the W-stack allowance;
+        # measured: Dp=640 + affine runs at ~11-12 MB total)
+        total += (bias_affine_npl * dp + bias_affine_npl + dp) * bs
     return total
 
 
@@ -678,7 +684,14 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
     state-affine bias — the rung bias becomes ``b_k + x @ M_k`` with
     ``op.b_bank`` holding the constant part. M stays in HBM and the
     current rung's (npl, Dp) row is DMA'd alongside W on rung change
-    (the warm-MPC rollout's per-step bias refresh, in-kernel)."""
+    (the warm-MPC rollout's per-step bias refresh, in-kernel).
+    Incompatible with ``alpha_mode`` (the relaxed bank folds alpha into
+    b_k per rung; an unrelaxed affine part would silently disagree)."""
+    if bias_affine is not None and alpha_mode:
+        raise ValueError("bias_affine with alpha_mode is unsupported: the "
+                         "relaxed bank's b_k folds alpha per rung, and an "
+                         "affine part built from the unrelaxed B would "
+                         "disagree with it silently")
     from ..core.iteration import rho_update_stride
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
@@ -694,7 +707,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
         # whole bank: VMEM-resident, or HBM with a per-rung DMA scratch
-        pl.BlockSpec(memory_space=pltpu.ANY) if stream_bank else vmem,
+        pl.BlockSpec(memory_space=pl.ANY) if stream_bank else vmem,
         vmem,                                    # b_bank (N, 1, Dp)
         pl.BlockSpec(memory_space=pltpu.SMEM),   # rhos (scalars)
         pl.BlockSpec(memory_space=pltpu.SMEM),   # eps_abs (runtime)
@@ -722,7 +735,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
         args += extra
     if bias_affine is not None:
         M_aff, x_row = bias_affine
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY), vmem]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY), vmem]
         args += [M_aff, x_row]
     scratch = []
     if stream_bank:

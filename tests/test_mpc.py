@@ -277,11 +277,15 @@ def test_kernel_rollout_matches_loop_rollout():
 
 def test_kernel_rollout_gating():
     """kernel='fused' raises off-TPU with a clear message; 'auto' falls
-    back to the loop path silently."""
+    back to the loop path silently. The solver is pinned to a CPU device
+    so the test holds on TPU hosts too (the eligibility check otherwise
+    consults the default backend)."""
+    import jax
     import pytest
     Ad, Bd, Q, R = _di()
+    cpu = jax.devices("cpu")[0]
     ctrl = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
-               eps_abs=1e-4, backend="xla")
+               eps_abs=1e-4, backend="xla", device=cpu)
     with pytest.raises(ValueError, match="TPU"):
         mpc_rollout_scan(ctrl.solver, ctrl.prob, np.array([1.0, 0.0]), 3,
                          kernel="fused")
