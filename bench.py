@@ -78,7 +78,7 @@ def main():
     # chip's capability and the spread is the congestion, not the solver.
     from reluqp_tpu.utils.timing import two_point_step_time_or_coarse
     best, method = None, None
-    for _ in range(3):
+    for _ in range(5):
         b, m = two_point_step_time_or_coarse(
             lambda x, T: rollout_s(x, T)[0],
             lambda j: x0 + 5e-5 * rng.randn(NX), T_LO, T_HI, reps=5)
