@@ -542,8 +542,7 @@ def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     # accepted here (the XLA path's M_lo compensation is a <1 ulp(g)
     # refinement — below the fp32 iterate's own noise floor).
     B64 = solver._B_np
-    c64 = B64 @ g0_s                                     # (N, Dp)
-    M64 = B64 @ gx0_s                                    # (N, Dp, npl)
+    c64, M64 = _affine_bias_fp64(B64, g0_s, gx0_s)
     npl_pad = round_up(max(npl, LANE), LANE)
     n_rho = B64.shape[0]
     M_aff = np.zeros((n_rho, npl_pad, solver.Dp))
@@ -672,17 +671,24 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
     return None
 
 
+def _affine_bias_fp64(B64, g0_s, gx0_s):
+    """The fp64 products of the state-affine bias
+    ``b_k(x) = B_k(ḡ0 + Ḡx0 x) = c_k + M_k x``: ``(c64 (N, Dp),
+    M64 (N, Dp, nxp))``. Single source for both rollout paths."""
+    return (B64 @ np.asarray(g0_s, np.float64),
+            B64 @ np.asarray(gx0_s, np.float64))
+
+
 def _affine_bias_maps(B64, g0_s, gx0_s, dtype):
     """fp64 host precompute of the state-affine bias refresh
-    ``b_k(x) = B_k(ḡ0 + Ḡx0 x) = c_k + M_k x``.
+    (``_affine_bias_fp64``) cast for the loop rollout.
 
     Returns ``(bias_c, M_hi, M_lo)`` in the iteration dtype. ``bias_c``
     is exact to one storage rounding; ``M_lo`` is M's cast residual so
     the in-scan GEMV matches the fp64 product to O(ulp²) of x (None when
     the cast is lossless — fp64). ``B64``: (N, Dp, nx) fp64 master;
     ``g0_s``/``gx0_s``: the SCALED g maps, (nx,) and (nx, nxp)."""
-    c64 = B64 @ np.asarray(g0_s, np.float64)                  # (N, Dp)
-    M64 = B64 @ np.asarray(gx0_s, np.float64)                 # (N, Dp, nxp)
+    c64, M64 = _affine_bias_fp64(B64, g0_s, gx0_s)
     bias_c = jnp.asarray(c64, dtype=dtype)
     M_hi = jnp.asarray(M64, dtype=dtype)
     if jnp.dtype(dtype) == jnp.float64:

@@ -1,41 +1,18 @@
 """Whole-solve Pallas kernel tests (interpret mode on CPU)."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
-from reluqp_tpu.core.bank import build_bank_np, clamp_bounds, equality_mask
-from reluqp_tpu.core.ladder import initial_rho_index, setup_rhos
-from reluqp_tpu.ops.fused_step import pad_dim
-from reluqp_tpu.ops.solve_kernel import (FullSolveOperand,
-                                         build_residual_operator, full_solve)
+from reluqp_tpu.core.ladder import initial_rho_index
+from reluqp_tpu.ops.solve_kernel import full_solve
 from reluqp_tpu.utils.problems import canonical_qp, rand_qp
 
 
-def _make_op(H, g, A, l, u, dtype=jnp.float32):
-    nx, nc = H.shape[0], A.shape[0]
-    D = nx + 2 * nc
-    dp = pad_dim(D)
-    rhos = setup_rhos(0.1, 1e-6, 1e6, True, 5.0)
-    eq = equality_mask(l, u, 1e-6)
-    W, B, b = build_bank_np(H, g, A, eq, rhos, 1e-6)
-    N = len(rhos)
-    Wt = np.zeros((N, dp, dp))
-    Wt[:, :D, :D] = np.swapaxes(W, 1, 2)
-    bp = np.zeros((N, dp))
-    bp[:, :D] = b
-    M, g_row, nxp, ncp = build_residual_operator(H, A, g, dp, dtype)
-    lo_d, hi_d = clamp_bounds(l, u, nx, nc, xp=np)
-    lo = np.full(dp, -np.inf)
-    hi = np.full(dp, np.inf)
-    lo[:D] = lo_d
-    hi[:D] = hi_d
-    op = FullSolveOperand(
-        Wt_bank=jnp.asarray(Wt, dtype), b_bank=jnp.asarray(bp, dtype),
-        rhos=jnp.asarray(rhos, jnp.float32), M_res=M, g_row=g_row,
-        lo=jnp.asarray(lo, dtype), hi=jnp.asarray(hi, dtype))
-    return op, rhos, nx, nc, nxp, ncp, dp
+# the operand builder lives in test_fused_features (the superset:
+# alpha/infeasibility/rho_cap variants); re-exported here for the
+# other kernel tests that import it from this module.
+from test_fused_features import _make_op  # noqa: E402,F401
 
 
 def _solve(op, rhos, nx, nc, nxp, ncp, dp, rho_jump=False, y0=None,
