@@ -21,7 +21,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0):
+def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
+              check_interval=25):
     import jax
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
@@ -29,7 +30,8 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0):
     Q = np.eye(nx)
     R = 0.1 * np.eye(nu)
     ctrl = MPC(Ad, Bd, Q, R, horizon=horizon, u_min=-1.0, u_max=1.0,
-               eps_abs=tol, backend=backend, alpha=alpha)
+               eps_abs=tol, backend=backend, alpha=alpha,
+               check_interval=check_interval)
     from reluqp_tpu.utils.timing import entropy_rng
     rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
     x0 = 0.05 * rng.randn(nx)
@@ -83,6 +85,11 @@ def main(argv=None):
     p.add_argument("--backend", default="auto")
     p.add_argument("--alpha", type=float, default=1.0,
                    help="ADMM over-relaxation (1.6 cuts iterations ~20%%)")
+    p.add_argument("--check-interval", type=int, default=25,
+                   help="residual-check window; the warm regime converges "
+                        "at its first check, so this IS the per-step "
+                        "iteration count (bench.py's measured decision "
+                        "is 2; 25 = reference default)")
     p.add_argument("--out", default="results/mpc_rate.json")
     args = p.parse_args(argv)
 
@@ -90,7 +97,8 @@ def main(argv=None):
     for nx in args.sizes:
         nu = max(int(nx * args.nu_frac), 1)
         rec = bench_one(nx, nu, args.horizon, args.steps, args.tol,
-                        args.backend, alpha=args.alpha)
+                        args.backend, alpha=args.alpha,
+                        check_interval=args.check_interval)
         records.append(rec)
         print(f"nx={nx:4d} nu={nu:3d} h={args.horizon}  "
               f"device {rec['hz_device']:8.0f} Hz   "
