@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -38,6 +39,44 @@ __all__ = [
 
 LANE = 128
 _SUBLANE = {jnp.dtype(jnp.float32): 8, jnp.dtype(jnp.bfloat16): 16}
+
+# Pinned index constants for BlockSpec index maps and in-kernel loop
+# bounds. Python int literals canonicalize to i64 under jax_enable_x64,
+# and Mosaic cannot legalize i64 in an index-map function signature
+# ("failed to legalize operation 'func.func'") — the x64 flag is an
+# ordinary user config (fp64 parity checks), so every integer that
+# crosses into a kernel is pinned to int32 explicitly.
+_I0 = np.int32(0)
+_i32 = np.int32
+
+
+def _fori(n_steps: int, body, init, unroll):
+    """Static-trip-count in-kernel loop with an index-free body.
+
+    ``lax.fori_loop``'s scan lowering carries an i64 counter under
+    ``jax_enable_x64`` — even when the bounds are int32 — and Mosaic's
+    convert-element-type rule recurses forever on the 64-bit carry. A
+    counterless ``lax.scan`` (or a trace-time Python unroll when the
+    trip count is fully unrolled anyway) sidesteps 64-bit types
+    entirely, so the kernels stay compilable with x64 enabled.
+    """
+    if unroll is True or (isinstance(unroll, int) and unroll >= n_steps):
+        y = init
+        for _ in range(n_steps):
+            y = body(y)
+        return y
+    # Mosaic's scan lowering only accepts fori-shaped loops (it requires
+    # the loop-index carry), so a counterless scan is rejected; a
+    # while_loop with an explicit int32 counter lowers fine.
+    def _cond(c):
+        return c[0] < _i32(n_steps)
+
+    def _step(c):
+        i, y = c
+        return i + _i32(1), body(y)
+
+    _, out = lax.while_loop(_cond, _step, (jnp.asarray(0, jnp.int32), init))
+    return out
 
 
 def round_up(x: int, m: int) -> int:
@@ -91,7 +130,7 @@ def _kernel(n_steps, acc_dtype, unroll, precision, rho_ref, wt_ref, b_ref,
         wt_h = wt.astype(jnp.bfloat16)
         wt_l = (wt - wt_h.astype(wt.dtype)).astype(jnp.bfloat16)
 
-    def body(_, y):
+    def body(y):
         # Default mode is Precision.HIGHEST: full-precision f32 MXU
         # passes — fast bf16 passes cap residuals around 1e-2 and stall
         # the solver short of eps_abs (observed on TPU v5e). Reduced
@@ -112,10 +151,10 @@ def _kernel(n_steps, acc_dtype, unroll, precision, rho_ref, wt_ref, b_ref,
                          precision=_PREC[precision])
         return jnp.clip(yw.astype(y.dtype) + b, lo, hi)
 
-    # Mosaic lowers fori only with unroll=1 or full unroll. Single-row
+    # Mosaic lowers the loop only with unroll=1 or full unroll. Single-row
     # kernels unroll fully (temporaries are (1, Dp) rows — tiny); the
     # batched grid kernel uses unroll=1 (temporaries are whole row tiles).
-    out_ref[:] = lax.fori_loop(0, n_steps, body, y_ref[:], unroll=unroll)
+    out_ref[:] = _fori(n_steps, body, y_ref[:], unroll)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "iter_precision"))
@@ -137,18 +176,18 @@ def fused_chunk(wt_bank, b, lo, hi, y, rho_ind, n_steps: int,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, dp, dp), lambda i, s: (s[0], 0, 0),
+            pl.BlockSpec((1, dp, dp), lambda i, s: (s[0], _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, dp), lambda i, s: (0, 0),
+            pl.BlockSpec((rows, dp), lambda i, s: (_I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, dp), lambda i, s: (0, 0),
+            pl.BlockSpec((rows, dp), lambda i, s: (_I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, dp), lambda i, s: (0, 0),
+            pl.BlockSpec((rows, dp), lambda i, s: (_I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, dp), lambda i, s: (0, 0),
+            pl.BlockSpec((rows, dp), lambda i, s: (_I0, _I0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, dp), lambda i, s: (0, 0),
+        out_specs=pl.BlockSpec((rows, dp), lambda i, s: (_I0, _I0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_kernel, min(n_steps, 1 << 30), acc,
@@ -207,18 +246,18 @@ def fused_chunk_batched(wt_bank, b, lo, hi, Y, rho_ind, n_steps: int,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, dp, dp), lambda i, s: (s[0], 0, 0),
+            pl.BlockSpec((1, dp, dp), lambda i, s: (s[0], _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+            pl.BlockSpec((rows_tile, dp), lambda i, s: (i, _I0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows_tile, dp), lambda i, s: (i, 0),
+        out_specs=pl.BlockSpec((rows_tile, dp), lambda i, s: (i, _I0),
                                memory_space=pltpu.VMEM),
     )
     # Mosaic fori lowers with unroll=1 or full unroll only; full unroll
@@ -339,10 +378,10 @@ def _kernel_hetero(n_steps, acc_dtype, precision, wt_ref, b_ref,
                 return jnp.dot(y, w, preferred_element_type=acc_dtype,
                                precision=_PREC[precision])
 
-        def body(_, y):
+        def body(y):
             return jnp.clip(matvec(y).astype(y.dtype) + b, lo, hi)
 
-        return lax.fori_loop(0, n_steps, body, y0, unroll=1)
+        return _fori(n_steps, body, y0, 1)
 
     for i in range(rows):
         out_ref[i:i + 1] = run_problem(
@@ -368,11 +407,11 @@ def fused_chunk_hetero(Wt, b, lo, hi, Y, n_steps: int, rows_tile: int,
     acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
     n_tiles = B // rows_tile
 
-    row = lambda i: (i, 0)
+    row = lambda i: (i, _I0)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((rows_tile, dp, dp), lambda i: (i, 0, 0),
+            pl.BlockSpec((rows_tile, dp, dp), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_tile, dp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_tile, dp), row, memory_space=pltpu.VMEM),

@@ -61,7 +61,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_step import LANE, round_up
+from .fused_step import LANE, _I0, _fori, _i32, round_up
 
 __all__ = ["FullSolveOperand", "AlphaOperand", "InfeasOperand",
            "build_residual_operator", "build_alpha_operand",
@@ -266,12 +266,14 @@ def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
     return total
 
 
-# status codes mirror core.iteration (STATUS_* there).
-_RUNNING = -1
-_ST_MAXITER = 0
-_ST_SOLVED = 1
-_ST_PINF = 2
-_ST_DINF = 3
+# status codes mirror core.iteration (STATUS_* there). Pinned to int32:
+# Python int literals stage i64 constants under jax_enable_x64, and
+# Mosaic's convert-element-type rule recurses forever lowering them.
+_RUNNING = np.int32(-1)
+_ST_MAXITER = np.int32(0)
+_ST_SOLVED = np.int32(1)
+_ST_PINF = np.int32(2)
+_ST_DINF = np.int32(3)
 
 
 def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
@@ -282,6 +284,13 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             rho0_ref, wt_ref, b_ref, rhos_ref, eps_ref, mres_ref, g_ref,
             lo_ref, hi_ref, y_ref, *rest):
     dtype = y_ref.dtype
+    # Pin every Python scalar that reaches a jnp op: under x64 they stage
+    # f64/i64 constants that Mosaic cannot lower (fused_step._I0 note).
+    tol = np.float32(tol)
+    rho_min = np.float32(rho_min)
+    rho_max = np.float32(rho_max)
+    eps_pinf = np.float32(eps_pinf)
+    eps_dinf = np.float32(eps_dinf)
     lo = lo_ref[:]
     hi = hi_ref[:]
     g_row = g_ref[:]
@@ -364,7 +373,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         if prec == "bf16":
             wt_b = wt.astype(jnp.bfloat16)
 
-            def it(_, y):
+            def it(y):
                 yw = jnp.dot(y.astype(jnp.bfloat16), wt_b,
                              preferred_element_type=jnp.float32)
                 return jnp.clip(yw.astype(dtype) + b, lo, hi)
@@ -375,7 +384,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             wt_h = wt.astype(jnp.bfloat16)
             wt_l = (wt - wt_h.astype(wt.dtype)).astype(jnp.bfloat16)
 
-            def it(_, y):
+            def it(y):
                 y_h = y.astype(jnp.bfloat16)
                 y_l = (y - y_h.astype(y.dtype)).astype(jnp.bfloat16)
                 yw = (jnp.dot(y_h, wt_l, preferred_element_type=jnp.float32)
@@ -385,13 +394,12 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
                 return jnp.clip(yw.astype(dtype) + b, lo, hi)
         else:
 
-            def it(_, y):
+            def it(y):
                 yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
                              precision=hp)
                 return jnp.clip(yw.astype(dtype) + b, lo, hi)
 
-        return lax.fori_loop(0, n_steps, it, y,
-                             unroll=(n_steps if unroll else 1))
+        return _fori(n_steps, it, y, (n_steps if unroll else 1))
 
     def lam_and_d(y, k_idx):
         """(λ (1,ncp), d (1,ncp)) — λ reconstruction for residuals and
@@ -453,14 +461,15 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         # δx lives in lanes [0, nx) of δy (the slots are packed, so lanes
         # nx..nxp hold z values — mask by lane index).
         lane = lax.broadcasted_iota(jnp.int32, (1, dp), 1)
-        dx_m = jnp.where(lane < nx, dy, 0.0)
+        dx_m = jnp.where(lane < _i32(nx), dy, np.float32(0.0))
         norm_dx = jnp.max(jnp.abs(dx_m))
         eps_p = eps_pinf * norm_dlam
         eps_d = eps_dinf * norm_dx
         u_nc = unc_ref[:].astype(f32)
         l_nc = lnc_ref[:].astype(f32)
         support = jnp.sum(jnp.where(dlam > 0, u_nc * dlam,
-                                    jnp.where(dlam < 0, l_nc * dlam, 0.0)))
+                                    jnp.where(dlam < 0, l_nc * dlam,
+                                              np.float32(0.0))))
         pinf = jnp.logical_and(
             norm_dlam > 0,
             jnp.logical_and(jnp.max(jnp.abs(atdl)) <= eps_p,
@@ -470,12 +479,15 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         ok_u = jnp.logical_or(adx <= eps_d, fin_u == 0)
         ok_l = jnp.logical_or(adx >= -eps_d, fin_l == 0)
         gdx = jnp.sum(dy * gdp_ref[:].astype(f32))
+        # f32 min-reduction instead of jnp.all: Mosaic lowers a bool
+        # reduction through a float whose dtype is f64 under x64.
+        ok_all = jnp.min(jnp.where(jnp.logical_and(ok_u, ok_l),
+                                   np.float32(1.0), np.float32(0.0)))
         dinf = jnp.logical_and(
             norm_dx > 0,
             jnp.logical_and(
                 jnp.max(jnp.abs(hdx)) <= eps_d,
-                jnp.logical_and(gdx <= -eps_d,
-                                jnp.all(jnp.logical_and(ok_u, ok_l)))))
+                jnp.logical_and(gdx <= -eps_d, ok_all > np.float32(0.5))))
         return pinf, dinf
 
     def make_body(prec: str):
@@ -496,20 +508,17 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
                 if rho_jump:
                     moved = jnp.logical_or(rho_new > rho_k * tol,
                                            rho_new < rho_k / tol)
-                    # scalar argmin over the SMEM ladder (N ~ 18 entries)
+                    # scalar argmin over the SMEM ladder (N ~ 18 entries,
+                    # statically unrolled — an in-kernel fori's scan
+                    # counter is i64 under x64, which Mosaic cannot lower)
                     target = jnp.log(rho_new)
-
-                    def scan_rung(i, best):
-                        d_best, i_best = best
-                        dd = jnp.abs(jnp.log(rhos_ref[i]) - target)
+                    d_best = jnp.asarray(np.inf, jnp.float32)
+                    nearest = jnp.asarray(0, jnp.int32)
+                    for ri in range(n_rho):
+                        dd = jnp.abs(jnp.log(rhos_ref[ri]) - target)
                         better = dd < d_best
-                        return (jnp.where(better, dd, d_best),
-                                jnp.where(better, i, i_best))
-
-                    _, nearest = lax.fori_loop(
-                        0, n_rho, scan_rung,
-                        (jnp.asarray(np.inf, jnp.float32),
-                         jnp.asarray(0, jnp.int32)))
+                        d_best = jnp.where(better, dd, d_best)
+                        nearest = jnp.where(better, _i32(ri), nearest)
                     k_idx = jnp.where(moved, nearest, k_idx)
                 else:
                     up = jnp.logical_and(rho_new > rho_k * tol,
@@ -609,7 +618,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             state = body_a(state)
             pri, dua = state[4], state[5]
             improved = jnp.logical_or(pri < 0.97 * bp, dua < 0.97 * bd)
-            n_stall = jnp.where(improved, 0, n_stall + 1)
+            n_stall = jnp.where(improved, _I0, n_stall + _i32(1))
             return (state, jnp.minimum(bp, pri), jnp.minimum(bd, dua),
                     n_stall)
 
@@ -704,38 +713,49 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
         bool(alpha_mode), bool(verbose), str(iter_precision), bool(refine),
         bool(check_infeasibility), float(eps_prim_inf), float(eps_dual_inf),
         bool(stream_bank), bias_affine is not None)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [
-        # whole bank: VMEM-resident, or HBM with a per-rung DMA scratch
-        pl.BlockSpec(memory_space=pl.ANY) if stream_bank else vmem,
-        vmem,                                    # b_bank (N, 1, Dp)
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # rhos (scalars)
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # eps_abs (runtime)
-        vmem,                                    # M_res
-        vmem,                                    # g_row
-        vmem,                                    # lo
-        vmem,                                    # hi
-        vmem,                                    # y (1, Dp)
-    ]
+    # Every spec gets an EXPLICIT whole-array block + pinned-i32 index
+    # map: a BlockSpec with only a memory_space synthesizes a default
+    # index map whose Python-int zeros become i64 constants under
+    # jax_enable_x64, and Mosaic cannot legalize i64 in the index-map
+    # function (fused_step._I0 note).
+    def _whole(a, space=pltpu.VMEM):
+        zeros = (_I0,) * a.ndim
+        return pl.BlockSpec(a.shape, lambda i, s, _z=zeros: _z,
+                            memory_space=space)
+
+    _any = pl.BlockSpec(memory_space=pl.ANY)   # unblocked: no index map
     args = [op.Wt_bank, op.b_bank.reshape(n_rho, 1, dp),
             op.rhos.astype(jnp.float32),
             jnp.asarray(eps_abs, jnp.float32).reshape(1),
             op.M_res, op.g_row, op.lo.reshape(1, -1), op.hi.reshape(1, -1),
             y0.reshape(1, -1)]
+    in_specs = [
+        # whole bank: VMEM-resident, or HBM with a per-rung DMA scratch
+        _any if stream_bank else _whole(args[0]),
+        _whole(args[1]),                         # b_bank (N, 1, Dp)
+        _whole(args[2], pltpu.SMEM),             # rhos (scalars)
+        _whole(args[3], pltpu.SMEM),             # eps_abs (runtime)
+        _whole(args[4]),                         # M_res
+        _whole(args[5]),                         # g_row
+        _whole(args[6]),                         # lo
+        _whole(args[7]),                         # hi
+        _whole(args[8]),                         # y (1, Dp)
+    ]
     if alpha_mode:
         ao = op.alpha_op
-        in_specs += [vmem] * 4
-        args += [ao.S_pz, ao.A_w, ao.S_sc, ao.rho_eff]
+        extra = [ao.S_pz, ao.A_w, ao.S_sc, ao.rho_eff]
+        in_specs += [_whole(a) for a in extra]
+        args += extra
     if check_infeasibility:
         io = op.infeas_op
         extra = [] if alpha_mode else [io.S_lam]
         extra += [io.A_inf, io.inv_wp, io.inv_wd, io.l_nc,
                   io.u_nc, io.fin_l, io.fin_u, io.g_dp]
-        in_specs += [vmem] * len(extra)
+        in_specs += [_whole(a) for a in extra]
         args += extra
     if bias_affine is not None:
         M_aff, x_row = bias_affine
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY), vmem]
+        in_specs += [_any, _whole(x_row)]
         args += [M_aff, x_row]
     scratch = []
     if stream_bank:
@@ -750,8 +770,10 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
         grid=(1,),
         in_specs=in_specs,
         out_specs=[
-            vmem,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dp), lambda i, s: (_I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i, s: (_I0, _I0),
+                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=scratch,
     )
