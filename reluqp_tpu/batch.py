@@ -247,9 +247,12 @@ class BatchedReLU_QP:
                                  "rho_mode='shared' for shared-(H,A) "
                                  "batches")
             return False
-        if stng.backend == "xla":
+        from .solver import _is_tpu, _mosaic_supports, _require_mosaic_dtype
+        if stng.backend == "pallas":
+            _require_mosaic_dtype("pallas", stng.precision_dtype)
+        if stng.backend == "xla" or \
+                not _mosaic_supports(stng.precision_dtype):
             return False
-        from .solver import _is_tpu
         dp = pad_dim(self.D)
         fits = vmem_bytes_needed(dp, 8, stng.precision_dtype,
                                  stng.iter_precision) <= 12 * 1024 * 1024
@@ -272,9 +275,12 @@ class BatchedReLU_QP:
         VMEM budget; banks too big per problem (or a batch with no
         multiple-of-8 divisor) stream through XLA.
         """
-        if not self.hetero or stng.backend == "xla":
+        from .solver import _is_tpu, _mosaic_supports, _require_mosaic_dtype
+        if self.hetero and stng.backend == "pallas":
+            _require_mosaic_dtype("pallas", stng.precision_dtype)
+        if not self.hetero or stng.backend == "xla" or \
+                not _mosaic_supports(stng.precision_dtype):
             return False
-        from .solver import _is_tpu
         from .ops.fused_step import aligned_divisor, hetero_tile_rows
         dp = pad_dim(self.D)
         tile = aligned_divisor(

@@ -647,8 +647,10 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
     re-DMAs only on rung change."""
     from ..ops.fused_step import LANE, pad_dim, round_up
     from ..ops.solve_kernel import full_solve_vmem_bytes
-    from ..solver import _PALLAS_VMEM_BUDGET, _is_tpu
+    from ..solver import _PALLAS_VMEM_BUDGET, _is_tpu, _mosaic_supports
     stng = solver.settings
+    if not _mosaic_supports(stng.precision_dtype):
+        return None   # Mosaic has no fp64 — fp64 rollouts use the loop path
     if not _is_tpu(stng.device) or stng.alpha != 1.0 \
             or stng.check_infeasibility \
             or getattr(solver, "_B_np", None) is None \

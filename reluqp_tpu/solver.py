@@ -65,6 +65,25 @@ def _is_tpu(device) -> bool:
         return False
 
 
+def _mosaic_supports(dtype) -> bool:
+    """Mosaic (the Pallas TPU compiler) has no 64-bit lowering at all;
+    XLA on TPU emulates genuine f64 in software (measured on v5e: an
+    eps_abs=1e-9 fp64 solve converges with true fp64 residuals through
+    backend='xla'). So fp64 is an XLA-only regime on TPU: 'auto' falls
+    back to the XLA runner, explicit Pallas backends raise cleanly."""
+    return jnp.dtype(dtype).itemsize <= 4
+
+
+def _require_mosaic_dtype(backend: str, dtype) -> None:
+    if not _mosaic_supports(dtype):
+        raise ValueError(
+            f"backend='{backend}' runs through Mosaic, which has no "
+            f"64-bit support — precision='float64' needs backend='xla' "
+            "(genuine software-emulated fp64 on TPU, validated to "
+            "eps_abs=1e-9) or precision='float32' (+ scaling/refine) "
+            "for the Pallas kernels")
+
+
 def prepare_bank(W_np, B_np, b_np, rhos_np, dtype, dp: int, device=None,
                  w_dtype=None, w_device=None) -> Bank:
     """Host fp64 bank → device runtime layout.
@@ -338,7 +357,9 @@ class ReLU_QP:
 
     def _select_fused(self, dtype) -> bool:
         stng = self.settings
-        if stng.backend in ("xla", "pallas"):
+        if stng.backend == "fused":
+            _require_mosaic_dtype("fused", dtype)
+        if stng.backend in ("xla", "pallas") or not _mosaic_supports(dtype):
             return False
         dp = pad_dim(self.D)
         from .ops.fused_step import LANE, round_up
@@ -375,7 +396,9 @@ class ReLU_QP:
 
     def _select_runner(self, dtype):
         stng = self.settings
-        if stng.backend == "xla":
+        if stng.backend == "pallas":
+            _require_mosaic_dtype("pallas", dtype)
+        if stng.backend == "xla" or not _mosaic_supports(dtype):
             return xla_chunk_runner
         dp = pad_dim(self.D)
         fits = vmem_bytes_needed(dp, 1, dtype, stng.iter_precision) \

@@ -159,3 +159,65 @@ def test_refine_rejects_bf16_polish_bank():
         solve_batched_shared(m.Wt_bank, m.bias_all, m.rhos, m.H_dev,
                              m.A_dev, m.G, m.lo, m.hi, m.Y, m.rho_ind,
                              None, None, None, rho_mode=m.rho_mode, **kw)
+
+
+# --------------------------------------------------------------------- #
+# fp64 × Pallas backend guard                                           #
+# --------------------------------------------------------------------- #
+
+def test_fp64_explicit_pallas_backends_raise():
+    """Mosaic has no 64-bit lowering: explicit Pallas backends with
+    precision='float64' must fail at setup with guidance, not with an
+    opaque Mosaic NotImplementedError at solve (round-3 verdict item 6)."""
+    import pytest
+    from reluqp_tpu.utils.problems import canonical_qp
+    from reluqp_tpu import ReLU_QP
+
+    qp = canonical_qp()
+    for backend in ("pallas", "fused"):
+        m = ReLU_QP()
+        with pytest.raises(ValueError, match="Mosaic"):
+            m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, precision="float64",
+                    backend=backend)
+
+
+def test_fp64_auto_falls_back_to_xla():
+    """'auto' + fp64 must pick the XLA runner (genuine software fp64 on
+    TPU) instead of crashing Mosaic."""
+    from reluqp_tpu.core.iteration import xla_chunk_runner
+    from reluqp_tpu.utils.problems import canonical_qp
+    from reluqp_tpu import ReLU_QP
+
+    qp = canonical_qp()
+    m = ReLU_QP()
+    m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, precision="float64",
+            backend="auto")
+    assert not m._fused
+    assert m._chunk_runner is xla_chunk_runner
+    res = m.solve()
+    assert res.info.status == "solved"
+
+
+def test_fp64_batched_pallas_raises_and_auto_falls_back():
+    import pytest
+    import numpy as np
+    from reluqp_tpu.utils.problems import canonical_qp
+    from reluqp_tpu.batch import BatchedReLU_QP
+
+    qp = canonical_qp()
+    gs = np.tile(qp.g, (8, 1))
+    ls = np.tile(qp.l, (8, 1))
+    us = np.tile(qp.u, (8, 1))
+    m = BatchedReLU_QP()
+    with pytest.raises(ValueError, match="Mosaic"):
+        m.setup(qp.H, gs, qp.A, ls, us, precision="float64",
+                backend="pallas")
+    m = BatchedReLU_QP()
+    m.setup(qp.H, gs, qp.A, ls, us, precision="float64", backend="auto")
+    assert not m._use_pallas
+    # hetero variant
+    Hs = np.tile(qp.H, (8, 1, 1))
+    m = BatchedReLU_QP()
+    with pytest.raises(ValueError, match="Mosaic"):
+        m.setup(Hs, gs, np.tile(qp.A, (8, 1, 1)), ls, us,
+                precision="float64", backend="pallas")
