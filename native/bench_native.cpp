@@ -112,8 +112,27 @@ std::vector<double> make_ladder() {
 }  // namespace
 
 int main(int argc, char** argv) {
-  const int n_seeds = argc > 1 ? std::atoi(argv[1]) : 3;
-  const int sizes[] = {10, 25, 50, 100, 200};
+  // args: [n_seeds] [--json PATH]  — JSON mirrors the committed results/
+  // artifacts; the size list is the reference protocol geomspace(10,500,10)
+  // (ReLU-QP-py/benchmarks/random_qps.py:105-108; the CUDA standalone
+  // hard-codes the same list, reluqp.cu:1825-1836).
+  int n_seeds = 3;
+  const char* json_path = nullptr;
+  for (int i = 1; i < argc; ++i) {
+    if (std::string(argv[i]) == "--json" && i + 1 < argc)
+      json_path = argv[++i];
+    else
+      n_seeds = std::atoi(argv[i]);
+  }
+  FILE* jf = json_path ? std::fopen(json_path, "w") : nullptr;
+  if (jf)
+    std::fprintf(jf,
+                 "{\n  \"bench\": \"native_standalone_fp64\",\n"
+                 "  \"protocol\": \"nx geomspace(10,500,10), "
+                 "n_eq=n_ineq=nx/4, eps_abs=1e-4, max_iter=4000, "
+                 "check_interval=25\",\n  \"n_seeds\": %d,\n"
+                 "  \"records\": [\n", n_seeds);
+  const int sizes[] = {10, 15, 24, 37, 57, 88, 136, 210, 323, 500};
   const auto rhos = make_ladder();
   const int n_rho = static_cast<int>(rhos.size());
   std::printf("%6s %8s %10s %10s %8s\n", "nx", "iters", "setup_ms",
@@ -150,6 +169,20 @@ int main(int argc, char** argv) {
     }
     std::printf("%6d %8.0f %10.2f %10.3f %7d/%d\n", nx, iters / n_seeds,
                 setup_ms / n_seeds, solve_ms / n_seeds, solved, n_seeds);
+    if (jf)
+      std::fprintf(jf,
+                   "    {\"nx\": %d, \"n_eq\": %d, \"n_ineq\": %d, "
+                   "\"iters_mean\": %.1f, \"setup_ms_mean\": %.3f, "
+                   "\"solve_ms_mean\": %.4f, \"solved\": %d, "
+                   "\"n_seeds\": %d}%s\n",
+                   nx, n_eq, n_ineq, iters / n_seeds, setup_ms / n_seeds,
+                   solve_ms / n_seeds, solved, n_seeds,
+                   nx == sizes[sizeof(sizes) / sizeof(sizes[0]) - 1]
+                       ? "" : ",");
+  }
+  if (jf) {
+    std::fprintf(jf, "  ]\n}\n");
+    std::fclose(jf);
   }
   return 0;
 }
