@@ -130,7 +130,8 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
     fetch-forced methodology as ``chunk_us_per_iter``."""
     import jax
     import jax.numpy as jnp
-    from reluqp_tpu.core.batched import solve_batched_shared
+    from reluqp_tpu.core.batched import (solve_batched_shared,
+                                         solve_batched_shared_repack)
     from reluqp_tpu.core.ladder import initial_rho_index
     from reluqp_tpu.ops.fused_step import pallas_batched_chunk_runner
 
@@ -140,6 +141,20 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
     r0 = initial_rho_index(m.rhos_np, m.settings.rho)
     ri0 = (jnp.asarray(r0, jnp.int32) if m.rho_mode == "shared"
            else jnp.full((m.B_pad,), r0, jnp.int32))
+    sched = getattr(m, "_repack_sched", None)
+    repack = sched is not None and len(sched) > 1
+    if repack:
+        kw.pop("refine")
+
+    def one_solve(Wt, bias, rhos, H, A, G, lo, hi, Y0, Wt_hi):
+        if repack:
+            return solve_batched_shared_repack(
+                Wt, bias, rhos, H, A, G, lo, hi, Y0, ri0, done0,
+                m._rho_eff, schedule=sched, rho_mode=m.rho_mode,
+                chunk_runner=runner, **kw)
+        return solve_batched_shared(
+            Wt, bias, rhos, H, A, G, lo, hi, Y0, ri0, done0, Wt_hi,
+            m._rho_eff, rho_mode=m.rho_mode, chunk_runner=runner, **kw)
 
     def mk(reps):
         @jax.jit
@@ -147,10 +162,8 @@ def solve_device_ms(m, reps_hi: int = 5) -> float:
             def body(carry, _):
                 # carry-dependent start state: keeps each rep a REAL solve
                 # (a loop-invariant body would be hoisted out of the scan)
-                res = solve_batched_shared(
-                    Wt, bias, rhos, H, A, G, lo, hi,
-                    Y0 + carry * 1e-30, ri0, done0, Wt_hi, m._rho_eff,
-                    rho_mode=m.rho_mode, chunk_runner=runner, **kw)
+                res = one_solve(Wt, bias, rhos, H, A, G, lo, hi,
+                                Y0 + carry * 1e-30, Wt_hi)
                 return carry + res.pri_res.sum(), ()
             c, _ = jax.lax.scan(body, jnp.asarray(0.0, m.Y.dtype), None,
                                 length=reps)
@@ -267,7 +280,9 @@ def run_throughput(args):
         m = BatchedReLU_QP()
         m.setup(H, G, A, L, U, rho_mode=args.rho_mode, eps_abs=args.tol,
                 backend=args.backend, iter_precision=args.iter_precision,
-                alpha=args.alpha)
+                alpha=args.alpha, tail_policy=args.tail_policy,
+                refine=args.iter_precision == "highest"
+                or args.tail_policy != "repack")
         m.solve()          # compile + converge check
         assert m.info.status.all(), f"B={B}: {m.info.status.sum()}/{B} solved"
         m.clear_primal_dual()
@@ -279,6 +294,9 @@ def run_throughput(args):
                    pallas=m._use_pallas or m._hetero_pallas,
                    alpha=args.alpha,
                    iter_precision=args.iter_precision,
+                   tail_policy=args.tail_policy,
+                   repack_sched=list(getattr(m, "_repack_sched", None)
+                                     or ()),
                    setup_s=m.info.setup_time, time_s=dt, qps=qps,
                    n_iter_total=m.info.n_iter_total,
                    n_iter_fast=m.info.n_iter_fast, Dp=m.Dp,
@@ -382,6 +400,11 @@ def main(argv=None):
                    help="B fully distinct QPs (per-problem banks)")
     p.add_argument("--iter-precision", default="highest",
                    choices=["highest", "high", "default", "bf16"])
+    p.add_argument("--tail-policy", default="dense",
+                   choices=["dense", "repack"],
+                   help="repack = shrink-on-converge staged buffers "
+                        "(single-phase; forces refine=False for reduced "
+                        "iter precisions)")
     p.add_argument("--weak-scaling", action="store_true")
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--batch-per-device", type=int, default=1024)

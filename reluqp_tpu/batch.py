@@ -40,7 +40,7 @@ from .core.bank import (auto_rho_cap, auto_rho_cap_batch, build_bank_np,
                         effective_rho_ladder_batch, equality_mask,
                         sigma_max_sq, sigma_max_sq_batch, stacked_dim)
 from .core.batched import (BatchSolveResult, solve_batched_hetero,
-                           solve_batched_shared)
+                           solve_batched_shared, solve_batched_shared_repack)
 from .core.ladder import initial_rho_index, setup_rhos
 from .ops.fused_step import (batch_tile_rows, pad_dim,
                              pallas_batched_chunk_runner,
@@ -50,6 +50,11 @@ from .utils.scaling import (identity_scaling, residual_unscale_weights,
                             ruiz_equilibrate, ruiz_equilibrate_batch)
 
 __all__ = ["BatchedReLU_QP", "BatchResults", "BatchInfo"]
+
+# Smallest repack stage (tail_policy="repack"): below this row count the
+# iteration GEMM is launch/latency-bound and further shrinking buys
+# nothing (measured: the B=512 row of results/batched_qps_tpu.json).
+_REPACK_MIN_ROWS = 512
 
 
 def _hetero_eps_floor(caps, A_scaled, dtype, nx: int) -> float:
@@ -115,7 +120,7 @@ class BatchedReLU_QP:
     def setup(self, H, g, A, l, u, *, rho_mode: str = "shared",
               mesh: Optional[Any] = None, axis_name: str = "qp",
               bank_build: str = "host", process_local: bool = False,
-              **settings_kw):
+              tail_policy: str = "dense", **settings_kw):
         """Set up a batch of QPs.
 
         Args:
@@ -124,6 +129,15 @@ class BatchedReLU_QP:
           rho_mode: "shared" (one ladder index for the batch; fastest) or
             "per_problem" (each problem walks its own index). Heterogeneous
             batches always use per-problem indices.
+          tail_policy: "dense" (default — every row iterates until the
+            collective exit) or "repack" (shrink-on-converge: the solve
+            runs a static schedule of halving row buffers, compacting
+            open rows between stages entirely on device, cutting the
+            tail's wasted GEMM rows — ``core.batched
+            .solve_batched_shared_repack``; measured A/B in
+            ``results/tail_waste.json`` / ``docs/perf_notes.md``).
+            Requires a shared-(H,A) batch, no mesh, and single-phase
+            iteration (``iter_precision='highest'`` or ``refine=False``).
           mesh: optional ``jax.sharding.Mesh`` to shard the batch over;
             ``axis_name`` selects the mesh axis.
           bank_build: "host" (fp64 numpy factorization) or "device"
@@ -201,6 +215,29 @@ class BatchedReLU_QP:
         else:
             self.Dp = self.D   # pure-XLA GEMMs need no lane padding
             self.B_pad = B_n
+
+        if tail_policy not in ("dense", "repack"):
+            raise ValueError(f"tail_policy must be 'dense' or 'repack', "
+                             f"got {tail_policy!r}")
+        if tail_policy == "repack":
+            if self.hetero:
+                raise ValueError(
+                    "tail_policy='repack' supports shared-(H,A) batches "
+                    "only (per-problem banks would need a B·N·Dp² gather "
+                    "per stage; use tail_policy='dense')")
+            if mesh is not None:
+                raise ValueError(
+                    "tail_policy='repack' is per-chip (compaction across "
+                    "mesh shards would need resharding collectives); "
+                    "drop the mesh or use tail_policy='dense'")
+            if stng.refine and stng.iter_precision != "highest":
+                raise ValueError(
+                    "tail_policy='repack' cannot carry the two-phase "
+                    "refine switch across its static stage boundaries — "
+                    "use iter_precision='highest' or refine=False")
+        self.tail_policy = tail_policy
+        self._repack_sched = (self._make_repack_schedule()
+                              if tail_policy == "repack" else None)
 
         self._w_pri = self._w_dua = None   # set by scaled setup paths
         self.rhos_np = setup_rhos(stng.rho, stng.rho_min, stng.rho_max,
@@ -300,6 +337,30 @@ class BatchedReLU_QP:
                     "the batch or use backend='xla'")
             return True
         return _is_tpu(stng.device) and tile > 0 and self.mesh is None
+
+    def _make_repack_schedule(self):
+        """Static row-capacity schedule for ``tail_policy='repack'``.
+
+        Halves from ``B_pad`` down to ``_REPACK_MIN_ROWS`` (at most 4
+        stages — each stage duplicates the compiled loop body, so deeper
+        schedules trade compile time for little extra GEMM savings; the
+        last halvings cover few wasted row-iterations). Capacities stay
+        sublane-aligned: multiples of 128 under the Pallas runner (its
+        row-tile search needs a multiple-of-8 divisor and prefers large
+        tiles), multiples of 8 on the XLA path. A single-entry schedule
+        (batch already at the floor) degenerates to the dense loop.
+        """
+        align = 128 if self._use_pallas else 8
+        floor = max(_REPACK_MIN_ROWS, align)
+        caps = [self.B_pad]
+        for _ in range(3):
+            nxt = round_up(max(caps[-1] // 2, floor), align)
+            if nxt >= caps[-1]:
+                break
+            caps.append(nxt)
+            if nxt <= floor:
+                break
+        return tuple(caps)
 
     def _sharding(self, replicated=False):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -860,11 +921,15 @@ class BatchedReLU_QP:
                    else np.asarray(jax.device_get(self.rho_ind)))
         stng = self.settings
         kw = {k: getattr(stng, k) for k in SETTINGS_FIELDS}
+        tp = getattr(self, "tail_policy", "dense")
+        if tp == "repack" and any(
+                m is not None and np.asarray(m).ndim == 3 for m in (H, A)):
+            tp = "dense"   # shared → hetero switch: repack unsupported
         self.setup(self._H_np if H is None else H, self._g_np,
                    self._A_np if A is None else A, self._l_np, self._u_np,
                    rho_mode=self._rho_mode_req, mesh=self.mesh,
                    axis_name=self.axis_name, bank_build=self._bank_build,
-                   process_local=was_multi, **kw)
+                   process_local=was_multi, tail_policy=tp, **kw)
         # Restore the ladder position BEFORE re-injecting the warm state:
         # under alpha != 1 the p slot is encoded against the current rung.
         if self.rho_mode == old_mode:
@@ -973,12 +1038,22 @@ class BatchedReLU_QP:
             done0 = None
             if self.B_pad != self.B_n:
                 done0 = jnp.arange(self.B_pad) >= self.B_n
-            res = solve_batched_shared(
-                self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
-                self.A_dev, self.G, self.lo, self.hi, self.Y, self.rho_ind,
-                done0, self._Wt_hi, self._rho_eff, self._w_pri,
-                self._w_dua, rho_mode=self.rho_mode,
-                chunk_runner=runner, **kw)
+            sched = getattr(self, "_repack_sched", None)
+            if sched is not None and len(sched) > 1:
+                kw.pop("refine")   # repack stages are single-phase
+                res = solve_batched_shared_repack(
+                    self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
+                    self.A_dev, self.G, self.lo, self.hi, self.Y,
+                    self.rho_ind, done0, self._rho_eff, self._w_pri,
+                    self._w_dua, schedule=sched, rho_mode=self.rho_mode,
+                    chunk_runner=runner, **kw)
+            else:
+                res = solve_batched_shared(
+                    self.Wt_bank, self.bias_all, self.rhos, self.H_dev,
+                    self.A_dev, self.G, self.lo, self.hi, self.Y,
+                    self.rho_ind, done0, self._Wt_hi, self._rho_eff,
+                    self._w_pri, self._w_dua, rho_mode=self.rho_mode,
+                    chunk_runner=runner, **kw)
         self._fill_results(res, t0)
         if not stng.warm_starting:
             self.clear_primal_dual()

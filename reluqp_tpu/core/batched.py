@@ -318,81 +318,35 @@ def _run_refined(step, cond, state0, Wt_bank, Wt_bank_hi, *, refine,
     return state, k_fast
 
 
-@partial(
-    jax.jit,
-    static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
-                     "adaptive_rho_tolerance", "rho_min", "rho_max",
-                     "rho_mode", "chunk_runner", "axis_name", "rho_jump",
-                     "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
-                     "iter_precision", "refine", "adaptive_rho_interval",
-                     "alpha"),
-)
-def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
-                         rho_ind0, done0=None, Wt_bank_hi=None,
-                         rho_eff=None, w_pri=None, w_dua=None,
-                         bias_lazy=None, *,
-                         nx: int, nc: int,
-                         max_iter: int, check_interval: int,
-                         adaptive_rho: bool, adaptive_rho_tolerance: float,
-                         eps_abs: float, rho_min: float, rho_max: float,
-                         rho_mode: str = "shared",
-                         chunk_runner=None,
-                         axis_name=None,
-                         rho_jump: bool = False,
-                         check_infeasibility: bool = False,
-                         eps_prim_inf: float = 1e-4,
-                         eps_dual_inf: float = 1e-4,
-                         iter_precision: str = "highest",
-                         refine: bool = True,
-                         adaptive_rho_interval: int = 1,
-                         alpha: float = 1.0
-                         ) -> BatchSolveResult:
-    """Solve a batch of QPs sharing (H, A) fully on device.
+def _stage_shared(Wt_bank, bias_all, rhos_t, H, A, G, lo, hi, eps_abs,
+                  state0, Wt_bank_hi, rho_eff, w_pri, w_dua, bias_lazy, *,
+                  nx: int, nc: int, max_iter: int, check_interval: int,
+                  adaptive_rho: bool, adaptive_rho_tolerance: float,
+                  rho_min: float, rho_max: float, shared: bool,
+                  chunk_runner, axis_name, rho_jump: bool,
+                  check_infeasibility: bool, eps_prim_inf: float,
+                  eps_dual_inf: float, iter_precision: str, refine: bool,
+                  adaptive_rho_interval: int, alpha: float,
+                  stop_open: int = 0, with_rem: bool = True,
+                  bias_select=None):
+    """One while-loop stage of the shared-(H, A) batched solve.
 
-    Args:
-      Wt_bank: (N_rho, Dp, Dp) shared transposed padded bank.
-      bias_all: (N_rho, B, Dp) per-rung biases ``b_k = B_k g_i`` (padded).
-      rhos: (N_rho,) ladder values.
-      H, A: shared problem matrices (unpadded), for residuals.
-      G: (B, nx) per-problem linear terms.
-      lo, hi: (B, Dp) per-problem clamp bounds in padded layout.
-      Y0: (B, Dp) initial stacked states.
-      rho_ind0: () int32 (rho_mode="shared") or (B,) int32 (per_problem).
-      chunk_runner: optional override with the ``_chunk_*`` signature — the
-        Pallas batched kernel plugs in here (shared mode only).
-      axis_name: when run per-shard inside ``shard_map``, the mesh axis
-        name over which convergence (and, in shared mode, the ρ walk) is
-        aggregated with ``lax.psum`` so every chip exits the loop together.
-      done0: optional (B,) bool mask of rows to treat as pre-converged
-        (inert batch-padding rows), excluded from the ρ walk statistics.
-      bias_lazy: optional ``(bias_c (N,Dp)|None, M_hi (N,Dp,np),
-        M_lo|None, X (B,np))`` state-affine bias provider (shared-ρ mode
-        only): per check window the loop materializes the CURRENT rung's
-        per-problem bias ``c_k + X M_kᵀ`` as one GEMM instead of the
-        caller refreshing all N rungs up front — same HBM-traffic
-        argument as ``iteration.solve_loop``. ``bias_all`` is ignored
-        (pass any (1,1,1) placeholder).
+    The whole original loop when ``stop_open=0``; the repack driver
+    (``solve_batched_shared_repack``) runs several stages over shrinking
+    row buffers, each exiting as soon as the open rows fit the NEXT
+    buffer (``n_open <= stop_open``). The iteration counter ``k`` is
+    carried in ``state0[3]``, so the ``max_iter`` budget is global across
+    stages. ``with_rem=False`` skips the ``max_iter % check_interval``
+    tail (only the final stage runs it). Returns ``(state, k_fast)``.
     """
-    B = Y0.shape[0]
-    dtype = Y0.dtype
+    dtype = state0[0].dtype
     eps = jnp.asarray(eps_abs, dtype=dtype)
     eps_pri = eps * jnp.sqrt(jnp.asarray(nc, dtype=dtype))
     eps_dua = eps * jnp.sqrt(jnp.asarray(nx, dtype=dtype))
     tol = jnp.asarray(adaptive_rho_tolerance, dtype=dtype)
-    n_rho = rhos.shape[0]
     n_chunks = max_iter // check_interval
-    rem = max_iter - n_chunks * check_interval
-
+    rem = (max_iter - n_chunks * check_interval) if with_rem else 0
     rho_stride = rho_update_stride(adaptive_rho_interval, check_interval)
-    shared = rho_mode == "shared"
-    if chunk_runner is None:
-        if shared:
-            chunk_runner = _chunk_shared_rho
-        else:
-            chunk_runner = (_chunk_gathered if B <= _GATHER_BATCH_MAX
-                            else _chunk_rung_gemm)
-
-    rhos_t = jnp.asarray(rhos, dtype=dtype)
 
     def split(Y):
         return Y[:, :nx], Y[:, nx:nx + nc], Y[:, nx + nc:nx + 2 * nc]
@@ -426,6 +380,16 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         """Bias bank for the runner: materialized, or (lazy) the current
         rung's per-problem bias broadcast into bank shape — the runner's
         dynamic_index folds the broadcast away."""
+        if bias_select is not None:
+            # Repack stages (shared-ρ): index the ORIGINAL full-batch
+            # bias per window — one rung row (B0, Dp) read + a (B_s,)
+            # row gather, instead of materializing a gathered (N, B_s,
+            # Dp) bank at every stage boundary (N× the HBM traffic).
+            b_full = lax.dynamic_index_in_dim(bias_select[0], rho_ind, 0,
+                                              keepdims=False)
+            b_loc = b_full[bias_select[1]]
+            return jnp.broadcast_to(b_loc[None], (Wt_bank.shape[0],)
+                                    + b_loc.shape)
         if bias_lazy is None:
             return bias_all
         hp = lax.Precision.HIGHEST
@@ -522,12 +486,24 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
         if axis_name is not None:
             n_open = lax.psum(n_open, axis_name)
         return (Y, rho_ind, rho, k, pri, dua, done, iters, status,
-                *extra, n_open == 0)
+                *extra, n_open <= stop_open)
 
     def cond(state):
-        k, all_done = state[3], state[-1]
-        return jnp.logical_and(~all_done, k < n_chunks * check_interval)
+        k, stop = state[3], state[-1]
+        return jnp.logical_and(~stop, k < n_chunks * check_interval)
 
+    return _run_refined(
+        step, cond, state0, Wt_bank, Wt_bank_hi, refine=refine,
+        iter_precision=iter_precision, n_chunks=n_chunks,
+        check_interval=check_interval, rem=rem, dtype=dtype,
+        axis_name=axis_name)
+
+
+def _init_state_shared(Y0, rho_ind0, rhos_t, done0, nx, nc, max_iter,
+                       check_infeasibility, alpha, rho_eff, stop0=False):
+    """Initial loop state shared by the dense and repack entry points."""
+    B = Y0.shape[0]
+    dtype = Y0.dtype
     rho_ind0 = jnp.asarray(rho_ind0, dtype=jnp.int32)
     rho0 = rhos_t[rho_ind0] * jnp.ones((B,), dtype=dtype)
     zeros = jnp.zeros((B,), dtype=dtype)
@@ -541,20 +517,281 @@ def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
     state0 = (Y0, rho_ind0, rho0, jnp.asarray(0, jnp.int32), zeros, zeros,
               done_init, iters_init, status_init)
     if check_infeasibility:
-        state0 = state0 + (Y0[:, :nx], lam_of(Y0, rho_ind0))
-    state0 = state0 + (jnp.asarray(False),)
+        if alpha == 1.0:
+            lam0 = Y0[:, nx + nc:nx + 2 * nc]
+        else:
+            Z0 = Y0[:, nx:nx + nc]
+            P0 = Y0[:, nx + nc:nx + 2 * nc]
+            lam0 = jnp.take(rho_eff, rho_ind0, axis=0) * (P0 - Z0)
+        state0 = state0 + (Y0[:, :nx], lam0)
+    return state0 + (jnp.asarray(stop0),)
 
-    state, k_fast = _run_refined(
-        step, cond, state0, Wt_bank, Wt_bank_hi, refine=refine,
-        iter_precision=iter_precision, n_chunks=n_chunks,
-        check_interval=check_interval, rem=rem, dtype=dtype,
-        axis_name=axis_name)
+
+def _wrap_result(state, k_fast) -> BatchSolveResult:
     Y, rho_ind, rho, k, pri, dua, done, iters, status = state[:9]
     return BatchSolveResult(Y=Y, iters=iters, pri_res=pri, dua_res=dua,
                             rho_estimate=rho, rho_ind=rho_ind,
                             converged=status == STATUS_SOLVED,
                             n_iter_total=k, status=status,
                             n_iter_fast=k_fast)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nx", "nc", "max_iter", "check_interval", "adaptive_rho",
+                     "adaptive_rho_tolerance", "rho_min", "rho_max",
+                     "rho_mode", "chunk_runner", "axis_name", "rho_jump",
+                     "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
+                     "iter_precision", "refine", "adaptive_rho_interval",
+                     "alpha"),
+)
+def solve_batched_shared(Wt_bank, bias_all, rhos, H, A, G, lo, hi, Y0,
+                         rho_ind0, done0=None, Wt_bank_hi=None,
+                         rho_eff=None, w_pri=None, w_dua=None,
+                         bias_lazy=None, *,
+                         nx: int, nc: int,
+                         max_iter: int, check_interval: int,
+                         adaptive_rho: bool, adaptive_rho_tolerance: float,
+                         eps_abs: float, rho_min: float, rho_max: float,
+                         rho_mode: str = "shared",
+                         chunk_runner=None,
+                         axis_name=None,
+                         rho_jump: bool = False,
+                         check_infeasibility: bool = False,
+                         eps_prim_inf: float = 1e-4,
+                         eps_dual_inf: float = 1e-4,
+                         iter_precision: str = "highest",
+                         refine: bool = True,
+                         adaptive_rho_interval: int = 1,
+                         alpha: float = 1.0
+                         ) -> BatchSolveResult:
+    """Solve a batch of QPs sharing (H, A) fully on device.
+
+    Args:
+      Wt_bank: (N_rho, Dp, Dp) shared transposed padded bank.
+      bias_all: (N_rho, B, Dp) per-rung biases ``b_k = B_k g_i`` (padded).
+      rhos: (N_rho,) ladder values.
+      H, A: shared problem matrices (unpadded), for residuals.
+      G: (B, nx) per-problem linear terms.
+      lo, hi: (B, Dp) per-problem clamp bounds in padded layout.
+      Y0: (B, Dp) initial stacked states.
+      rho_ind0: () int32 (rho_mode="shared") or (B,) int32 (per_problem).
+      chunk_runner: optional override with the ``_chunk_*`` signature — the
+        Pallas batched kernel plugs in here (shared mode only).
+      axis_name: when run per-shard inside ``shard_map``, the mesh axis
+        name over which convergence (and, in shared mode, the ρ walk) is
+        aggregated with ``lax.psum`` so every chip exits the loop together.
+      done0: optional (B,) bool mask of rows to treat as pre-converged
+        (inert batch-padding rows), excluded from the ρ walk statistics.
+      bias_lazy: optional ``(bias_c (N,Dp)|None, M_hi (N,Dp,np),
+        M_lo|None, X (B,np))`` state-affine bias provider (shared-ρ mode
+        only): per check window the loop materializes the CURRENT rung's
+        per-problem bias ``c_k + X M_kᵀ`` as one GEMM instead of the
+        caller refreshing all N rungs up front — same HBM-traffic
+        argument as ``iteration.solve_loop``. ``bias_all`` is ignored
+        (pass any (1,1,1) placeholder).
+    """
+    B = Y0.shape[0]
+    dtype = Y0.dtype
+    shared = rho_mode == "shared"
+    if chunk_runner is None:
+        if shared:
+            chunk_runner = _chunk_shared_rho
+        else:
+            chunk_runner = (_chunk_gathered if B <= _GATHER_BATCH_MAX
+                            else _chunk_rung_gemm)
+    rhos_t = jnp.asarray(rhos, dtype=dtype)
+    state0 = _init_state_shared(Y0, rho_ind0, rhos_t, done0, nx, nc,
+                                max_iter, check_infeasibility, alpha,
+                                rho_eff)
+    state, k_fast = _stage_shared(
+        Wt_bank, bias_all, rhos_t, H, A, G, lo, hi, eps_abs, state0,
+        Wt_bank_hi, rho_eff, w_pri, w_dua, bias_lazy,
+        nx=nx, nc=nc, max_iter=max_iter, check_interval=check_interval,
+        adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance,
+        rho_min=rho_min, rho_max=rho_max, shared=shared,
+        chunk_runner=chunk_runner, axis_name=axis_name, rho_jump=rho_jump,
+        check_infeasibility=check_infeasibility, eps_prim_inf=eps_prim_inf,
+        eps_dual_inf=eps_dual_inf, iter_precision=iter_precision,
+        refine=refine, adaptive_rho_interval=adaptive_rho_interval,
+        alpha=alpha)
+    return _wrap_result(state, k_fast)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("schedule", "nx", "nc", "max_iter", "check_interval",
+                     "adaptive_rho", "adaptive_rho_tolerance", "rho_min",
+                     "rho_max", "rho_mode", "chunk_runner", "rho_jump",
+                     "check_infeasibility", "eps_prim_inf", "eps_dual_inf",
+                     "iter_precision", "adaptive_rho_interval", "alpha"),
+)
+def solve_batched_shared_repack(Wt_bank, bias_all, rhos, H, A, G, lo, hi,
+                                Y0, rho_ind0, done0=None, rho_eff=None,
+                                w_pri=None, w_dua=None, *,
+                                schedule,
+                                nx: int, nc: int,
+                                max_iter: int, check_interval: int,
+                                adaptive_rho: bool,
+                                adaptive_rho_tolerance: float,
+                                eps_abs: float, rho_min: float,
+                                rho_max: float,
+                                rho_mode: str = "shared",
+                                chunk_runner=None,
+                                rho_jump: bool = False,
+                                check_infeasibility: bool = False,
+                                eps_prim_inf: float = 1e-4,
+                                eps_dual_inf: float = 1e-4,
+                                iter_precision: str = "highest",
+                                adaptive_rho_interval: int = 1,
+                                alpha: float = 1.0
+                                ) -> BatchSolveResult:
+    """Shared-(H, A) batched solve with shrink-on-converge repacking.
+
+    The dense loop (``solve_batched_shared``) keeps every row in the
+    iteration GEMM until the LAST row converges, so converged rows burn
+    ``n_iter_total - iters_i`` wasted row-iterations each (measured at
+    ~40% of the GEMM work on the north-star B=10k config,
+    ``results/tail_waste.json``). Here the solve runs as a static
+    ``schedule`` of progressively smaller row buffers, entirely inside
+    one jitted program (no host round-trips, so trajectories and timing
+    methodology are unchanged):
+
+    - stage s runs the normal while-loop but ALSO exits as soon as the
+      open rows fit the next buffer (``n_open <= schedule[s+1]``);
+    - between stages a stable ``argsort(done)`` compacts open rows (in
+      original order) to the front, the per-row state and data arrays
+      are gathered to the next static size, and results of dropped
+      (converged) rows are scattered back into full-size accumulators;
+    - the iteration counter carries across stages, so ``max_iter`` and
+      per-row ``iters`` accounting are identical to the dense loop.
+
+    Because compaction only removes CONVERGED rows — which already
+    contribute exactly 0 to the shared-ρ walk statistics and the stall
+    metric — open-row trajectories are bit-identical to the dense loop
+    up to float reduction order.
+
+    Constraints (enforced here): single-chip only (no ``axis_name`` —
+    cross-shard repacking would need resharding collectives), no
+    ``bias_lazy``, and no two-phase refine (``refine and iter_precision
+    != 'highest'``) — the phase switch is a dynamic event that cannot be
+    carried across static stage boundaries, so reduced-precision repack
+    runs single-phase (``refine=False`` semantics).
+
+    Args:
+      schedule: strictly decreasing tuple of row capacities;
+        ``schedule[0]`` must equal ``Y0.shape[0]``. Every entry must be
+        compatible with the chunk runner's row tiling (the caller aligns
+        them — ``batch.BatchedReLU_QP._repack_schedule``).
+    """
+    B = Y0.shape[0]
+    if not schedule or schedule[0] != B:
+        raise ValueError(f"schedule[0] must equal the padded batch size "
+                         f"{B}, got {schedule}")
+    if any(b >= a for a, b in zip(schedule, schedule[1:])):
+        raise ValueError(f"schedule must be strictly decreasing: {schedule}")
+    dtype = Y0.dtype
+    shared = rho_mode == "shared"
+    rhos_t = jnp.asarray(rhos, dtype=dtype)
+
+    def stage_runner(B_s):
+        # Pinned to the INITIAL batch size (not B_s): switching the
+        # per-problem runner mid-solve (rung-GEMM ↔ gathered matvec)
+        # would change the iteration's reduction order across a stage
+        # boundary and fork open-row trajectories from the dense loop.
+        del B_s
+        if chunk_runner is not None:
+            return chunk_runner
+        if shared:
+            return _chunk_shared_rho
+        return (_chunk_gathered if B <= _GATHER_BATCH_MAX
+                else _chunk_rung_gemm)
+
+    stage_kw = dict(
+        nx=nx, nc=nc, max_iter=max_iter, check_interval=check_interval,
+        adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance,
+        rho_min=rho_min, rho_max=rho_max, shared=shared,
+        axis_name=None, rho_jump=rho_jump,
+        check_infeasibility=check_infeasibility,
+        eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf,
+        iter_precision=iter_precision, refine=False,
+        adaptive_rho_interval=adaptive_rho_interval, alpha=alpha)
+
+    state = _init_state_shared(Y0, rho_ind0, rhos_t, done0, nx, nc,
+                               max_iter, check_infeasibility, alpha,
+                               rho_eff)
+    n_row = 11 if check_infeasibility else 9   # per-row state slots
+
+    def rows_of(state):
+        """Per-row state leaves (k at index 3 and the stop flag are
+        scalars; rho_ind is per-row only in per-problem mode)."""
+        idx = [0, 2, 4, 5, 6, 7, 8] + list(range(9, n_row))
+        if not shared:
+            idx.insert(1, 1)
+        return idx
+
+    # Full-size accumulators for per-row outputs of dropped rows.
+    acc = {i: state[i] for i in rows_of(state)}
+    orig = jnp.arange(B, dtype=jnp.int32)
+    G_s, lo_s, hi_s, bias_s = G, lo, hi, bias_all
+    wp_s, wd_s = w_pri, w_dua
+
+    for si, B_s in enumerate(schedule):
+        last = si == len(schedule) - 1
+        stop_open = 0 if last else schedule[si + 1]
+        # Shared-ρ stages after the first read the bias through an index
+        # map (one rung row per window) instead of a per-stage gathered
+        # bank — the gather's N× HBM traffic dominated the repack
+        # overhead when measured (docs/perf_notes.md).
+        bsel = (bias_all, orig) if shared and si > 0 else None
+        state, _ = _stage_shared(
+            Wt_bank, bias_s, rhos_t, H, A, G_s, lo_s, hi_s, eps_abs,
+            state, None, rho_eff, wp_s, wd_s, None,
+            chunk_runner=stage_runner(B_s), stop_open=stop_open,
+            with_rem=last, bias_select=bsel, **stage_kw)
+        # Scatter this stage's rows back into the full-size accumulators
+        # (unique indices; later stages overwrite still-open rows).
+        for i in rows_of(state):
+            acc[i] = acc[i].at[orig].set(state[i])
+        if last:
+            break
+        B_next = schedule[si + 1]
+        done = state[6]
+        # Stable sort: open rows first, in original order — compaction
+        # drops only converged rows, so open-row trajectories (and the
+        # shared-ρ walk, which already ignores done rows) are unchanged.
+        order = jnp.argsort(done, stable=True)
+        sel = order[:B_next]
+        orig = orig[sel]
+        gathered = list(state)
+        for i in rows_of(state):
+            gathered[i] = state[i][sel]
+        if not shared:
+            pass  # rho_ind handled by rows_of
+        n_open = jnp.sum(~gathered[6])
+        next_stop = 0 if si + 1 == len(schedule) - 1 else schedule[si + 2]
+        gathered[-1] = n_open <= next_stop
+        state = tuple(gathered)
+        G_s = G_s[sel]
+        lo_s, hi_s = lo_s[sel], hi_s[sel]
+        if not shared:
+            # per-problem rungs need the materialized per-row bias bank
+            bias_s = bias_s[:, sel]
+        if wp_s is not None and wp_s.ndim == 2:
+            wp_s = wp_s[sel]
+        if wd_s is not None and wd_s.ndim == 2:
+            wd_s = wd_s[sel]
+
+    out = list(state[:9])
+    for i in rows_of(state):
+        if i < 9:
+            out[i] = acc[i]
+    out[3] = state[3]                      # global iteration counter
+    if shared:
+        out[1] = state[1]                  # scalar ladder index
+    return _wrap_result(tuple(out), jnp.asarray(0, jnp.int32))
 
 
 # --------------------------------------------------------------------- #

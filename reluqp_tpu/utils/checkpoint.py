@@ -274,6 +274,7 @@ def save_batched_solver(m, path: str) -> None:
         H_np=m._H_np, A_np=m._A_np, g_np=m._g_np,
         rho_mode_req=np.asarray(m._rho_mode_req),
         bank_build=np.asarray(m._bank_build),
+        tail_policy=np.asarray(getattr(m, "tail_policy", "dense")),
     )
 
 
@@ -426,6 +427,11 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
         m._H_np = m._A_np = m._g_np = None
         m._rho_mode_req = m.rho_mode
         m._bank_build = "auto"
+    m.tail_policy = (str(data["tail_policy"]) if "tail_policy" in data
+                     else "dense")
+    if m.tail_policy == "repack" and (m.hetero or mesh is not None or (
+            stng.refine and stng.iter_precision != "highest")):
+        m.tail_policy = "dense"   # restored into an unsupported regime
 
     # Pallas batched kernel only when the saved layout matches what a
     # fresh setup would have padded to (same gate as _pick_pallas).
@@ -446,6 +452,8 @@ def load_batched_solver(path: str, mesh=None, axis_name: str = "qp"):
         m._hetero_pallas = aligned_divisor(
             m.B_n, hetero_tile_rows(m.Dp, dtype,
                                     iter_precision=stng.iter_precision)) > 0
+    m._repack_sched = (m._make_repack_schedule()
+                       if m.tail_policy == "repack" else None)
 
     put = lambda a, rep=False: m._put(jnp.asarray(a, dtype=dtype),
                                       replicated=rep)

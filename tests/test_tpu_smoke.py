@@ -109,6 +109,31 @@ def test_batched_shared_tile(canonical):
     assert np.max(np.abs(x0 - np.asarray(r.x, np.float64))) < 1e-3
 
 
+def test_batched_repack_tile(canonical):
+    """A staged repack solve through the shared-bank path (Pallas on
+    TPU): the multi-stage compiled program must lower through Mosaic
+    and agree with the dense loop (VERDICT r3 item 3 remedy)."""
+    qp = canonical
+    B = 32
+    rng = np.random.RandomState(1)
+    gs = qp.g[None, :] * (1.0 + 0.05 * rng.randn(B, 1))
+    ls = np.tile(qp.l, (B, 1))
+    us = np.tile(qp.u, (B, 1))
+    m = BatchedReLU_QP()
+    m.setup(qp.H, gs, qp.A, ls, us, precision="float32",
+            tail_policy="repack")
+    # the 512-row production floor degenerates small batches to dense —
+    # force real stages so the staged program itself is exercised
+    m._repack_sched = (m.B_pad, max(m.B_pad // 2, 8))
+    res = m.solve()
+    assert bool(np.all(np.asarray(res.info.status)))
+    md = BatchedReLU_QP()
+    md.setup(qp.H, gs, qp.A, ls, us, precision="float32")
+    res_d = md.solve()
+    assert np.max(np.abs(np.asarray(res.x, np.float64)
+                         - np.asarray(res_d.x, np.float64))) < 1e-3
+
+
 @pytest.mark.parametrize("backend", BACKENDS)
 def test_infeasibility_certificates(backend):
     H = np.eye(2)
