@@ -28,6 +28,41 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _exclusion_record(nx: int, nc: int, args, reason: str) -> dict:
+    """Size-exclusion record with the footprint numbers that bind it.
+
+    For the fused whole-solve kernel the binding resource is VMEM:
+    Mosaic's scoped stack holds ~5 W-sized temporaries around the
+    in-kernel matmuls (measured 27.3 MB at Dp=1024 f32), so both the
+    resident-bank and bank-streaming variants have hard Dp cutoffs
+    (``ops.solve_kernel.full_solve_vmem_bytes``).
+    """
+    rec = dict(nx=int(nx), nc=int(nc), backend=args.backend, reason=reason)
+    try:
+        import numpy as _np
+        from reluqp_tpu.ops.fused_step import LANE, pad_dim, round_up
+        from reluqp_tpu.ops.solve_kernel import full_solve_vmem_bytes
+        from reluqp_tpu.core.ladder import setup_rhos
+        D = nx + 2 * nc
+        dp = pad_dim(D)
+        nxp = round_up(max(nx, LANE), LANE)
+        ncp = round_up(max(nc, LANE), LANE)
+        n_rho = len(setup_rhos(0.1, 1e-6, 1e6, True, 5.0))
+        dt = _np.dtype(args.precision or "float32")
+        kw = dict(iter_precision=args.iter_precision)
+        rec.update(
+            Dp=int(dp),
+            vmem_resident_mb=round(float(full_solve_vmem_bytes(
+                n_rho, dp, nxp, ncp, dt, **kw)) / 2**20, 1),
+            vmem_stream_mb=round(float(full_solve_vmem_bytes(
+                n_rho, dp, nxp, ncp, dt, stream_bank=True, **kw)) / 2**20,
+                1),
+            vmem_budget_mb=12, vmem_hardware_mb=16)
+    except Exception:
+        pass
+    return rec
+
+
 def reluqp_solve(H, g, A, l, u, tol, backend="auto",
                  iter_precision="highest", precision="float32",
                  max_iter=4000, scaling=False):
@@ -219,10 +254,13 @@ def main(argv=None):
     # Warm-up solves so jit compile is excluded (reference :53-55).
     inst = rand_qp(nx=nxs[0], n_eq=max(nxs[0] // 4, 1),
                    n_ineq=max(nxs[0] // 4, 1), seed=0, compute_sol=False)
-    for _ in range(2):
-        reluqp_solve(inst.H, inst.g, inst.A, inst.l, inst.u, args.tol,
-                     args.backend, args.iter_precision, args.precision,
-                     args.max_iter, args.scaling)
+    try:
+        for _ in range(2):
+            reluqp_solve(inst.H, inst.g, inst.A, inst.l, inst.u, args.tol,
+                         args.backend, args.iter_precision, args.precision,
+                         args.max_iter, args.scaling)
+    except ValueError:
+        pass   # first size excluded (backend boundary) — recorded below
 
     records = []
     if args.sizes and os.path.exists(args.out):
@@ -233,16 +271,25 @@ def main(argv=None):
             records = [r for r in json.load(f)["records"]
                        if r["nx"] not in rerun]
         print(f"resuming: kept {len(records)} records from {args.out}")
+    excluded = []
     for nx in nxs:
         n_eq = n_ineq = max(int(nx // 4), 1)
         for seed in range(args.seeds):
             inst = rand_qp(nx=nx, n_eq=n_eq, n_ineq=n_ineq, seed=seed,
                            compute_sol=False)
-            m, res, setup_t = reluqp_solve(inst.H, inst.g, inst.A, inst.l,
-                                           inst.u, args.tol, args.backend,
-                                           args.iter_precision,
-                                           args.precision, args.max_iter,
-                                           args.scaling)
+            try:
+                m, res, setup_t = reluqp_solve(
+                    inst.H, inst.g, inst.A, inst.l, inst.u, args.tol,
+                    args.backend, args.iter_precision, args.precision,
+                    args.max_iter, args.scaling)
+            except ValueError as e:
+                # Backend boundary (e.g. the fused whole-solve kernel's
+                # VMEM cutoff): record the exclusion with the footprint
+                # numbers instead of silently truncating the sweep.
+                excluded.append(_exclusion_record(nx, n_eq + n_ineq,
+                                                  args, str(e)))
+                print(f"nx={nx:4d}  EXCLUDED: {e}")
+                break
             assert res.info.status == "solved", \
                 f"nx={nx} seed={seed}: {res.info.status}"
             # warm re-solve measures the steady-state path
@@ -292,14 +339,20 @@ def main(argv=None):
                 rec["proxqp_s"] = t_p
             records.append(rec)
         ms = [r["solve_s"] for r in records if r["nx"] == nx]
-        print(f"nx={nx:4d}  solve {np.mean(ms)*1e3:8.2f} ± "
-              f"{np.std(ms)*1e3:6.2f} ms   "
-              f"iters {np.mean([r['iters'] for r in records if r['nx']==nx]):6.0f}")
-        # incremental flush: a timeout can no longer lose finished sizes
+        if ms:
+            print(f"nx={nx:4d}  solve {np.mean(ms)*1e3:8.2f} ± "
+                  f"{np.std(ms)*1e3:6.2f} ms   "
+                  f"iters {np.mean([r['iters'] for r in records if r['nx']==nx]):6.0f}")
+        # incremental flush: a timeout can no longer lose finished sizes.
+        # Atomic (tmp + rename): a mid-dump crash must not truncate a
+        # previously committed artifact.
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump({"config": vars(args), "records": records}, f,
-                      indent=1)
+        with open(args.out + ".tmp", "w") as f:
+            out = {"config": vars(args), "records": records}
+            if excluded:
+                out["excluded_sizes"] = excluded
+            json.dump(out, f, indent=1)
+        os.replace(args.out + ".tmp", args.out)
 
     print("wrote", args.out)
 
