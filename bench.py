@@ -19,7 +19,7 @@ block through the tunnel), and the per-dispatch overhead is cancelled by
 differencing a short and a long rollout. The long chain is 4000 steps:
 dispatch jitter through the tunnel is ±40-60 ms, so the differenced
 signal must be several times that (the per-step work is uniform — every
-warm step converges at the first 25-iteration check window — so chain
+warm step converges at its first auto-calibrated check window — so chain
 length does not change what is measured).
 """
 import json
@@ -39,26 +39,33 @@ def main():
     Ad, Bd = random_linear_system(NX, NU, seed=0, spectral_radius=0.99)
     Q = np.eye(NX)
     R = 0.1 * np.eye(NU)
-    # check_interval=2: in the warm receding-horizon regime every step
-    # converges at its FIRST residual check, so the window size IS the
-    # per-step iteration count — 2 certifies the same eps_abs as 25 at
-    # ~1.8x the rate (A/B over {1,2,3,4,5,10,25} with a 10x-harder
-    # transient robustness check: results/mpc_check_interval_ab_tpu.json,
-    # docs/perf_notes.md). The package default stays 25 (reference
-    # parity); this is the measured optimum for THIS regime with one
-    # window of margin over the degenerate ci=1.
+    # check_interval="auto" (round-4): the rollout SELF-CALIBRATES its
+    # residual-check window — the first 8 steps run at ci=1 (exact
+    # per-step iteration needs), then the window is sized so every warm
+    # step certifies at its first check. On this config calibration
+    # finds the warm need is exactly 1 iteration/step, beating the
+    # round-3 hand-tuned ci=2 by ~21% (77.0k vs 63.9k Hz same-session,
+    # results/mpc_ci_auto_tpu.json; A/B history over {1..25}:
+    # results/mpc_check_interval_ab_tpu.json). No hand-tuned constant:
+    # the settings keep the reference-parity default (25) and the auto
+    # mode is the product lever (mpc_rollout_scan(check_interval="auto")).
     ctrl = MPC(Ad, Bd, Q, R, horizon=HORIZON,
                u_min=-1.0, u_max=1.0, prestabilize=True,
-               eps_abs=1e-3, check_interval=2, max_iter=2000)
+               eps_abs=1e-3, max_iter=2000)
 
     from reluqp_tpu.utils.timing import entropy_rng
     rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
     x0 = 0.05 * rng.randn(NX)
 
     def rollout_s(x, T):
-        """Time one T-step rollout; the scalar fetch forces execution."""
+        """Time one T-step rollout; the scalar fetch forces execution.
+
+        The auto mode's ci=1 calibration segment is a FIXED per-rollout
+        cost paid identically by the short and long chains, so the
+        two-point difference below measures the tuned steady state."""
         t0 = time.perf_counter()
-        xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, T)
+        xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, T,
+                                         check_interval="auto")
         float(jax.device_get(xs[-1].sum()))
         return time.perf_counter() - t0, xs, iters
 

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
-              check_interval=25):
+              check_interval=25, rollout_ci=None):
     import jax
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
@@ -39,13 +39,17 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
     # On-device rollout rate via the axon-safe two-point methodology
     # (fresh inputs per timed dispatch, scalar fetch, overhead cancelled
     # by differencing short/long rollouts — see docs/perf_notes.md).
+    # With rollout_ci="auto" the per-run calibration segment is a FIXED
+    # cost paid once by both chain lengths, so the differenced signal is
+    # the tuned steady-state rate.
     if T < 10:
         raise SystemExit("--steps must be >= 10 for the two-point fit")
     T_lo, T_hi = max(T // 5, min(25, T // 2)), T
 
     def rollout_s(x, n):
         t0 = time.perf_counter()
-        xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, n)
+        xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, n,
+                                        check_interval=rollout_ci)
         float(jax.device_get(xs[-1].sum()))
         return time.perf_counter() - t0, xs, iters
 
@@ -69,7 +73,8 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
         x = Ad @ x + Bd @ u
     hz_host = n_host / (time.perf_counter() - t0)
     return dict(nx=nx, nu=nu, horizon=horizon, qp_vars=horizon * nu,
-                alpha=alpha, hz_device=hz_device, hz_host=hz_host,
+                alpha=alpha, rollout_ci=rollout_ci,
+                hz_device=hz_device, hz_host=hz_host,
                 mean_iters=mean_iters, timing=method)
 
 
@@ -90,15 +95,23 @@ def main(argv=None):
                         "at its first check, so this IS the per-step "
                         "iteration count (bench.py's measured decision "
                         "is 2; 25 = reference default)")
+    p.add_argument("--rollout-ci", default=None,
+                   help="per-rollout check window override: an int or "
+                        "'auto' (self-calibrating; "
+                        "mpc_rollout_scan(check_interval=...))")
     p.add_argument("--out", default="results/mpc_rate.json")
     args = p.parse_args(argv)
+    rollout_ci = args.rollout_ci
+    if rollout_ci is not None and rollout_ci != "auto":
+        rollout_ci = int(rollout_ci)
 
     records = []
     for nx in args.sizes:
         nu = max(int(nx * args.nu_frac), 1)
         rec = bench_one(nx, nu, args.horizon, args.steps, args.tol,
                         args.backend, alpha=args.alpha,
-                        check_interval=args.check_interval)
+                        check_interval=args.check_interval,
+                        rollout_ci=rollout_ci)
         records.append(rec)
         print(f"nx={nx:4d} nu={nu:3d} h={args.horizon}  "
               f"device {rec['hz_device']:8.0f} Hz   "

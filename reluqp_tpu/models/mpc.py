@@ -419,8 +419,9 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
         return (res.y, res.rho_ind, x_next), (x_next, u, res.iters)
 
     carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
-    _, (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None, length=n_steps)
-    return jnp.concatenate([x0[None], xs], axis=0), us, its
+    (y_f, rho_f, _), (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
+                                                  length=n_steps)
+    return jnp.concatenate([x0[None], xs], axis=0), us, its, y_f, rho_f
 
 
 # Module-level jit handles (here and _scenario_jit below) are intentional:
@@ -437,9 +438,35 @@ _rollout_jit = jax.jit(
                      "alpha"))
 
 
+def auto_check_interval(calib_iters, default_ci: int,
+                        max_iter: int) -> int:
+    """Check window from ci=1 calibration iteration counts.
+
+    ``calib_iters``: per-step EXACT iteration needs of the calibration
+    rollout (every iteration checks at ci=1). The first half is treated
+    as transient (cold start / initial-condition decay); the window is
+    the maximum WARM-step need, so every warm step certifies at its
+    first residual check (the measured optimum of the ci A/B,
+    ``results/mpc_check_interval_ab_tpu.json``: per step, a window
+    costs its iterations plus one check — oversizing wastes iterations,
+    undersizing pays extra checks). Falls back to ``default_ci`` when
+    the "warm" steps still run long (>25% of ``max_iter``: the rollout
+    never reached a warm regime that a small window would serve).
+    """
+    import numpy as _np
+    it = _np.asarray(calib_iters)
+    warm = it[len(it) // 2:] if len(it) > 1 else it
+    need = int(warm.max()) if warm.size else default_ci
+    if need > max(max_iter // 4, default_ci):
+        return default_ci
+    return int(min(max(need, 1), default_ci))
+
+
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
                      solve_max_iter: Optional[int] = None,
-                     kernel: str = "loop"):
+                     kernel: str = "loop",
+                     check_interval=None, calib_steps: int = 8,
+                     return_state: bool = False):
     """Closed-loop MPC rollout as ONE compiled ``lax.scan`` on device.
 
     Per control step, entirely on device: refresh ``g``/``l``/``u`` from
@@ -461,7 +488,60 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         bias refresh, as ONE kernel launch (``_rollout_kernel_impl``;
         TPU only, alpha=1, requires the rung + residual operator to fit
         VMEM). "auto" picks "fused" when eligible.
+      check_interval: per-step residual-check window. ``None`` (default)
+        uses the solver settings; an int overrides; ``"auto"``
+        calibrates it from the rollout itself — the first
+        ``calib_steps`` steps run with ci=1 (exact per-step iteration
+        needs), then the window is sized so every warm step certifies
+        at its FIRST check (``auto_check_interval``) and the remaining
+        steps run at that window. The calibration segment is part of
+        the returned trajectory (nothing is thrown away); measured
+        within ~3% of the hand-tuned window on the north-star config
+        (``results/mpc_ci_auto_tpu.json``).
+      calib_steps: length of the ``"auto"`` calibration segment.
+      return_state: also return the final solver state — the returned
+        tuple gains ``(y_final, rho_ind_final)``, which can be written
+        back to ``solver.y`` / ``solver.rho_ind`` to continue the
+        rollout later.
     """
+    stng = solver.settings
+
+    def run(ci, x0, y0, rho0, steps):
+        return _dispatch_rollout(solver, prob, x0, steps, solve_max_iter,
+                                 kernel, ci, y0, rho0)
+
+    if check_interval == "auto":
+        out = _auto_ci_rollout(run, stng, x_init, n_steps, calib_steps,
+                               solver.y, solver.rho_ind,
+                               solve_max_iter or stng.max_iter)
+    else:
+        ci = (stng.check_interval if check_interval is None
+              else int(check_interval))
+        out = run(ci, x_init, solver.y, solver.rho_ind, n_steps)
+    return out if return_state else out[:3]
+
+
+def _auto_ci_rollout(run, stng, x_init, n_steps, calib_steps, y0, rho0,
+                     max_iter):
+    """Shared ``check_interval="auto"`` driver: ci=1 calibration segment,
+    window sizing, tuned continuation, stitched trajectory."""
+    calib = max(1, min(int(calib_steps), int(n_steps)))
+    st1, u1, it1, y_f, r_f = run(1, x_init, y0, rho0, calib)
+    it_host = np.asarray(jax.device_get(it1))
+    ci = auto_check_interval(it_host, stng.check_interval, max_iter)
+    if n_steps <= calib:
+        return st1, u1, it1, y_f, r_f
+    st2, u2, it2, y2, r2 = run(ci, st1[-1], y_f, r_f, n_steps - calib)
+    return (jnp.concatenate([st1, st2[1:]], axis=0),
+            jnp.concatenate([u1, u2], axis=0),
+            jnp.concatenate([it1, it2], axis=0), y2, r2)
+
+
+def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
+                      kernel, ci, y0, rho_ind0):
+    """Single-segment rollout dispatch (loop vs fused kernel) with an
+    explicit check window and start state; returns
+    ``(states, controls, iters, y_final, rho_ind_final)``."""
     stng = solver.settings
     dtype = stng.precision_dtype
     cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
@@ -484,7 +564,8 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
                 "+ residual operator that fit VMEM")
         if stream is not None:
             return _kernel_rollout(solver, prob, x_init, n_steps,
-                                   solve_max_iter, stream)
+                                   solve_max_iter, stream, ci, y0,
+                                   rho_ind0)
     bias_c = M_hi = M_lo = None
     if B64 is not None:
         bias_c, M_hi, M_lo = _affine_bias_maps(
@@ -497,13 +578,13 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
         cst(sc.D[:nu]),
-        solver.y, solver.rho_ind,
-        cst(np.asarray(x_init, np.float64).reshape(nxp)),
+        y0, rho_ind0,
+        jnp.asarray(x_init, dtype=dtype).reshape(nxp),
         solver._W_hi, solver._rho_eff, bias_c, M_hi, M_lo,
         solver.qp_dev.w_pri, solver.qp_dev.w_dua,
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
         n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
-        check_interval=stng.check_interval,
+        check_interval=ci,
         adaptive_rho=stng.adaptive_rho,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
@@ -515,7 +596,8 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
 
 
 def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
-                    solve_max_iter, stream_bank: bool):
+                    solve_max_iter, stream_bank: bool,
+                    ci: Optional[int] = None, y0=None, rho_ind0=None):
     """Host prep for the whole-solve-kernel rollout (see
     ``_rollout_kernel_impl``): builds the residual operator, the
     wd-weighted g maps, and the transposed lane-padded affine-bias
@@ -554,12 +636,14 @@ def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
         M_res, cst(M_aff), cst(wd * g0_s), cst(gl_map),
         cst(sc.E * prob.l0), cst(sc.E * prob.u0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
-        cst(sc.D[:nu]), solver.y, solver.rho_ind,
-        cst(np.asarray(x_init, np.float64).reshape(npl)),
+        cst(sc.D[:nu]),
+        solver.y if y0 is None else y0,
+        solver.rho_ind if rho_ind0 is None else rho_ind0,
+        jnp.asarray(x_init, dtype=dtype).reshape(npl),
         nx_qp=solver.nx, nc=solver.nc, nu=nu, nxp=nxp, ncp=ncp,
         npl_pad=npl_pad, Dp=solver.Dp, n_steps=n_steps,
         max_iter=solve_max_iter or stng.max_iter,
-        check_interval=stng.check_interval,
+        check_interval=stng.check_interval if ci is None else int(ci),
         adaptive_rho=stng.adaptive_rho,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
@@ -625,9 +709,9 @@ def _rollout_kernel_impl(Wt_bank, bias_c, rhos, M_res, M_aff, g0w, gl_map,
                                       stats[0].astype(jnp.int32))
 
     carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
-    _, (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
-                                    length=n_steps)
-    return jnp.concatenate([x0[None], xs], axis=0), us, its
+    (y_f, rho_f, _), (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
+                                                  length=n_steps)
+    return jnp.concatenate([x0[None], xs], axis=0), us, its, y_f, rho_f
 
 
 _rollout_kernel_jit = jax.jit(
@@ -791,9 +875,9 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
         return (res.Y, res.rho_ind, X_next), (X_next, U, res.n_iter_total)
 
     carry0 = (Y0, jnp.asarray(rho_ind0, jnp.int32), X0)
-    _, (Xs, Us, its) = jax.lax.scan(ctrl_step, carry0, noise,
-                                    length=n_steps)
-    return jnp.concatenate([X0[None], Xs], axis=0), Us, its
+    (Y_f, rho_f, _), (Xs, Us, its) = jax.lax.scan(ctrl_step, carry0, noise,
+                                                  length=n_steps)
+    return jnp.concatenate([X0[None], Xs], axis=0), Us, its, Y_f, rho_f
 
 
 _scenario_jit = jax.jit(
@@ -807,7 +891,9 @@ _scenario_jit = jax.jit(
 
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
                           n_steps: int, noise=None,
-                          solve_max_iter: Optional[int] = None):
+                          solve_max_iter: Optional[int] = None,
+                          check_interval=None, calib_steps: int = 8,
+                          return_state: bool = False):
     """Closed-loop SCENARIO MPC: B plants under one shared condensed
     controller, the whole ensemble as ONE compiled ``lax.scan``.
 
@@ -825,6 +911,12 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
       prob: the ``CondensedMPC`` maps (shared across scenarios).
       X_init: (B, nx_plant) initial plant states.
       n_steps: number of control steps (static).
+      check_interval: ``None`` (settings) / int override / ``"auto"`` —
+        calibrate the window from the first ``calib_steps`` steps run at
+        ci=1, exactly like ``mpc_rollout_scan(check_interval="auto")``
+        (the per-step iteration signal is the ensemble's collective
+        ``n_iter_total``, so the window serves the SLOWEST scenario).
+      return_state: also return ``(Y_final, rho_ind_final)``.
 
     Returns ``(states (T+1, B, nx), controls (T, B, nu), iters (T,))``.
     """
@@ -848,6 +940,8 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         noise = jnp.zeros((n_steps, B_n, X0.shape[1]), dtype=dtype)
     else:
         noise = cst(noise)
+        if noise.shape[0] != n_steps:
+            raise ValueError(f"noise must be (T={n_steps}, B, nx)")
     # Reconstruct the fp64 B master from the device hi/lo pair (exact to
     # O(ulp²)) for the state-affine bias precompute.
     from ..parallel import host_replicated
@@ -856,23 +950,41 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         B64 = B64 + np.asarray(host_replicated(m._B_lo), np.float64)
     bias_c, M_hi, M_lo = _affine_bias_maps(
         B64, gD * prob.g0, gD[:, None] * prob.g_x0, dtype)
-    return _scenario_jit(
-        m.Wt_bank, m.B_bank, m.rhos, m.H_dev, m.A_dev,
-        cst(gD * prob.g0), cst(gD[:, None] * prob.g_x0),
-        cst(sc.E * prob.l0), cst(sc.E * prob.u0),
-        cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
-        cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
-        cst(sc.D[:nu]),
-        noise, m.Y, m.rho_ind, X0, m._Wt_hi, m._rho_eff,
-        bias_c, M_hi, M_lo, m._w_pri, m._w_dua,
-        nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=n_steps,
-        max_iter=solve_max_iter or stng.max_iter,
-        check_interval=stng.check_interval,
-        adaptive_rho=stng.adaptive_rho,
-        adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
-        eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
-        rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
-        iter_precision=stng.iter_precision, refine=bool(stng.refine),
-        use_pallas=bool(m._use_pallas),
-        adaptive_rho_interval=int(stng.adaptive_rho_interval),
-        alpha=float(stng.alpha))
+    # noise rows are consumed segment-by-segment in "auto" mode, so the
+    # dispatch closure slices them by a running offset.
+    n_used = [0]
+
+    def run(ci, X0_seg, Y0, rho0, steps):
+        w = jax.lax.slice_in_dim(noise, n_used[0], n_used[0] + steps,
+                                 axis=0)
+        n_used[0] += steps
+        return _scenario_jit(
+            m.Wt_bank, m.B_bank, m.rhos, m.H_dev, m.A_dev,
+            cst(gD * prob.g0), cst(gD[:, None] * prob.g_x0),
+            cst(sc.E * prob.l0), cst(sc.E * prob.u0),
+            cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
+            cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
+            cst(sc.D[:nu]),
+            w, Y0, rho0, jnp.asarray(X0_seg, dtype=dtype), m._Wt_hi,
+            m._rho_eff, bias_c, M_hi, M_lo, m._w_pri, m._w_dua,
+            nx_qp=m.nx, nc=m.nc, nu=nu, n_steps=steps,
+            max_iter=solve_max_iter or stng.max_iter,
+            check_interval=ci,
+            adaptive_rho=stng.adaptive_rho,
+            adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+            eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+            rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
+            iter_precision=stng.iter_precision, refine=bool(stng.refine),
+            use_pallas=bool(m._use_pallas),
+            adaptive_rho_interval=int(stng.adaptive_rho_interval),
+            alpha=float(stng.alpha))
+
+    if check_interval == "auto":
+        out = _auto_ci_rollout(run, stng, X0, n_steps, calib_steps,
+                               m.Y, m.rho_ind,
+                               solve_max_iter or stng.max_iter)
+    else:
+        ci = (stng.check_interval if check_interval is None
+              else int(check_interval))
+        out = run(ci, X0, m.Y, m.rho_ind, n_steps)
+    return out if return_state else out[:3]

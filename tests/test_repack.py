@@ -200,6 +200,31 @@ def test_repack_validation():
     assert m.tail_policy == "repack"
 
 
+def test_repack_survives_checkpoint(tmp_path):
+    """tail_policy and its schedule carry through save/load."""
+    from reluqp_tpu.utils.checkpoint import (load_batched_solver,
+                                             save_batched_solver)
+    H, G, A, L, U = _batch(B=64)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, eps_abs=1e-4, tail_policy="repack")
+    p = str(tmp_path / "repack.npz")
+    save_batched_solver(m, p)
+    m2 = load_batched_solver(p)
+    assert m2.tail_policy == "repack"
+    assert m2._repack_sched == m._repack_sched
+    res = m2.solve()
+    assert res.info.status.all()
+    # pre-tail_policy checkpoints load as dense
+    import numpy as _np
+    with _np.load(p, allow_pickle=False) as z:
+        legacy = {k: z[k] for k in z.files if k != "tail_policy"}
+    p_old = str(tmp_path / "legacy.npz")
+    _np.savez_compressed(p_old, **legacy)
+    m3 = load_batched_solver(p_old)
+    assert m3.tail_policy == "dense"
+    assert m3.solve().info.status.all()
+
+
 def test_repack_budget_exhaustion():
     """Rows that never converge report max_iter like the dense loop."""
     H, G, A, L, U = _batch(B=32)
