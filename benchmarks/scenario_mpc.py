@@ -40,6 +40,10 @@ def main(argv=None):
                         "step converges at its first check, so this IS "
                         "the per-step iteration count (see bench.py and "
                         "results/mpc_check_interval_ab_tpu.json)")
+    p.add_argument("--rollout-ci", default=None,
+                   help="per-rollout window override: an int or 'auto' "
+                        "(self-calibrating; scenario_rollout_scan"
+                        "(check_interval=...))")
     p.add_argument("--repeats", type=int, default=1,
                    help="independent measurements per batch size; the "
                         "record carries the max (congestion noise is "
@@ -88,9 +92,17 @@ def main(argv=None):
         T_lo = max(args.steps // 5, min(20, args.steps // 2))
         T_hi = args.steps
 
+        rollout_ci = args.rollout_ci
+        if rollout_ci is not None and rollout_ci != "auto":
+            rollout_ci = int(rollout_ci)
+
         def rollout_s(X, n):
+            # auto mode's calibration segment is a fixed per-rollout cost
+            # paid by both chain lengths — the two-point difference is
+            # the tuned steady-state rate (see benchmarks/mpc_rate.py)
             t0 = time.perf_counter()
-            Xs, _, _ = scenario_rollout_scan(m, prob, X, n)
+            Xs, _, _ = scenario_rollout_scan(m, prob, X, n,
+                                             check_interval=rollout_ci)
             float(jax.device_get(Xs[-1].sum()))
             return time.perf_counter() - t0, Xs
 

@@ -20,6 +20,7 @@ Layout contract (prepared by the solver at setup):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +110,12 @@ _PREC = {
     "highest": lax.Precision.HIGHEST,
     "default": lax.Precision.DEFAULT,
 }
+
+# Opt-out for the batched kernel's unrolled check windows (see
+# pallas_batched_chunk_runner). Read ONCE at import: jit caches do not
+# key on environment variables, so a mid-process flip would silently
+# reuse stale executables.
+_BATCH_UNROLL = os.environ.get("RELUQP_BATCH_UNROLL", "1") != "0"
 
 
 def _kernel(n_steps, acc_dtype, unroll, precision, rho_ref, wt_ref, b_ref,
@@ -291,7 +298,8 @@ def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
     """
     b = lax.dynamic_index_in_dim(bias_all, rho_ind, 0, keepdims=False)
     rows = Y.shape[0]
-    cap = batch_tile_rows(Y.shape[1], Y.dtype,
+    dp = Y.shape[1]
+    cap = batch_tile_rows(dp, Y.dtype,
                           iter_precision=iter_precision)
     if rows <= cap:
         rows_tile = rows             # whole batch in one tile
@@ -305,8 +313,16 @@ def pallas_batched_chunk_runner(Wt_bank, bias_all, rho_ind, lo, hi, Y,
             rows_tile -= 8
         if rows % rows_tile:
             rows_tile = rows
+    # Straight-line (fully unrolled) check windows beat the in-kernel
+    # while_loop by 5-9% per iteration on the chip (12.7→11.6 µs/it at
+    # Dp=128, 18.3→17.4 at Dp=256 — results/batched_unroll_ab_tpu.json)
+    # at a several-fold one-time Mosaic compile cost. Default-on inside
+    # the MEASURED envelope only; RELUQP_BATCH_UNROLL=0 (read at import:
+    # the jit cache does not key on env vars) restores the loop form
+    # (e.g. for compile-time-sensitive workflows).
+    unroll = dp <= 256 and n_steps <= 32 and _BATCH_UNROLL
     return fused_chunk_batched(Wt_bank, b, lo, hi, Y, rho_ind, n_steps,
-                               rows_tile, iter_precision)
+                               rows_tile, iter_precision, unroll=unroll)
 
 
 def hetero_tile_rows(dp: int, dtype, budget: int = 8 * 1024 * 1024,
