@@ -197,6 +197,45 @@ def compute_objective(H, g, x):
     return 0.5 * jnp.dot(x, H @ x) + jnp.dot(g, x)
 
 
+def _lane_pad(n: int) -> int:
+    return -(-max(n, 128) // 128) * 128
+
+
+def compute_residuals_op(M_res, g_row, y, nxp: int, ncp: int, rho,
+                         rho_min: float, rho_max: float):
+    """One-matmul residuals: ``r = y @ M_res`` instead of three matvecs.
+
+    ``M_res`` is the stacked residual operator built by
+    ``ops.solve_kernel.build_residual_operator`` (segments
+    [w⊙Ax | w⊙z | w⊙Hx | w⊙Aᵀλ], lane-padded; unscale weights folded
+    into the columns in fp64 at build time). At MPC sizes the three
+    sequential matvecs of ``compute_residuals`` are each latency-bound,
+    so the single wider matmul is ~3× cheaper per check despite the
+    zero-block FLOP inflation — measured on the 78 kHz warm-rollout
+    headline (docs/perf_notes.md). ``g_row``: (nxp,) lane-padded
+    ``w_dua ⊙ g``. Valid for the alpha=1 parametrization only (the last
+    y slot must BE λ; alpha≠1 reconstructs λ and keeps the matvec path).
+    """
+    hp = lax.Precision.HIGHEST
+    r = jnp.matmul(y[None, :], M_res, precision=hp)[0]
+    ax = r[0:ncp]
+    z = r[ncp:2 * ncp]
+    hx = r[2 * ncp:2 * ncp + nxp]
+    atl = r[2 * ncp + nxp:2 * ncp + 2 * nxp]
+    pri = jnp.max(jnp.abs(ax - z))
+    dua = jnp.max(jnp.abs(hx + atl + g_row))
+    scale_p = jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z)))
+    scale_d = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(hx)), jnp.max(jnp.abs(atl))),
+        jnp.max(jnp.abs(g_row)),
+    )
+    num = pri / jnp.maximum(scale_p, _TINY)
+    den = dua / jnp.maximum(scale_d, _TINY)
+    ratio = jnp.sqrt(num / jnp.maximum(den, _TINY))
+    rho_new = jnp.clip(rho * ratio, rho_min, rho_max)
+    return pri, dua, rho_new
+
+
 def rho_ladder_step(rhos, rho_ind, rho_est, tol, jump: bool, done=None):
     """One ρ-ladder index update, shared by every XLA-level solve loop.
 
@@ -310,7 +349,7 @@ def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
     ),
 )
 def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
-               rho_eff=None, bias_lazy=None, *,
+               rho_eff=None, bias_lazy=None, M_res=None, *,
                nx: int, nc: int, max_iter: int, check_interval: int,
                adaptive_rho: bool, adaptive_rho_tolerance: float,
                eps_abs: float, rho_min: float, rho_max: float,
@@ -361,6 +400,13 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
     ``rho_eff`` (the (N_rho, nc) per-rung effective per-row ρ:
     ``min(ρ_k · eq_boost, rho_cap)`` — ``core.bank.effective_rho_ladder``),
     and a rung switch re-encodes p elementwise by ρ⃗_old/ρ⃗_new.
+
+    ``M_res``: optional stacked residual operator
+    (``ops.solve_kernel.build_residual_operator``, alpha=1 layout) — the
+    per-check residual reduction becomes ONE ``y @ M_res`` matmul
+    instead of three sequential matvecs (``compute_residuals_op``);
+    ``g_row`` is derived here from ``qp.g``/``qp.w_dua``, so ``update(g)``
+    and the MPC rollout's per-step g refresh need no operator rebuild.
     """
     dtype = y0.dtype
     eps = jnp.asarray(eps_abs, dtype=dtype)
@@ -384,7 +430,22 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
         rv = lax.dynamic_index_in_dim(rho_eff, rho_ind, 0, keepdims=False)
         return rv * (last - z)
 
+    if M_res is not None:
+        if alpha != 1.0:
+            raise ValueError("M_res (stacked residual operator) requires "
+                             "alpha=1 — the operator reads the λ slot "
+                             "directly")
+        nxp, ncp = _lane_pad(nx), _lane_pad(nc)
+        if M_res.shape != (y0.shape[0], 2 * ncp + 2 * nxp):
+            raise ValueError(f"M_res shape {M_res.shape} does not match "
+                             f"(Dp={y0.shape[0]}, R={2 * ncp + 2 * nxp})")
+        gv = qp.g if qp.w_dua is None else qp.w_dua * qp.g
+        g_row = jnp.zeros((nxp,), dtype).at[:nx].set(gv.astype(dtype))
+
     def check(y, rho, rho_ind):
+        if M_res is not None:
+            return compute_residuals_op(M_res, g_row, y, nxp, ncp, rho,
+                                        rho_min, rho_max)
         x, z, _ = split(y)
         return compute_residuals(qp.H, qp.A, qp.g, x, z,
                                  lam_of(y, rho_ind), rho, rho_min, rho_max,

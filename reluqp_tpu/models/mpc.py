@@ -341,7 +341,7 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                   Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None,
                   rho_eff=None, bias_c=None, M_hi=None, M_lo=None,
-                  w_pri=None, w_dua=None, *,
+                  w_pri=None, w_dua=None, M_res=None, *,
                   nx_qp: int,
                   nc: int, nu: int, Dp: int, n_steps: int, max_iter: int,
                   check_interval: int, adaptive_rho: bool,
@@ -405,6 +405,7 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                       w_pri=w_pri, w_dua=w_dua)
         res = solve_loop(
             bank, qp, y, rho_ind, rhos[rho_ind], W_hi, rho_eff, bias_lazy,
+            M_res,
             nx=nx_qp, nc=nc, max_iter=max_iter,
             check_interval=check_interval, adaptive_rho=adaptive_rho,
             adaptive_rho_tolerance=adaptive_rho_tolerance, eps_abs=eps_abs,
@@ -582,6 +583,7 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
         jnp.asarray(x_init, dtype=dtype).reshape(nxp),
         solver._W_hi, solver._rho_eff, bias_c, M_hi, M_lo,
         solver.qp_dev.w_pri, solver.qp_dev.w_dua,
+        solver._M_res if getattr(solver, "_res_op_loop", False) else None,
         nx_qp=solver.nx, nc=solver.nc, nu=nu, Dp=solver.Dp,
         n_steps=n_steps, max_iter=solve_max_iter or stng.max_iter,
         check_interval=ci,

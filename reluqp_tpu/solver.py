@@ -324,9 +324,19 @@ class ReLU_QP:
         if stng.alpha != 1.0:
             self._rho_eff = put(jnp.asarray(self._rho_eff_np, dtype=dtype))
 
-        # Whole-solve kernel operands (residual operator + padded g row;
-        # alpha/infeasibility add their selector/certificate operands).
-        if self._fused:
+        # Stacked residual operator: consumed by the whole-solve kernel,
+        # AND — on TPU, alpha=1, no mesh — by the XLA/pallas loop's
+        # one-matmul residual check (``compute_residuals_op``: the three
+        # sequential residual matvecs are each latency-bound at MPC
+        # sizes, so folding them into one wider matmul cuts the warm
+        # check cost ~3×; measured on the 78 kHz rollout headline,
+        # docs/perf_notes.md). CPU keeps the matvec path — identical
+        # numerics to the TP loop, whose lockstep tests compare against
+        # the single-device solver bit-for-bit.
+        self._M_res = self._g_row = None
+        self._res_op_loop = False
+        if self._fused or (stng.alpha == 1.0 and mesh is None
+                           and _is_tpu(stng.device)):
             M_res, g_row, nxp, ncp = build_residual_operator(
                 self._H_s, self._A_s, self._g_s, self.Dp, dtype,
                 w_pri=w_pri_np, w_dua=w_dua_np,
@@ -334,6 +344,8 @@ class ReLU_QP:
             self._M_res = put(M_res)
             self._g_row = put(g_row)
             self._nxp, self._ncp = nxp, ncp
+            self._res_op_loop = not self._fused and stng.alpha == 1.0
+        if self._fused:
             self._alpha_op = None
             if stng.alpha != 1.0:
                 self._alpha_op = jax.device_put(build_alpha_operand(
@@ -619,7 +631,8 @@ class ReLU_QP:
         else:
             res = solve_loop(
                 self.bank, self.qp_dev, self.y, self.rho_ind, rho0,
-                self._W_hi, self._rho_eff,
+                self._W_hi, self._rho_eff, None,
+                self._M_res if self._res_op_loop else None,
                 chunk_runner=self._chunk_runner, **loop_kw)
 
         self.y = res.y

@@ -129,6 +129,8 @@ def load_solver(path: str, device=None):
     # Restored solvers run the chunked path; the whole-solve-kernel
     # operands are rebuilt only by a fresh setup().
     solver._fused = False
+    solver._M_res = solver._g_row = None
+    solver._res_op_loop = False
 
     put = lambda a: jax.device_put(jnp.asarray(a, dtype=dtype), device)
     w_dtype = jnp.bfloat16 if stng.iter_precision == "bf16" else dtype
@@ -156,6 +158,17 @@ def load_solver(path: str, device=None):
         w_pri=None if wp is None else put(wp),
         w_dua=None if wd is None else put(wd))
     solver._w_pri_np, solver._w_dua_np = wp, wd
+    # One-matmul residual operator for the loop's check (derived state,
+    # same gate as setup: TPU + alpha=1; see solver.py).
+    if stng.alpha == 1.0 and _is_tpu(device):
+        from ..ops.solve_kernel import build_residual_operator
+        M_res, g_row, nxp, ncp = build_residual_operator(
+            solver._H_s, solver._A_s, solver._g_s, solver.Dp, dtype,
+            w_pri=wp, w_dua=wd)
+        solver._M_res = jax.device_put(M_res, device)
+        solver._g_row = jax.device_put(g_row, device)
+        solver._nxp, solver._ncp = nxp, ncp
+        solver._res_op_loop = True
     solver._unscale_x = put(solver.scal.D)
     solver._unscale_z = put(solver.scal.Einv)
     solver._unscale_lam = put(solver.scal.E * solver.scal.cinv)
