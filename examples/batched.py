@@ -39,6 +39,19 @@ def main(B=64, nx=40, shard=True):
           f"run {res.info.run_time*1e3:.1f} ms)")
     print("objectives[:5] =", m.objective()[:5])
 
+    # Straggler-dominated batches: tail_policy="repack" compacts
+    # still-open rows into halving buffers fully on device, so converged
+    # rows stop burning GEMM rows (2.4-5.5x measured on long-tail
+    # batches; keep the default "dense" for homogeneous ones —
+    # results/tail_repack_ab_tpu.json). Single-chip, shared-(H,A) only.
+    if mesh is None:
+        m2 = BatchedReLU_QP()
+        m2.setup(base.H, np.stack(G), base.A, np.stack(L), np.stack(U),
+                 eps_abs=1e-4, tail_policy="repack")
+        res2 = m2.solve()
+        print(f"repack (schedule {m2._repack_sched}): "
+              f"solved {int(res2.info.status.sum())}/{B}")
+
 
 if __name__ == "__main__":
     main()

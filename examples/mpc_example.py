@@ -36,6 +36,18 @@ def main():
                                      [2.0, 0.0], 50)
     print("final |x| (device scan):", float(np.linalg.norm(np.asarray(xs)[-1])))
 
+    # self-calibrating check window: the first 8 steps run at ci=1 to
+    # observe the warm per-step iteration need, then the window is sized
+    # so every warm step certifies at its FIRST residual check (beats a
+    # hand-tuned window on the north-star config — docs/perf_notes.md,
+    # results/mpc_ci_auto_tpu.json)
+    ctrl3 = MPC(Ad, Bd, Q, R, horizon=10, u_min=-1.0, u_max=1.0)
+    xs3, _, it3 = mpc_rollout_scan(ctrl3.solver, ctrl3.prob, [2.0, 0.0],
+                                   50, check_interval="auto")
+    print("final |x| (auto window):",
+          float(np.linalg.norm(np.asarray(xs3)[-1])),
+          " warm iters/step:", int(np.asarray(it3)[8:].max()))
+
 
 if __name__ == "__main__":
     main()
