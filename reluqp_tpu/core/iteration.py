@@ -264,7 +264,7 @@ def rho_ladder_step(rhos, rho_ind, rho_est, tol, jump: bool, done=None):
 
 def run_refined_phases(step, cond, state0, W_fast, W_high, *, refine,
                        iter_precision: str, cap_a: int, check_interval: int,
-                       metric, improved, best0):
+                       metric, improved, best0, hoist_first: bool = False):
     """Drive a chunked while-loop to completion, in two phases when a
     reduced iteration precision is refined. Shared by ``solve_loop`` and
     the batched loops so the phase policy cannot silently diverge.
@@ -295,6 +295,15 @@ def run_refined_phases(step, cond, state0, W_fast, W_high, *, refine,
             "refine phase would silently run at bf16 precision and "
             "tight tolerances would never be reached")
     if not two_phase:
+        if hoist_first:
+            # The first window ALWAYS runs (status starts RUNNING, k=0),
+            # so hoist it out of the while_loop: a warm solve that
+            # certifies at its first check then never pays the loop's
+            # carry-buffer setup at all — measured on the warm-MPC
+            # rollout where every step is exactly one window. Callers
+            # must guarantee at least one full window fits the budget
+            # (max_iter >= check_interval).
+            state0 = step(state0, check_interval, W_fast, iter_precision)
         state = lax.while_loop(
             cond, lambda s: step(s, check_interval, W_fast, iter_precision),
             state0)
@@ -345,7 +354,7 @@ def rho_update_stride(adaptive_rho_interval: int, check_interval: int) -> int:
         "adaptive_rho_tolerance", "rho_min", "rho_max",
         "chunk_runner", "verbose", "check_infeasibility", "eps_prim_inf",
         "eps_dual_inf", "rho_jump", "iter_precision", "refine",
-        "adaptive_rho_interval", "alpha",
+        "adaptive_rho_interval", "alpha", "with_obj",
     ),
 )
 def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
@@ -362,7 +371,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
                iter_precision: str = "highest",
                refine: bool = True,
                adaptive_rho_interval: int = 1,
-               alpha: float = 1.0) -> SolveResult:
+               alpha: float = 1.0,
+               with_obj: bool = True) -> SolveResult:
     """Run the solver to convergence or ``max_iter`` fully on device.
 
     Semantics match the reference loop (``reluqpth.py:214-248``): iterations
@@ -549,7 +559,8 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
         metric=lambda state: (state[4], state[5]),
         improved=lambda m, best: jnp.logical_or(m[0] < 0.97 * best[0],
                                                 m[1] < 0.97 * best[1]),
-        best0=(inf0, inf0))
+        best0=(inf0, inf0),
+        hoist_first=n_chunks >= 1)
     y, rho_ind, rho, k, pri, dua, status = out[:7]
 
     if rem > 0:
@@ -572,7 +583,11 @@ def solve_loop(bank: Bank, qp: DeviceQP, y0, rho_ind0, rho0, W_hi=None,
     status = jnp.where(status < 0, STATUS_MAX_ITER, status)
     iters = jnp.where(status != STATUS_MAX_ITER, k,
                       jnp.asarray(max_iter, jnp.int32))
-    obj = compute_objective(qp.H, qp.g, y[:nx])
+    # with_obj=False skips the objective matvec — the MPC rollout never
+    # reads obj_val, and at warm 1-window steps H@x is a visible share
+    # of the per-step cost.
+    obj = (compute_objective(qp.H, qp.g, y[:nx]) if with_obj
+           else jnp.asarray(0.0, dtype=dtype))
     return SolveResult(y=y, iters=iters, pri_res=pri, dua_res=dua,
                        rho_estimate=rho, rho_ind=rho_ind, converged=done,
                        obj_val=obj, status_code=status)

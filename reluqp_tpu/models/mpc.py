@@ -369,17 +369,23 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     hp = jax.lax.Precision.HIGHEST
     # bank.b placeholder — the loop materializes the bias lazily per rung
     b_unused = jnp.zeros((rhos.shape[0], Dp), dtype=dtype)
-    # one stacked refresh matvec per step (g and the l/u shift share x):
-    # two separate small matvecs cost two sequential op latencies inside
-    # the scan; stacking is free at trace time
-    gl_map = jnp.concatenate([g_x0, lu_x0], axis=0)
+    # ONE stacked refresh matvec per step: g, the l/u shift, the feedback
+    # term Kx, AND the plant drift Ax all consume the same x — separate
+    # small matvecs cost sequential op latencies inside the scan;
+    # stacking is free at trace time. (Kx/Ax do not depend on the solve,
+    # so computing them before it is exact.)
+    gl_map = jnp.concatenate([g_x0, lu_x0, Kg, Ad], axis=0)
     n_g = g_x0.shape[0]
+    n_lu = lu_x0.shape[0]
+    n_u = Kg.shape[0]
 
     def ctrl_step(carry, _):
         y, rho_ind, x = carry
         gs = jnp.matmul(gl_map, x, precision=hp)
         g = g0 + gs[:n_g]
-        shift = gs[n_g:]
+        shift = gs[n_g:n_g + n_lu]
+        kx = gs[n_g + n_lu:n_g + n_lu + n_u]
+        ax = gs[n_g + n_lu + n_u:]
         lo = pad_lo.at[nx_qp:nx_qp + nc].set(l0 + shift)
         hi = pad_hi.at[nx_qp:nx_qp + nc].set(u0_ + shift)
         if M_hi is None:
@@ -412,11 +418,10 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
             rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner,
             iter_precision=iter_precision, refine=refine,
             rho_jump=rho_jump, adaptive_rho_interval=adaptive_rho_interval,
-            alpha=alpha)
+            alpha=alpha, with_obj=False)
         v0 = res.y[:nu] * v0_scale
-        u = -jnp.matmul(Kg, x, precision=hp) + v0
-        x_next = (jnp.matmul(Ad, x, precision=hp)
-                  + jnp.matmul(Bd, u, precision=hp))
+        u = -kx + v0
+        x_next = ax + jnp.matmul(Bd, u, precision=hp)
         return (res.y, res.rho_ind, x_next), (x_next, u, res.iters)
 
     carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
