@@ -39,16 +39,19 @@ def main():
     Ad, Bd = random_linear_system(NX, NU, seed=0, spectral_radius=0.99)
     Q = np.eye(NX)
     R = 0.1 * np.eye(NU)
-    # check_interval="auto" (round-4): the rollout SELF-CALIBRATES its
-    # residual-check window — the first 8 steps run at ci=1 (exact
-    # per-step iteration needs), then the window is sized so every warm
-    # step certifies at its first check. On this config calibration
-    # finds the warm need is exactly 1 iteration/step, beating the
-    # round-3 hand-tuned ci=2 by ~21% (77.0k vs 63.9k Hz same-session,
-    # results/mpc_ci_auto_tpu.json; A/B history over {1..25}:
-    # results/mpc_check_interval_ab_tpu.json). No hand-tuned constant:
-    # the settings keep the reference-parity default (25) and the auto
-    # mode is the product lever (mpc_rollout_scan(check_interval="auto")).
+    # Round-4 levers, both product features (no hand-tuned constants):
+    # - check_interval="auto": the rollout SELF-CALIBRATES its
+    #   residual-check window — the first 8 steps run at ci=1 (exact
+    #   per-step needs), then the window is sized so every warm step
+    #   certifies at its first check (beats the round-3 hand-tuned ci=2
+    #   by ~21%: results/mpc_ci_auto_tpu.json).
+    # - kernel="scan": the ENTIRE rollout is ONE Pallas launch — the
+    #   grid walks control steps, VMEM scratch carries solver/plant
+    #   state, and every per-step refresh is an in-kernel matmul
+    #   (ops/solve_kernel.full_rollout). Kills the ~10 µs/step of XLA
+    #   scan machinery that capped the loop path at ~82 kHz: measured
+    #   7.7× (627.6k Hz, 1.59 µs/step, bit-matching trajectories —
+    #   results/mpc_scan_kernel_tpu.json).
     ctrl = MPC(Ad, Bd, Q, R, horizon=HORIZON,
                u_min=-1.0, u_max=1.0, prestabilize=True,
                eps_abs=1e-3, max_iter=2000)
@@ -65,6 +68,7 @@ def main():
         two-point difference below measures the tuned steady state."""
         t0 = time.perf_counter()
         xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, T,
+                                         kernel="scan",
                                          check_interval="auto")
         float(jax.device_get(xs[-1].sum()))
         return time.perf_counter() - t0, xs, iters

@@ -559,8 +559,18 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
     sc = solver.scal
     gD = sc.c * sc.D
     B64 = getattr(solver, "_B_np", None)
-    if kernel not in ("loop", "fused", "auto"):
-        raise ValueError("kernel must be 'loop', 'fused' or 'auto'")
+    if kernel not in ("loop", "fused", "auto", "scan"):
+        raise ValueError("kernel must be 'loop', 'fused', 'scan' or "
+                         "'auto'")
+    if kernel == "scan":
+        if not _scan_rollout_eligible(solver, ci):
+            raise ValueError(
+                "kernel='scan' rollout needs a TPU device, alpha=1, "
+                "iter_precision='highest', no infeasibility checks, the "
+                "fp64 bias masters, max_iter a multiple of the check "
+                "window, and operands that fit VMEM")
+        return _scan_rollout(solver, prob, x_init, n_steps,
+                             solve_max_iter, ci, y0, rho_ind0)
     if kernel != "loop":
         stream = _kernel_rollout_eligible(solver)
         if stream is None and kernel == "fused":
@@ -762,6 +772,114 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
             <= _PALLAS_VMEM_BUDGET:
         return True
     return None
+
+
+def _scan_rollout_eligible(solver, ci=None) -> bool:
+    """Gate for the whole-ROLLOUT kernel (``full_rollout``): the
+    whole-solve eligibility (streamed rung + affine bias fits VMEM)
+    plus: highest-only iteration (the scan kernel carries no two-phase
+    machinery) and a check window that divides ``max_iter``."""
+    stng = solver.settings
+    if stng.iter_precision != "highest":
+        return False
+    ci_eff = stng.check_interval if ci is None else int(ci)
+    if stng.max_iter < ci_eff:
+        return False   # not even one full window fits the budget
+    # extra VMEM beyond full_solve's streamed+affine model: the refresh
+    # operator, the z-scatter, the v0 selector, Bdᵀ and the carried rows
+    # are all small next to the W scratch (~0.5-1.5 MB at Dp<=640) —
+    # the shared gate is the binding one.
+    return _kernel_rollout_eligible(solver) is not None
+
+
+def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
+                  solve_max_iter, ci, y0, rho_ind0):
+    """Host prep for the whole-rollout kernel (``full_rollout``): every
+    per-step refresh becomes an in-kernel matmul against precomputed
+    operators — [wd·Ḡx | Ē·LUx | Kx | Ax] from one stacked GL operator,
+    bounds via a z-segment scatter matrix, v0 extraction (unscale folded
+    in) via a selector, and the plant step via Bdᵀ."""
+    from ..ops.fused_step import LANE, round_up
+    from ..ops.solve_kernel import build_residual_operator, full_rollout
+
+    stng = solver.settings
+    dtype = stng.precision_dtype
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
+    nu = prob.K.shape[0]
+    npl = prob.K.shape[1]
+    nx_qp, nc, Dp = solver.nx, solver.nc, solver.Dp
+    sc = solver.scal
+    gD = sc.c * sc.D
+    g0_s = gD * prob.g0
+    gx0_s = gD[:, None] * prob.g_x0
+    wd = np.ones(nx_qp) if solver._w_dua_np is None \
+        else np.asarray(solver._w_dua_np, np.float64)
+    M_res, _, nxp, ncp = build_residual_operator(
+        solver._H_s, solver._A_s, solver._g_s, Dp, dtype,
+        w_pri=solver._w_pri_np, w_dua=solver._w_dua_np)
+    c64, M64 = _affine_bias_fp64(B64 := solver._B_np, g0_s, gx0_s)
+    nplp = round_up(max(npl, LANE), LANE)
+    nup = round_up(max(nu, LANE), LANE)
+    n_rho = B64.shape[0]
+    M_aff = np.zeros((n_rho, nplp, Dp))
+    M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
+
+    # stacked refresh operator: x @ GL = [wd·Ḡx | Ē·LUx | Kx | Ax]
+    R2 = nxp + ncp + nup + nplp
+    GL = np.zeros((nplp, R2))
+    GL[:npl, :nx_qp] = (wd[:, None] * gx0_s).T
+    GL[:npl, nxp:nxp + nc] = (sc.E[:, None] * prob.lu_x0).T
+    GL[:npl, nxp + ncp:nxp + ncp + nu] = prob.K.T
+    GL[:npl, nxp + ncp + nup:nxp + ncp + nup + npl] = \
+        solver_plant_A(prob).T
+    g0w = np.zeros((1, nxp))
+    g0w[0, :nx_qp] = wd * g0_s
+    lo0 = np.full((1, Dp), -np.inf)
+    hi0 = np.full((1, Dp), np.inf)
+    lo0[0, nx_qp:nx_qp + nc] = sc.E * prob.l0
+    hi0[0, nx_qp:nx_qp + nc] = sc.E * prob.u0
+    S_z = np.zeros((ncp, Dp))
+    S_z[np.arange(nc), nx_qp + np.arange(nc)] = 1.0
+    S_u = np.zeros((Dp, nup))
+    S_u[np.arange(nu), np.arange(nu)] = np.asarray(sc.D[:nu], np.float64)
+    Bdw = np.zeros((nup, nplp))
+    Bdw[:nu, :npl] = solver_plant_B(prob).T
+    x0p = np.zeros((1, nplp))
+    x0p[0, :npl] = np.asarray(x_init, np.float64).reshape(npl) \
+        if not isinstance(x_init, jax.Array) else 0.0
+
+    y0 = solver.y if y0 is None else y0
+    rho_ind0 = solver.rho_ind if rho_ind0 is None else rho_ind0
+    if isinstance(x_init, jax.Array):
+        # traced start state (auto-ci continuation segment)
+        x0_dev = jnp.zeros((1, nplp), dtype=dtype).at[0, :npl].set(
+            jnp.asarray(x_init, dtype=dtype).reshape(npl))
+    else:
+        x0_dev = cst(x0p)
+
+    ci_eff = stng.check_interval if ci is None else int(ci)
+    # the kernel runs whole windows only: round the budget down to a
+    # multiple of the window (the XLA loop's rem-tail is a partial
+    # window at max_iter%ci — at most ci-1 extra iterations, which only
+    # matters for max_iter-bound solves)
+    mi = max(((solve_max_iter or stng.max_iter) // ci_eff), 1) * ci_eff
+    xs, us, stats, y_f = full_rollout(
+        solver.bank.W, cst(np.asarray(c64)), cst(M_aff),
+        solver.bank.rhos, M_res, cst(g0w), cst(GL), cst(lo0), cst(hi0),
+        cst(S_z), cst(S_u), cst(Bdw), y0, x0_dev, rho_ind0,
+        nx=nx_qp, nc=nc, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp,
+        n_steps=n_steps, max_iter=mi,
+        check_interval=ci_eff,
+        adaptive_rho=stng.adaptive_rho,
+        adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+        eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+        rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
+        adaptive_rho_interval=int(stng.adaptive_rho_interval))
+    x0_row = x0_dev[:, :npl]
+    states = jnp.concatenate([x0_row, xs[:, :npl]], axis=0)
+    iters = stats[:, 0].astype(jnp.int32)
+    rho_f = stats[-1, 4].astype(jnp.int32)
+    return states, us[:, :nu], iters, y_f, rho_f
 
 
 def _affine_bias_fp64(B64, g0_s, gx0_s):

@@ -792,3 +792,323 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
         ),
     )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), *args)
     return y.reshape(-1), stats.reshape(-1)
+
+
+# --------------------------------------------------------------------- #
+# whole-ROLLOUT kernel: T control steps in ONE launch                    #
+# --------------------------------------------------------------------- #
+
+def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
+                         check_interval, adaptive_rho, tol, rho_min,
+                         rho_max, rho_jump, rho_stride, unroll,
+                         # refs: prefetch, inputs, outputs, scratch
+                         rho0_ref, wt_ref, bias_c_ref, maff_ref, rhos_ref,
+                         eps_ref, mres_ref, g0w_ref, gl_ref, lo0_ref,
+                         hi0_ref, sz_ref, su_ref, bdw_ref, y0_ref, x0_ref,
+                         xs_ref, us_ref, stats_ref, yout_ref,
+                         y_scr, x_scr, u_scr, st_scr, sm_scr, w_scr,
+                         w_sem, m_scr, m_sem, out_sem):
+    """One grid cell = one CONTROL STEP of the warm MPC rollout.
+
+    The Pallas grid runs its cells sequentially on the core, so VMEM/SMEM
+    scratch carries the solver state (y), the plant state (x), the ladder
+    index, and the resident-rung tag across steps — the per-step XLA scan
+    machinery (~10 µs/step of loop/carry overhead measured at the 81 kHz
+    headline, docs/perf_notes.md) disappears entirely. Per cell:
+
+    1. ONE refresh matmul ``x @ GL`` produces the g refresh (wd-weighted,
+       for the residual operator), the bound shift, the feedback term Kx,
+       and the plant drift Ax (segments [wd·Ḡx | Ē·LUx | Kx | Ax]).
+    2. Bounds rebuild as ``lo0/hi0 + shift @ S_z`` (S_z scatters the nc
+       shift lanes into the unaligned z segment — a matmul instead of an
+       unaligned lane write).
+    3. The warm-started solve runs the full_solve machinery (streamed W
+       rung + streamed affine-bias row, one-matmul residuals, ladder
+       walk, convergence exit) to eps_abs.
+    4. ``v0 = y @ S_u`` (first-stage variable, unscale folded in),
+       ``u = v0 − Kx``, ``x⁺ = Ax + u @ Bdᵀ``; per-step outputs stream
+       to their (1, ·) blocks.
+
+    Restrictions vs ``full_solve`` (enforced by the wrapper): alpha=1,
+    iter_precision="highest" (no two-phase refine), no infeasibility
+    certificates, no verbose, ``max_iter % check_interval == 0``.
+    Citing the reference: this fuses the whole receding-horizon cycle
+    the reference drives from Python per step
+    (``ReLU-QP-py/reluqp/reluqpth.py:159-181`` update + ``:201-249``
+    solve) into one device launch for the entire horizon of steps.
+    """
+    dtype = y0_ref.dtype
+    tol = np.float32(tol)
+    rho_min = np.float32(rho_min)
+    rho_max = np.float32(rho_max)
+    hp = lax.Precision.HIGHEST
+    n_rho = wt_ref.shape[0]
+    n_chunks = max_iter // check_interval
+
+    i = pl.program_id(0)
+
+    @pl.when(i == _I0)
+    def _init():
+        y_scr[:] = y0_ref[:]
+        x_scr[:] = x0_ref[:]
+        sm_scr[0] = rho0_ref[0]
+        sm_scr[1] = _i32(-1)          # no rung resident yet
+
+    x = x_scr[:]                       # (1, nplp) plant state
+    r2 = jnp.dot(x, gl_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp).astype(dtype)
+    g_row = g0w_ref[:] + r2[:, :nxp]
+    shift = r2[:, nxp:nxp + ncp]
+    kx = r2[:, nxp + ncp:nxp + ncp + nup]
+    ax = r2[:, nxp + ncp + nup:]
+    sz = jnp.dot(shift, sz_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp).astype(dtype)
+    lo = lo0_ref[:] + sz               # ±inf pads absorb the shift
+    hi = hi0_ref[:] + sz
+
+    eps_pri = eps_ref[0] * np.sqrt(nc).astype(np.float32)
+    eps_dua = eps_ref[0] * np.sqrt(nx).astype(np.float32)
+
+    def ensure_resident(k_idx, res_idx):
+        @pl.when(res_idx != k_idx)
+        def _copy():
+            dma_w = pltpu.make_async_copy(wt_ref.at[k_idx], w_scr, w_sem)
+            dma_w.start()
+            dma_m = pltpu.make_async_copy(maff_ref.at[k_idx], m_scr, m_sem)
+            dma_m.start()
+            dma_m.wait()
+            dma_w.wait()
+
+        return k_idx
+
+    def chunk(y, k_idx, n_steps):
+        wt = w_scr[:]
+        b = bias_c_ref[k_idx] + jnp.dot(x, m_scr[:],
+                                        preferred_element_type=jnp.float32,
+                                        precision=hp).astype(dtype)
+
+        def it(y):
+            yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
+                         precision=hp)
+            return jnp.clip(yw.astype(dtype) + b, lo, hi)
+
+        return _fori(n_steps, it, y, unroll)
+
+    def residuals(y, rho):
+        r = jnp.dot(y, mres_ref[:], preferred_element_type=jnp.float32,
+                    precision=hp)
+        axx = r[:, 0:ncp]
+        z = r[:, ncp:2 * ncp]
+        hx = r[:, 2 * ncp:2 * ncp + nxp]
+        atl = r[:, 2 * ncp + nxp:]
+        pri = jnp.max(jnp.abs(axx - z))
+        dua = jnp.max(jnp.abs(hx + atl + g_row))
+        sp = jnp.maximum(jnp.max(jnp.abs(axx)), jnp.max(jnp.abs(z)))
+        sd = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(hx)),
+                                     jnp.max(jnp.abs(atl))),
+                         jnp.max(jnp.abs(g_row)))
+        num = pri / jnp.maximum(sp, _TINY)
+        den = dua / jnp.maximum(sd, _TINY)
+        rho_new = jnp.clip(rho * jnp.sqrt(num / jnp.maximum(den, _TINY)),
+                           rho_min, rho_max)
+        return (pri.astype(jnp.float32), dua.astype(jnp.float32),
+                rho_new.astype(jnp.float32))
+
+    def body(state):
+        y, k_idx, rho, k, pri, dua, status, res_idx = state
+        res_idx = ensure_resident(k_idx, res_idx)
+        y = chunk(y, k_idx, check_interval)
+        pri, dua, rho_new = residuals(y, rho)
+        if adaptive_rho:
+            old_idx = k_idx
+            rho_k = rhos_ref[k_idx]
+            if rho_jump:
+                target = jnp.log(rho_new)
+                d_best = jnp.asarray(np.inf, jnp.float32)
+                nearest = jnp.asarray(0, jnp.int32)
+                for ri in range(n_rho):   # static unroll (x64-safe)
+                    dd = jnp.abs(jnp.log(rhos_ref[ri]) - target)
+                    better = dd < d_best
+                    d_best = jnp.where(better, dd, d_best)
+                    nearest = jnp.where(better, _i32(ri), nearest)
+                moved = jnp.logical_or(rho_new > rho_k * tol,
+                                       rho_new < rho_k / tol)
+                k_idx = jnp.where(moved, nearest, k_idx)
+            else:
+                up = jnp.logical_and(rho_new > rho_k * tol,
+                                     k_idx < n_rho - 1)
+                dn = jnp.logical_and(
+                    jnp.logical_and(rho_new < rho_k / tol, k_idx > 0),
+                    ~up)
+                k_idx = (k_idx + up.astype(jnp.int32)
+                         - dn.astype(jnp.int32))
+            if rho_stride > 1:
+                adapt = ((k // check_interval) + 1) % rho_stride == 0
+                k_idx = jnp.where(adapt, k_idx, old_idx)
+        solved = jnp.logical_and(pri < eps_pri, dua < eps_dua)
+        status = jnp.where(jnp.logical_and(solved, status < 0),
+                           _ST_SOLVED, status)
+        return (y, k_idx, rho_new, k + _i32(check_interval), pri, dua,
+                status, res_idx)
+
+    def cond(state):
+        k, status = state[3], state[6]
+        return jnp.logical_and(status < 0,
+                               k < _i32(n_chunks * check_interval))
+
+    k0 = sm_scr[0]
+    state = (y_scr[:], k0, rhos_ref[k0].astype(jnp.float32),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0.0, jnp.float32),
+             jnp.asarray(0.0, jnp.float32),
+             jnp.asarray(_RUNNING, jnp.int32), sm_scr[1])
+    state = body(state)                    # first window always runs
+    state = lax.while_loop(cond, body, state)
+    y, k_idx, rho, k, pri, dua, status, res_idx = state
+    status = jnp.where(status < 0, _ST_MAXITER, status)
+
+    v0 = jnp.dot(y, su_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp).astype(dtype)
+    u = v0 - kx
+    x_next = ax + jnp.dot(u, bdw_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=hp).astype(dtype)
+
+    y_scr[:] = y
+    x_scr[:] = x_next
+    u_scr[:] = u
+    sm_scr[0] = k_idx
+    sm_scr[1] = res_idx
+    # Per-step trajectory rows stream to HBM by DMA: Mosaic's VMEM
+    # output tiling needs >= 8-row blocks, and whole-(T, ·) VMEM
+    # outputs would cost megabytes next to the streamed W rung.
+    dma_x = pltpu.make_async_copy(x_scr, xs_ref.at[i], out_sem)
+    dma_x.start()
+    dma_x.wait()
+    dma_u = pltpu.make_async_copy(u_scr, us_ref.at[i], out_sem)
+    dma_u.start()
+    dma_u.wait()
+    yout_ref[:] = y
+    # stats row rides the same DMA pattern (a (1, 8) per-cell SMEM
+    # block violates the real compiler's lane tiling — interpret mode
+    # does not check it): 8 scalars in the first lanes of a 128-lane
+    # row, assembled with iota selects (value .at[].set emits scatter,
+    # which Mosaic cannot lower)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.zeros((1, 128), jnp.float32)
+    for slot, val in ((0, k.astype(jnp.float32)), (1, pri), (2, dua),
+                      (3, rho), (4, k_idx.astype(jnp.float32)),
+                      (5, status.astype(jnp.float32))):
+        row = jnp.where(lane == _i32(slot), val, row)
+    st_scr[:] = row
+    dma_s = pltpu.make_async_copy(st_scr, stats_ref.at[i], out_sem)
+    dma_s.start()
+    dma_s.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "nc", "nxp", "ncp", "nup", "nplp", "n_steps",
+                     "max_iter", "check_interval", "adaptive_rho",
+                     "adaptive_rho_tolerance", "rho_min", "rho_max",
+                     "rho_jump", "adaptive_rho_interval"))
+def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
+                 hi0, S_z, S_u, Bdw, y0, x0, rho_ind0, *,
+                 nx: int, nc: int, nxp: int, ncp: int, nup: int,
+                 nplp: int, n_steps: int, max_iter: int,
+                 check_interval: int, adaptive_rho: bool,
+                 adaptive_rho_tolerance: float, eps_abs: float,
+                 rho_min: float, rho_max: float, rho_jump: bool = False,
+                 adaptive_rho_interval: int = 1):
+    """T warm-started MPC control steps as ONE kernel launch.
+
+    Returns ``(xs (T, nplp), us (T, nup), stats (T, 8), y_f (Dp,))`` —
+    per-step plant states, controls, solve stats
+    ([iters, pri, dua, rho, rho_ind, status, 0, 0]) and the final
+    stacked solver state. See ``_kernel_scan_rollout`` for the cell
+    body and ``models.mpc.mpc_rollout_scan(kernel="scan")`` for the
+    operand preparation.
+    """
+    from ..core.iteration import rho_update_stride
+    n_rho, dp, _ = Wt_bank.shape
+    dtype = y0.dtype
+    if max_iter % check_interval != 0:
+        raise ValueError("the scan-rollout kernel requires max_iter to "
+                         "be a multiple of check_interval")
+    unroll = True if dp <= 512 else 1
+    kernel = functools.partial(
+        _kernel_scan_rollout, nx, nc, nxp, ncp, nup, nplp, max_iter,
+        check_interval, bool(adaptive_rho),
+        float(adaptive_rho_tolerance), float(rho_min), float(rho_max),
+        bool(rho_jump),
+        rho_update_stride(adaptive_rho_interval, check_interval), unroll)
+
+    def _whole(a, space=pltpu.VMEM):
+        zeros = (_I0,) * a.ndim
+        return pl.BlockSpec(a.shape, lambda i, s, _z=zeros: _z,
+                            memory_space=space)
+
+    _any = pl.BlockSpec(memory_space=pl.ANY)
+    args = [Wt_bank, bias_c.reshape(n_rho, 1, dp),
+            M_aff, rhos.astype(jnp.float32),
+            jnp.asarray(eps_abs, jnp.float32).reshape(1),
+            M_res, g0w.reshape(1, nxp), gl_op, lo0.reshape(1, dp),
+            hi0.reshape(1, dp), S_z, S_u, Bdw, y0.reshape(1, dp),
+            x0.reshape(1, nplp)]
+    in_specs = [
+        _any,                                    # W bank: HBM, streamed
+        _whole(args[1]),                         # bias_c (N, 1, Dp)
+        _any,                                    # M_aff: HBM, streamed
+        _whole(args[3], pltpu.SMEM),             # rhos
+        _whole(args[4], pltpu.SMEM),             # eps_abs (runtime)
+        _whole(args[5]),                         # M_res
+        _whole(args[6]),                         # g0w
+        _whole(args[7]),                         # gl_op
+        _whole(args[8]),                         # lo0
+        _whole(args[9]),                         # hi0
+        _whole(args[10]),                        # S_z
+        _whole(args[11]),                        # S_u
+        _whole(args[12]),                        # Bdw
+        _whole(args[13]),                        # y0
+        _whole(args[14]),                        # x0
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # xs (T, 1, nplp), HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # us (T, 1, nup), HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # stats (T, 1, 128)
+            pl.BlockSpec((1, dp), lambda i, s: (_I0, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, dp), dtype),           # y carry
+            pltpu.VMEM((1, nplp), dtype),         # x carry
+            pltpu.VMEM((1, nup), dtype),          # u row (DMA source)
+            pltpu.VMEM((1, 128), jnp.float32),    # stats row (DMA source)
+            pltpu.SMEM((2,), jnp.int32),          # [rho_ind, resident]
+            pltpu.VMEM((dp, dp), Wt_bank.dtype),  # W rung scratch
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM(M_aff.shape[1:], M_aff.dtype),   # M rung scratch
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),          # trajectory-row DMAs
+        ],
+    )
+    xs, us, stats, y_f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps, 1, nplp), dtype),
+            jax.ShapeDtypeStruct((n_steps, 1, nup), dtype),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, dp), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_steps * 2 * check_interval * dp * dp,
+            bytes_accessed=n_steps * dp * dp * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), *args)
+    return (xs.reshape(n_steps, nplp), us.reshape(n_steps, nup),
+            stats.reshape(n_steps, 128)[:, :8], y_f.reshape(-1))

@@ -1,0 +1,101 @@
+"""Whole-rollout kernel tests (``mpc_rollout_scan(kernel="scan")``).
+
+One Pallas launch runs ALL T control steps: the grid walks control
+steps, VMEM/SMEM scratch carries the solver/plant state, and every
+per-step refresh is an in-kernel matmul against precomputed operators
+(``ops.solve_kernel.full_rollout``). These tests run the kernel in
+interpret mode on CPU and pin it against the XLA loop rollout.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from reluqp_tpu.models.mpc import (MPC, _scan_rollout, double_integrator,
+                                   mpc_rollout_scan)
+
+_ON_ACCEL = jax.devices()[0].platform != "cpu"
+
+
+def _di():
+    Ad, Bd = double_integrator(dt=0.1)
+    Q = np.diag([10.0, 1.0])
+    R = np.array([[0.1]])
+    return Ad, Bd, Q, R
+
+
+def _ctrl(**kw):
+    Ad, Bd, Q, R = _di()
+    base = dict(horizon=8, u_min=-1.0, u_max=1.0, eps_abs=1e-4,
+                backend="xla")
+    base.update(kw)
+    return MPC(Ad, Bd, Q, R, **base)
+
+
+def _scan(ctrl, x_init, T, ci=None):
+    if _ON_ACCEL:
+        return mpc_rollout_scan(ctrl.solver, ctrl.prob, x_init, T,
+                                kernel="scan", check_interval=ci,
+                                return_state=True)
+    with pltpu.force_tpu_interpret_mode():
+        return _scan_rollout(ctrl.solver, ctrl.prob, x_init, T, None,
+                             ci, None, None)
+
+
+@pytest.mark.tpu_smoke
+def test_scan_rollout_matches_loop():
+    T = 15
+    x_init = np.array([1.0, 0.0])
+    ctrl = _ctrl()
+    xs_l, us_l, it_l = mpc_rollout_scan(ctrl.solver, ctrl.prob, x_init, T)
+    xs_k, us_k, it_k, y_f, rho_f = _scan(_ctrl(), x_init, T)
+    xs_k = np.asarray(xs_k, np.float64)
+    assert xs_k.shape == (T + 1, 2)
+    assert np.asarray(us_k).shape == (T, 1)
+    assert np.abs(xs_k - np.asarray(xs_l, np.float64)).max() < 1e-4
+    assert (np.asarray(it_k) == np.asarray(it_l)).all()
+    assert np.isfinite(np.asarray(y_f)).all()
+    assert 0 <= int(rho_f) < len(ctrl.solver.rhos_np)
+
+
+def test_scan_rollout_small_window_and_scaling():
+    """ci override + Ruiz scaling through the scan kernel (the residual
+    operator and GL refresh carry the unscale weights)."""
+    T = 20
+    x_init = np.array([0.5, 0.0])
+    for scaling in (False, True):
+        ctrl_l = _ctrl(scaling=scaling)
+        xs_l, _, it_l = mpc_rollout_scan(ctrl_l.solver, ctrl_l.prob,
+                                         x_init, T, check_interval=5)
+        xs_k, _, it_k, _, _ = _scan(_ctrl(scaling=scaling), x_init, T,
+                                    ci=5)
+        assert np.abs(np.asarray(xs_k, np.float64)
+                      - np.asarray(xs_l, np.float64)).max() < 1e-4, scaling
+        assert (np.asarray(it_k) == np.asarray(it_l)).all(), scaling
+
+
+def test_scan_rollout_gating():
+    ctrl = _ctrl(iter_precision="high")
+    with pytest.raises(ValueError, match="scan"):
+        mpc_rollout_scan(ctrl.solver, ctrl.prob, np.array([1.0, 0.0]), 3,
+                         kernel="scan")
+    ctrl2 = _ctrl(check_infeasibility=True)
+    with pytest.raises(ValueError, match="scan"):
+        mpc_rollout_scan(ctrl2.solver, ctrl2.prob, np.array([1.0, 0.0]),
+                         3, kernel="scan")
+    # the budget must fit at least one full window
+    ctrl3 = _ctrl(max_iter=100)
+    with pytest.raises(ValueError, match="scan"):
+        mpc_rollout_scan(ctrl3.solver, ctrl3.prob, np.array([1.0, 0.0]),
+                         3, kernel="scan", check_interval=200)
+
+
+def test_scan_rollout_non_divisible_window():
+    """A window that does not divide max_iter rounds the budget down to
+    whole windows (the loop's rem-tail is at most ci−1 iterations)."""
+    T = 10
+    xs_k, _, it_k, _, _ = _scan(_ctrl(max_iter=2000), [1.0, 0.0], T, ci=3)
+    assert np.isfinite(np.asarray(xs_k)).all()
+    assert (np.asarray(it_k) % 3 == 0).all()
