@@ -28,8 +28,12 @@ def _di():
 
 def _ctrl(**kw):
     Ad, Bd, Q, R = _di()
+    # On hardware the scan kernel needs the lane-padded layout, which
+    # only the pallas/auto backends set up (backend="xla" keeps Dp=D and
+    # fails the eligibility gate); CPU runs in interpret mode where the
+    # xla backend's unpadded layout is fine and deterministic.
     base = dict(horizon=8, u_min=-1.0, u_max=1.0, eps_abs=1e-4,
-                backend="xla")
+                backend="auto" if _ON_ACCEL else "xla")
     base.update(kw)
     return MPC(Ad, Bd, Q, R, **base)
 
