@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
-              check_interval=25, rollout_ci=None):
+              check_interval=25, rollout_ci=None, kernel="loop"):
     import jax
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
@@ -49,6 +49,7 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
     def rollout_s(x, n):
         t0 = time.perf_counter()
         xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, n,
+                                        kernel=kernel,
                                         check_interval=rollout_ci)
         float(jax.device_get(xs[-1].sum()))
         return time.perf_counter() - t0, xs, iters
@@ -73,7 +74,7 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
         x = Ad @ x + Bd @ u
     hz_host = n_host / (time.perf_counter() - t0)
     return dict(nx=nx, nu=nu, horizon=horizon, qp_vars=horizon * nu,
-                alpha=alpha, rollout_ci=rollout_ci,
+                alpha=alpha, rollout_ci=rollout_ci, kernel=kernel,
                 hz_device=hz_device, hz_host=hz_host,
                 mean_iters=mean_iters, timing=method)
 
@@ -99,6 +100,11 @@ def main(argv=None):
                    help="per-rollout check window override: an int or "
                         "'auto' (self-calibrating; "
                         "mpc_rollout_scan(check_interval=...))")
+    p.add_argument("--kernel", default="loop",
+                   choices=["loop", "fused", "auto", "scan"],
+                   help="rollout kernel: 'scan' = the whole rollout as "
+                        "ONE Pallas launch (results/mpc_scan_kernel_tpu"
+                        ".json)")
     p.add_argument("--out", default="results/mpc_rate.json")
     args = p.parse_args(argv)
     rollout_ci = args.rollout_ci
@@ -111,7 +117,7 @@ def main(argv=None):
         rec = bench_one(nx, nu, args.horizon, args.steps, args.tol,
                         args.backend, alpha=args.alpha,
                         check_interval=args.check_interval,
-                        rollout_ci=rollout_ci)
+                        rollout_ci=rollout_ci, kernel=args.kernel)
         records.append(rec)
         print(f"nx={nx:4d} nu={nu:3d} h={args.horizon}  "
               f"device {rec['hz_device']:8.0f} Hz   "
