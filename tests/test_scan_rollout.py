@@ -80,6 +80,33 @@ def test_scan_rollout_small_window_and_scaling():
         assert (np.asarray(it_k) == np.asarray(it_l)).all(), scaling
 
 
+def test_scan_rollout_continuation():
+    """Two stitched segments (carrying y/rho_ind/x) equal one long run —
+    the contract the auto-ci driver relies on."""
+    x_init = np.array([1.0, 0.0])
+    ctrl = _ctrl()
+    xs_a, us_a, it_a, y_f, rho_f = _scan(ctrl, x_init, 8)
+    with pltpu.force_tpu_interpret_mode():
+        xs_b, us_b, it_b, _, _ = _scan_rollout(
+            ctrl.solver, ctrl.prob, jnp.asarray(xs_a)[-1], 8, None, None,
+            y_f, rho_f)
+    ctrl2 = _ctrl()
+    xs_full, _, it_full, _, _ = _scan(ctrl2, x_init, 16)
+    stitched = np.concatenate([np.asarray(xs_a), np.asarray(xs_b)[1:]])
+    assert np.abs(stitched - np.asarray(xs_full)).max() < 1e-5
+    assert (np.concatenate([np.asarray(it_a), np.asarray(it_b)])
+            == np.asarray(it_full)).all()
+
+
+def test_scan_rollout_budget_bound_steps():
+    """Steps that exhaust max_iter report it and the rollout continues
+    finitely (budget-bound warm steps, e.g. under a too-tight eps)."""
+    ctrl = _ctrl(eps_abs=1e-12, max_iter=50)
+    xs, us, it, _, _ = _scan(ctrl, [1.0, 0.0], 6, ci=25)
+    assert np.isfinite(np.asarray(xs)).all()
+    assert (np.asarray(it) == 50).all()
+
+
 def test_scan_rollout_gating():
     ctrl = _ctrl(iter_precision="high")
     with pytest.raises(ValueError, match="scan"):
