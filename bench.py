@@ -60,6 +60,8 @@ def main():
     rng = entropy_rng()   # never-repeating inputs: tunnel memoizes
     x0 = 0.05 * rng.randn(NX)
 
+    kernel = ["scan"]
+
     def rollout_s(x, T):
         """Time one T-step rollout; the scalar fetch forces execution.
 
@@ -68,13 +70,22 @@ def main():
         two-point difference below measures the tuned steady state."""
         t0 = time.perf_counter()
         xs, us, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, T,
-                                         kernel="scan",
+                                         kernel=kernel[0],
                                          check_interval="auto")
         float(jax.device_get(xs[-1].sum()))
         return time.perf_counter() - t0, xs, iters
 
-    # compile both lengths + correctness gate
-    _, xs, iters = rollout_s(x0, T_LO)
+    # compile both lengths + correctness gate. If the whole-rollout
+    # kernel cannot compile/run in this environment (eligibility gate,
+    # Mosaic/remote-compile failure), fall back to the XLA loop path so
+    # the benchmark always reports a number.
+    try:
+        _, xs, iters = rollout_s(x0, T_LO)
+    except Exception as e:
+        print(f"# scan kernel unavailable ({type(e).__name__}); "
+              "falling back to kernel='loop'", file=sys.stderr)
+        kernel[0] = "loop"
+        _, xs, iters = rollout_s(x0, T_LO)
     rollout_s(x0, T_HI)
     xs = np.asarray(jax.device_get(xs))
     assert np.all(np.isfinite(xs)), "rollout diverged"
@@ -103,6 +114,7 @@ def main():
         "unit": "Hz",
         "vs_baseline": round(hz / 1000.0, 3),
         "timing": method,
+        "kernel": kernel[0],
     }))
 
 
