@@ -98,6 +98,53 @@ def test_rollout_auto_shorter_than_calibration():
     assert np.asarray(it).shape == (3,)
 
 
+def test_scenario_auto_sharded():
+    """check_interval='auto' composes with a mesh-sharded scenario batch
+    (the driver-dryrun product path): the calibration segment, the host
+    window sizing, and the tuned continuation all run on global sharded
+    arrays."""
+    import jax
+    if len(jax.devices()) < 2 or jax.devices()[0].platform != "cpu":
+        pytest.skip("needs the multi-device CPU test mesh")
+    from jax.sharding import Mesh
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.models.mpc import (gen_condensed_mpc_qp, ihlqr,
+                                       scenario_rollout_scan)
+    Ad, Bd, Q, R = _di()
+    N = 6
+    K, Qf = ihlqr(Ad, Bd, Q, R)
+    ns = 3
+    rows = np.zeros((N, N * ns))
+    rows[np.arange(N), np.arange(N) * ns] = 1.0
+    prob = gen_condensed_mpc_qp(Ad, Bd, Q, R, Qf, N, rows,
+                                -np.ones(N), np.ones(N), K=K)
+    n_dev = min(4, len(jax.devices()))
+    B, T = 2 * n_dev, 20
+    rng = np.random.RandomState(0)
+    X0 = np.array([[1.0, 0.0]]) + 0.2 * rng.randn(B, 2)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("qp",))
+    m = BatchedReLU_QP()
+    m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
+            np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
+            eps_abs=1e-4, backend="xla", mesh=mesh)
+    Xs, Us, it = scenario_rollout_scan(m, prob, X0, T,
+                                       check_interval="auto")
+    Xs = np.asarray(Xs, np.float64)
+    assert Xs.shape == (T + 1, B, 2)
+    assert np.isfinite(Xs).all()
+    assert np.all(np.abs(np.asarray(Us)) <= 1.0 + 1e-3)
+    # regulates on average
+    assert (np.mean(np.linalg.norm(Xs[-1], axis=-1))
+            < np.mean(np.linalg.norm(Xs[0], axis=-1)))
+    # and matches the default-window sharded rollout's trajectory
+    m2 = BatchedReLU_QP()
+    m2.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
+             np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
+             eps_abs=1e-4, backend="xla", mesh=mesh)
+    Xd, _, _ = scenario_rollout_scan(m2, prob, X0, T)
+    assert np.abs(Xs - np.asarray(Xd, np.float64)).max() < 5e-2
+
+
 def test_scenario_auto():
     from reluqp_tpu.batch import BatchedReLU_QP
     from reluqp_tpu.models.mpc import (gen_condensed_mpc_qp, ihlqr,
