@@ -154,3 +154,27 @@ def test_full_solve_bias_affine_64bit_free(kernel_jaxprs):
         adaptive_rho=True, adaptive_rho_tolerance=5.0, eps_abs=1e-3,
         rho_min=1e-6, rho_max=1e6, stream_bank=True)
     _assert_32bit_only(kernel_jaxprs)
+
+
+def test_full_rollout_kernel_64bit_free(kernel_jaxprs):
+    """The whole-rollout kernel must stay x64-proof like every other
+    Pallas kernel (round-4a bug class: trace-time 64-bit leaks crash
+    Mosaic when users enable jax_enable_x64 for fp64 parity checks)."""
+    op, dp, nxp, ncp = _canonical_operands()
+    n_rho = op.Wt_bank.shape[0]
+    nplp = nup = 128
+    R2 = nxp + ncp + nup + nplp
+    f32 = jnp.float32
+    _swallow_interpret_error(
+        sk.full_rollout, op.Wt_bank, jnp.zeros((n_rho, dp), f32),
+        jnp.zeros((n_rho, nplp, dp), f32), op.rhos, op.M_res,
+        jnp.zeros((1, nxp), f32), jnp.zeros((nplp, R2), f32),
+        op.lo.reshape(1, dp), op.hi.reshape(1, dp),
+        jnp.zeros((ncp, dp), f32), jnp.zeros((dp, nup), f32),
+        jnp.zeros((nup, nplp), f32), jnp.zeros((dp,), f32),
+        jnp.zeros((1, nplp), f32), 0,
+        nx=3, nc=5, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp, n_steps=4,
+        max_iter=100, check_interval=25, adaptive_rho=True,
+        adaptive_rho_tolerance=5.0, eps_abs=1e-3, rho_min=1e-6,
+        rho_max=1e6)
+    _assert_32bit_only(kernel_jaxprs)
