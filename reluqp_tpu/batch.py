@@ -235,6 +235,15 @@ class BatchedReLU_QP:
                     "tail_policy='repack' cannot carry the two-phase "
                     "refine switch across its static stage boundaries — "
                     "use iter_precision='highest' or refine=False")
+            if stng.max_iter % stng.check_interval != 0:
+                raise ValueError(
+                    "tail_policy='repack' requires max_iter to be a "
+                    "multiple of check_interval: a stage that exits on "
+                    "budget exhaustion would otherwise compact away "
+                    "OPEN rows before the final partial-window tail, "
+                    "diverging from tail_policy='dense' — round "
+                    f"max_iter={stng.max_iter} to a multiple of "
+                    f"{stng.check_interval}")
         self.tail_policy = tail_policy
         self._repack_sched = (self._make_repack_schedule()
                               if tail_policy == "repack" else None)

@@ -674,10 +674,15 @@ def solve_batched_shared_repack(Wt_bank, bias_all, rhos, H, A, G, lo, hi,
 
     Constraints (enforced here): single-chip only (no ``axis_name`` —
     cross-shard repacking would need resharding collectives), no
-    ``bias_lazy``, and no two-phase refine (``refine and iter_precision
+    ``bias_lazy``, no two-phase refine (``refine and iter_precision
     != 'highest'``) — the phase switch is a dynamic event that cannot be
     carried across static stage boundaries, so reduced-precision repack
-    runs single-phase (``refine=False`` semantics).
+    runs single-phase (``refine=False`` semantics) — and ``max_iter``
+    a multiple of ``check_interval``: a non-final stage exiting on
+    budget exhaustion (not fit) may still hold more open rows than the
+    next buffer, and compaction would drop open rows before the final
+    stage's partial-window ``rem`` tail, forking their final iterates
+    from the dense loop.
 
     Args:
       schedule: strictly decreasing tuple of row capacities;
@@ -691,6 +696,12 @@ def solve_batched_shared_repack(Wt_bank, bias_all, rhos, H, A, G, lo, hi,
                          f"{B}, got {schedule}")
     if any(b >= a for a, b in zip(schedule, schedule[1:])):
         raise ValueError(f"schedule must be strictly decreasing: {schedule}")
+    if len(schedule) > 1 and max_iter % check_interval != 0:
+        raise ValueError(
+            f"repack with max_iter={max_iter} % check_interval="
+            f"{check_interval} != 0 would drop open rows before the "
+            "final partial-window tail (dense-equivalence would break); "
+            "round max_iter to a multiple of the window")
     dtype = Y0.dtype
     shared = rho_mode == "shared"
     rhos_t = jnp.asarray(rhos, dtype=dtype)

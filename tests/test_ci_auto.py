@@ -25,7 +25,11 @@ def test_auto_check_interval_rule():
     # warm tail (second half) governs; transient first half is ignored
     assert auto_check_interval([120, 40, 2, 2, 1, 2], 25, 2000) == 2
     assert auto_check_interval([9, 3, 1, 1], 25, 2000) == 1
-    # never exceeds the settings default
+    # never exceeds the settings default — a MEASURED decision: ci=1
+    # calibration walks the ρ ladder every iteration, inflating
+    # apparent warm needs (an uncapped grow-to-need window cost 1.9×
+    # the capped rollout's tail iterations when tried; see the
+    # auto_check_interval docstring)
     assert auto_check_interval([10, 10, 80, 80], 25, 2000) == 25
     # never-warm rollouts (long "warm" steps) fall back to the default
     assert auto_check_interval([2000, 2000, 1900, 1800], 25, 2000) == 25
@@ -55,10 +59,15 @@ def test_rollout_auto_matches_fixed_ci():
     # the loop regulates
     assert np.linalg.norm(np.asarray(xs_a)[-1]) < 1e-1
     # warm steps after calibration certify in at most two windows of a
-    # size no larger than the default
+    # size no larger than the default (the calibrated window is capped
+    # at the default — auto_check_interval docstring)
     ci_def = ctrl_d.solver.settings.check_interval
+    ci_auto = auto_check_interval(np.asarray(it_a)[:8], ci_def,
+                                  ctrl_a.solver.settings.max_iter)
+    assert ci_auto <= ci_def
     tail = np.asarray(it_a)[8:]
     assert int(tail.max()) <= 2 * ci_def
+    assert (tail % ci_auto == 0).all()
     # auto spends no more iterations on the tuned segment than the
     # default-window rollout does on the same steps (one window slack:
     # the calibration hand-off state differs from the dense rollout's)
