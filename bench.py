@@ -78,10 +78,14 @@ def main():
     # compile both lengths + correctness gate. If the whole-rollout
     # kernel cannot compile/run in this environment (eligibility gate,
     # Mosaic/remote-compile failure), fall back to the XLA loop path so
-    # the benchmark always reports a number.
+    # the benchmark always reports a number. The except is NARROW
+    # (eligibility ValueError + the compile/runtime error classes) so
+    # an unexpected scan-path regression fails loudly instead of
+    # silently demoting the headline kernel.
+    from reluqp_tpu.models.mpc import _SCAN_COMPILE_ERRORS
     try:
         _, xs, iters = rollout_s(x0, T_LO)
-    except Exception as e:
+    except (ValueError, *_SCAN_COMPILE_ERRORS) as e:
         print(f"# scan kernel unavailable ({type(e).__name__}); "
               "falling back to kernel='loop'", file=sys.stderr)
         kernel[0] = "loop"

@@ -43,6 +43,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Errors that demote kernel="auto"'s scan pick to the loop path (and
+# bench.py's headline fallback): Mosaic lowering / remote-compile
+# failures on configs the conservative VMEM gate admitted. Deliberately
+# NARROW — a numerics or shape bug must surface, not silently demote.
+from jax.errors import JaxRuntimeError as _JaxRuntimeError
+
+_SCAN_COMPILE_ERRORS = (_JaxRuntimeError, NotImplementedError)
+
 __all__ = [
     "ihlqr",
     "constrained_ihlqr",
@@ -455,9 +463,21 @@ def auto_check_interval(calib_iters, default_ci: int,
     first residual check (the measured optimum of the ci A/B,
     ``results/mpc_check_interval_ab_tpu.json``: per step, a window
     costs its iterations plus one check — oversizing wastes iterations,
-    undersizing pays extra checks). Falls back to ``default_ci`` when
-    the "warm" steps still run long (>25% of ``max_iter``: the rollout
-    never reached a warm regime that a small window would serve).
+    undersizing pays extra checks), CAPPED at ``default_ci``: the
+    window only ever SHRINKS from the settings default. The cap is a
+    measured decision, not an oversight — ci=1 calibration runs the ρ
+    ladder walk at every iteration, which changes the solve dynamics
+    and INFLATES apparent warm needs (on the double-integrator config
+    of ``tests/test_ci_auto.py::test_rollout_auto_matches_fixed_ci``
+    the ci=1 segment reports stationary needs of ~40-47 while the same
+    warm steps certify within the 25-iteration default window — an
+    uncapped grow-to-47 window cost 1.9× the capped rollout's tail
+    iterations when tried), so growth evidence from the calibration
+    segment is untrustworthy; steps that genuinely need more than the
+    default window certify at a later check of it, exactly like the
+    non-auto path. Falls back to ``default_ci`` when the "warm" steps
+    still run long (>25% of ``max_iter``: the rollout never reached a
+    warm regime the calibration can size a window for).
     """
     import numpy as _np
     it = _np.asarray(calib_iters)
@@ -489,11 +509,18 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
       x_init: (nx,) initial plant state.
       n_steps: number of control steps (static).
       solve_max_iter: per-step iteration cap (defaults to settings).
-      kernel: "loop" (default — the XLA/chunked solve loop per step) or
-        "fused" — the whole per-step solve, including the state-affine
-        bias refresh, as ONE kernel launch (``_rollout_kernel_impl``;
-        TPU only, alpha=1, requires the rung + residual operator to fit
-        VMEM). "auto" picks "fused" when eligible.
+      kernel: "loop" (default — the XLA/chunked solve loop per step),
+        "scan" — ALL control steps as ONE kernel launch
+        (``ops.solve_kernel.full_rollout``; the fastest warm path,
+        7.7× the loop, ``results/mpc_scan_kernel_tpu.json``), or
+        "fused" — each per-step solve as one kernel launch
+        (``_rollout_kernel_impl``; measured SLOWER than the loop in the
+        warm regime, worth requesting only when disturbances push
+        per-step iteration counts up — docs/perf_notes.md). "auto"
+        follows the measured ranking: "scan" when eligible (TPU,
+        alpha=1, highest precision, no infeasibility checks, operands
+        fit VMEM, budget ≥ one check window) with a loop fallback on
+        compile failure, else "loop".
       check_interval: per-step residual-check window. ``None`` (default)
         uses the solver settings; an int overrides; ``"auto"``
         calibrates it from the rollout itself — the first
@@ -562,26 +589,43 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
     if kernel not in ("loop", "fused", "auto", "scan"):
         raise ValueError("kernel must be 'loop', 'fused', 'scan' or "
                          "'auto'")
+    if kernel == "auto":
+        # Measured ranking (docs/perf_notes.md, results/mpc_scan_kernel
+        # _tpu.json): scan ≻ loop ≻ fused in the warm regime — the scan
+        # kernel kills the ~10 µs/step XLA machinery (7.7× the loop),
+        # while the fused per-step kernel LOSES to the loop warm (58.3k
+        # vs 69.2k Hz) and only wins on long solves, so it must be
+        # requested by name. Auto therefore picks scan when eligible,
+        # else loop — with a loop fallback if the scan kernel fails to
+        # compile in this environment (same policy as bench.py).
+        kernel = ("scan" if _scan_rollout_eligible(solver, ci,
+                                                   solve_max_iter)
+                  else "loop")
+        if kernel == "scan":
+            try:
+                return _scan_rollout(solver, prob, x_init, n_steps,
+                                     solve_max_iter, ci, y0, rho_ind0)
+            except _SCAN_COMPILE_ERRORS:  # pragma: no cover - env-bound
+                kernel = "loop"
     if kernel == "scan":
-        if not _scan_rollout_eligible(solver, ci):
+        if not _scan_rollout_eligible(solver, ci, solve_max_iter):
             raise ValueError(
                 "kernel='scan' rollout needs a TPU device, alpha=1, "
                 "iter_precision='highest', no infeasibility checks, the "
-                "fp64 bias masters, max_iter a multiple of the check "
-                "window, and operands that fit VMEM")
+                "fp64 bias masters, an iteration budget of at least one "
+                "full check window, and operands that fit VMEM")
         return _scan_rollout(solver, prob, x_init, n_steps,
                              solve_max_iter, ci, y0, rho_ind0)
-    if kernel != "loop":
+    if kernel == "fused":
         stream = _kernel_rollout_eligible(solver)
-        if stream is None and kernel == "fused":
+        if stream is None:
             raise ValueError(
                 "kernel='fused' rollout needs a TPU device, alpha=1, no "
                 "infeasibility checks, the fp64 bias masters, and a rung "
                 "+ residual operator that fit VMEM")
-        if stream is not None:
-            return _kernel_rollout(solver, prob, x_init, n_steps,
-                                   solve_max_iter, stream, ci, y0,
-                                   rho_ind0)
+        return _kernel_rollout(solver, prob, x_init, n_steps,
+                               solve_max_iter, stream, ci, y0,
+                               rho_ind0)
     bias_c = M_hi = M_lo = None
     if B64 is not None:
         bias_c, M_hi, M_lo = _affine_bias_maps(
@@ -774,16 +818,20 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
     return None
 
 
-def _scan_rollout_eligible(solver, ci=None) -> bool:
+def _scan_rollout_eligible(solver, ci=None, budget=None) -> bool:
     """Gate for the whole-ROLLOUT kernel (``full_rollout``): the
     whole-solve eligibility (streamed rung + affine bias fits VMEM)
     plus: highest-only iteration (the scan kernel carries no two-phase
-    machinery) and a check window that divides ``max_iter``."""
+    machinery) and an iteration budget (``solve_max_iter`` override or
+    ``settings.max_iter``) that fits at least one full check window —
+    the kernel runs whole windows only and must never exceed the
+    caller's budget by rounding it up."""
     stng = solver.settings
     if stng.iter_precision != "highest":
         return False
     ci_eff = stng.check_interval if ci is None else int(ci)
-    if stng.max_iter < ci_eff:
+    eff_budget = stng.max_iter if budget is None else int(budget)
+    if eff_budget < ci_eff:
         return False   # not even one full window fits the budget
     # extra VMEM beyond full_solve's streamed+affine model: the refresh
     # operator, the z-scatter, the v0 selector, Bdᵀ and the carried rows
@@ -858,11 +906,21 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
         x0_dev = cst(x0p)
 
     ci_eff = stng.check_interval if ci is None else int(ci)
-    # the kernel runs whole windows only: round the budget down to a
+    budget = solve_max_iter or stng.max_iter
+    if budget < ci_eff:
+        # never round a sub-window budget UP to a full window — that
+        # would silently exceed the caller's per-step iteration cap
+        # (the eligibility gate rejects this; reachable only by calling
+        # _scan_rollout directly)
+        raise ValueError(
+            f"scan-rollout iteration budget {budget} is smaller than "
+            f"one check window ({ci_eff}); lower check_interval or "
+            "raise the budget")
+    # the kernel runs whole windows only: round the budget DOWN to a
     # multiple of the window (the XLA loop's rem-tail is a partial
-    # window at max_iter%ci — at most ci-1 extra iterations, which only
-    # matters for max_iter-bound solves)
-    mi = max(((solve_max_iter or stng.max_iter) // ci_eff), 1) * ci_eff
+    # window at max_iter%ci — at most ci-1 fewer iterations here, which
+    # only matters for max_iter-bound solves)
+    mi = (budget // ci_eff) * ci_eff
     xs, us, stats, y_f = full_rollout(
         solver.bank.W, cst(np.asarray(c64)), cst(M_aff),
         solver.bank.rhos, M_res, cst(g0w), cst(GL), cst(lo0), cst(hi0),
@@ -880,6 +938,218 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     iters = stats[:, 0].astype(jnp.int32)
     rho_f = stats[-1, 4].astype(jnp.int32)
     return states, us[:, :nu], iters, y_f, rho_f
+
+
+def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
+    """Gate for the BATCHED whole-rollout kernel
+    (``full_rollout_batched``): the scenario-MPC analogue of
+    ``_scan_rollout_eligible`` — TPU, alpha=1, highest-only iteration,
+    no infeasibility certificates, shared-(H,A) batch with
+    ``rho_mode="shared"``, single chip (the in-kernel ladder walk
+    cannot psum across shards), a budget of at least one full check
+    window, and operands that fit the VMEM budget."""
+    from ..ops.fused_step import LANE, pad_dim, round_up
+    from ..solver import _PALLAS_VMEM_BUDGET, _is_tpu, _mosaic_supports
+    stng = m.settings
+    if (getattr(m, "hetero", False) or m.rho_mode != "shared"
+            or getattr(m, "mesh", None) is not None):
+        return False
+    if (not _is_tpu(stng.device) or not _mosaic_supports(
+            stng.precision_dtype) or stng.alpha != 1.0
+            or stng.check_infeasibility
+            or stng.iter_precision != "highest"):
+        return False
+    ci_eff = stng.check_interval if ci is None else int(ci)
+    eff_budget = stng.max_iter if budget is None else int(budget)
+    if eff_budget < ci_eff:
+        return False
+    dp = pad_dim(m.D)
+    nxp = round_up(max(m.nx, LANE), LANE)
+    ncp = round_up(max(m.nc, LANE), LANE)
+    nplp = round_up(max(m.nx, LANE), LANE)   # conservative plant dim
+    bp = round_up(max(m.B_n, 8), 8)
+    bs = jnp.dtype(stng.precision_dtype).itemsize
+    # W scratch + Mosaic matmul temporaries (the measured ~5-W model of
+    # full_solve_vmem_bytes) + M_res + streamed M rung + per-row blocks
+    # (Y carry/Y0/Yout/lo/hi/bias + (Bp, R) residual product + matmul
+    # temporaries, modeled as 8 (Bp, Dp) buffers + 2 (Bp, R))
+    total = (5 * dp * dp + dp * (2 * ncp + 2 * nxp) + nplp * dp
+             + 8 * bp * dp + 2 * bp * (2 * ncp + 2 * nxp)
+             + 6 * bp * nplp) * bs
+    return total <= _PALLAS_VMEM_BUDGET
+
+
+def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
+                           solve_max_iter, ci, Y0, rho_ind0, noise):
+    """Host prep + dispatch for the batched whole-rollout kernel
+    (``full_rollout_batched``): pads the ensemble to (Bp, Dp) kernel
+    layout, precomputes the same refresh/feedback/plant operators as
+    the single-plant ``_scan_rollout``, and converts the carried solver
+    state between the batch solver's layout and the kernel's. Operand
+    prep is cached on the solver per (prob, Dp) — repeated segments
+    (the auto-ci driver) reuse it."""
+    from ..ops.fused_step import LANE, pad_dim, round_up
+    from ..ops.solve_kernel import (build_residual_operator,
+                                    full_rollout_batched)
+    from ..parallel import host_replicated
+    from ..utils.scaling import residual_unscale_weights
+
+    stng = m.settings
+    dtype = stng.precision_dtype
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
+    sc = m.scal
+    nu = prob.K.shape[0]
+    npl = prob.K.shape[1]
+    nx_qp, nc, D = m.nx, m.nc, m.D
+    Dp = pad_dim(D)
+    B_n = m.B_n
+    Bp = round_up(max(B_n, 8), 8)
+    nplp = round_up(max(npl, LANE), LANE)
+    nup = round_up(max(nu, LANE), LANE)
+
+    cache = getattr(m, "_scan_ops_cache", None)
+    key = (id(prob), Dp, Bp)
+    if cache is not None and cache[0] == key:
+        ops = cache[1]
+    else:
+        gD = sc.c * sc.D
+        g0_s = gD * prob.g0
+        gx0_s = gD[:, None] * prob.g_x0
+        wp_np, wd_np = residual_unscale_weights(sc, stng)
+        wd = np.ones(nx_qp) if wd_np is None \
+            else np.asarray(wd_np, np.float64)
+        # H in the solver's iteration dtype (the values the XLA batched
+        # residuals contract against); A from the fp64 scaled master.
+        H_s = np.asarray(host_replicated(m.H_dev), np.float64)
+        A_s = m._A_scaled_np
+        M_res, _, nxp, ncp = build_residual_operator(
+            H_s, A_s, np.zeros(nx_qp), Dp, dtype, w_pri=wp_np,
+            w_dua=wd_np)
+        Wt = np.asarray(host_replicated(m.Wt_bank), np.float64)
+        n_rho = Wt.shape[0]
+        if Wt.shape[1] != Dp:
+            Wt_p = np.zeros((n_rho, Dp, Dp))
+            Wt_p[:, :D, :D] = Wt[:, :D, :D]
+            Wt = Wt_p
+        B64 = np.asarray(host_replicated(m.B_bank), np.float64)
+        if m._B_lo is not None:
+            B64 = B64 + np.asarray(host_replicated(m._B_lo), np.float64)
+        if B64.shape[1] != Dp:
+            B_p = np.zeros((n_rho, Dp, nx_qp))
+            B_p[:, :D, :] = B64[:, :D, :]
+            B64 = B_p
+        c64, M64 = _affine_bias_fp64(B64, g0_s, gx0_s)
+        M_aff = np.zeros((n_rho, nplp, Dp))
+        M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
+        R2 = nxp + ncp + nup + nplp
+        GL = np.zeros((nplp, R2))
+        GL[:npl, :nx_qp] = (wd[:, None] * gx0_s).T
+        GL[:npl, nxp:nxp + nc] = (sc.E[:, None] * prob.lu_x0).T
+        GL[:npl, nxp + ncp:nxp + ncp + nu] = prob.K.T
+        GL[:npl, nxp + ncp + nup:nxp + ncp + nup + npl] = \
+            solver_plant_A(prob).T
+        g0w = np.zeros((1, nxp))
+        g0w[0, :nx_qp] = wd * g0_s
+        lo0 = np.full((1, Dp), -np.inf)
+        hi0 = np.full((1, Dp), np.inf)
+        lo0[0, nx_qp:nx_qp + nc] = sc.E * prob.l0
+        hi0[0, nx_qp:nx_qp + nc] = sc.E * prob.u0
+        S_z = np.zeros((ncp, Dp))
+        S_z[np.arange(nc), nx_qp + np.arange(nc)] = 1.0
+        S_u = np.zeros((Dp, nup))
+        S_u[np.arange(nu), np.arange(nu)] = np.asarray(sc.D[:nu],
+                                                       np.float64)
+        Bdw = np.zeros((nup, nplp))
+        Bdw[:nu, :npl] = solver_plant_B(prob).T
+        pad_mask = np.zeros((Bp, 1), np.float32)
+        pad_mask[B_n:, 0] = 1.0
+        ops = dict(Wt=cst(Wt), bias_c=cst(c64), M_aff=cst(M_aff),
+                   M_res=M_res, g0w=cst(g0w), GL=cst(GL), lo0=cst(lo0),
+                   hi0=cst(hi0), S_z=cst(S_z), S_u=cst(S_u),
+                   Bdw=cst(Bdw),
+                   pad=jnp.asarray(pad_mask, jnp.float32),
+                   nxp=nxp, ncp=ncp)
+        m._scan_ops_cache = (key, ops)
+
+    # state conversion: batch-solver layout (B_pad_m, Dp_m) ↔ kernel
+    # layout (Bp, Dp) — pad slots/rows are exactly 0 in both.
+    Y0k = jnp.zeros((Bp, Dp), dtype=dtype)
+    Y0k = Y0k.at[:B_n, :D].set(jnp.asarray(Y0, dtype=dtype)[:B_n, :D])
+    X0k = jnp.zeros((Bp, nplp), dtype=dtype)
+    X0k = X0k.at[:B_n, :npl].set(jnp.asarray(X0_dev, dtype=dtype))
+    noise_k = jnp.zeros((n_steps, Bp, nplp), dtype=dtype)
+    noise_k = noise_k.at[:, :B_n, :npl].set(
+        jnp.asarray(noise, dtype=dtype))
+
+    ci_eff = stng.check_interval if ci is None else int(ci)
+    budget = solve_max_iter or stng.max_iter
+    if budget < ci_eff:
+        raise ValueError(
+            f"scan-rollout iteration budget {budget} is smaller than "
+            f"one check window ({ci_eff})")
+    mi = (budget // ci_eff) * ci_eff
+    xs, us, stats, Y_f = full_rollout_batched(
+        ops["Wt"], ops["bias_c"], ops["M_aff"], m.rhos, ops["M_res"],
+        ops["g0w"], ops["GL"], ops["lo0"], ops["hi0"], ops["S_z"],
+        ops["S_u"], ops["Bdw"], Y0k, X0k, ops["pad"], noise_k,
+        jnp.asarray(rho_ind0, jnp.int32),
+        nx=nx_qp, nc=nc, nxp=ops["nxp"], ncp=ops["ncp"], nup=nup,
+        nplp=nplp, n_steps=n_steps, max_iter=mi, check_interval=ci_eff,
+        adaptive_rho=stng.adaptive_rho,
+        adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
+        eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
+        rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
+        adaptive_rho_interval=int(stng.adaptive_rho_interval))
+    X0_row = X0k[None, :B_n, :npl]
+    states = jnp.concatenate([X0_row, xs[:, :B_n, :npl]], axis=0)
+    iters = stats[:, 0].astype(jnp.int32)
+    rho_f = stats[-1, 4].astype(jnp.int32)
+    # back to the batch solver's layout for continuation segments
+    Y_out = jnp.zeros((m.Y.shape[0], m.Y.shape[1]), dtype=dtype)
+    Y_out = Y_out.at[:B_n, :D].set(Y_f[:B_n, :D])
+    return states, us[:, :B_n, :nu], iters, Y_out, rho_f
+
+
+def _scenario_scan_driver(m, prob: CondensedMPC, X_init, n_steps: int,
+                          noise, solve_max_iter, check_interval,
+                          calib_steps, return_state):
+    """Kernel-path driver for ``scenario_rollout_scan``: noise
+    materialization, segment slicing (the ``"auto"`` window driver runs
+    a ci=1 calibration segment then the tuned continuation), and the
+    shared return contract."""
+    stng = m.settings
+    dtype = stng.precision_dtype
+    if isinstance(X_init, jax.Array):
+        X0 = jnp.asarray(X_init, dtype=dtype)
+    else:
+        X0 = jnp.asarray(np.asarray(X_init, np.float64), dtype=dtype)
+    B_n = X0.shape[0]
+    if B_n != m.B_n:
+        raise ValueError(f"X_init batch {B_n} != solver batch {m.B_n}")
+    if noise is None:
+        noise = jnp.zeros((n_steps, B_n, X0.shape[1]), dtype=dtype)
+    else:
+        noise = jnp.asarray(np.asarray(noise, np.float64), dtype=dtype)
+        if noise.shape[0] != n_steps:
+            raise ValueError(f"noise must be (T={n_steps}, B, nx)")
+    n_used = [0]
+
+    def run(ci, X0_seg, Y0, rho0, steps):
+        w = jax.lax.slice_in_dim(noise, n_used[0], n_used[0] + steps,
+                                 axis=0)
+        n_used[0] += steps
+        return _scan_scenario_rollout(m, prob, X0_seg, steps,
+                                      solve_max_iter, ci, Y0, rho0, w)
+
+    if check_interval == "auto":
+        out = _auto_ci_rollout(run, stng, X0, n_steps, calib_steps,
+                               m.Y, m.rho_ind,
+                               solve_max_iter or stng.max_iter)
+    else:
+        ci = (stng.check_interval if check_interval is None
+              else int(check_interval))
+        out = run(ci, X0, m.Y, m.rho_ind, n_steps)
+    return out if return_state else out[:3]
 
 
 def _affine_bias_fp64(B64, g0_s, gx0_s):
@@ -1017,6 +1287,7 @@ _scenario_jit = jax.jit(
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
                           n_steps: int, noise=None,
                           solve_max_iter: Optional[int] = None,
+                          kernel: str = "loop",
                           check_interval=None, calib_steps: int = 8,
                           return_state: bool = False):
     """Closed-loop SCENARIO MPC: B plants under one shared condensed
@@ -1048,9 +1319,38 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
     m = batch_solver
     if m.rho_mode != "shared":
         raise ValueError("scenario_rollout_scan requires rho_mode='shared'")
+    if kernel not in ("loop", "scan", "auto"):
+        raise ValueError("kernel must be 'loop', 'scan' or 'auto'")
+    ci_gate = None if check_interval in (None, "auto") else check_interval
+    if kernel == "auto":
+        # same measured ranking as mpc_rollout_scan: the whole-rollout
+        # kernel kills the per-ensemble-step XLA scan machinery; fall
+        # back to the loop path when ineligible or on compile failure.
+        kernel = ("scan" if _scan_scenario_eligible(m, ci_gate,
+                                                    solve_max_iter)
+                  else "loop")
+        if kernel == "scan":
+            try:
+                return _scenario_scan_driver(
+                    m, prob, X_init, n_steps, noise, solve_max_iter,
+                    check_interval, calib_steps, return_state)
+            except _SCAN_COMPILE_ERRORS:  # pragma: no cover - env-bound
+                kernel = "loop"
+    if kernel == "scan":
+        if not _scan_scenario_eligible(m, ci_gate, solve_max_iter):
+            raise ValueError(
+                "kernel='scan' scenario rollout needs a TPU device, "
+                "alpha=1, iter_precision='highest', no infeasibility "
+                "checks, rho_mode='shared', a shared-(H,A) single-chip "
+                "batch, a budget of at least one full check window, and "
+                "operands that fit VMEM")
+        return _scenario_scan_driver(m, prob, X_init, n_steps, noise,
+                                     solve_max_iter, check_interval,
+                                     calib_steps, return_state)
     if m.B_pad != m.B_n:
-        raise ValueError("scenario rollout requires an unpadded batch "
-                         "(use backend='xla' for the batch solver)")
+        raise ValueError("the XLA scenario rollout requires an unpadded "
+                         "batch (use backend='xla' for the batch "
+                         "solver, or kernel='scan'/'auto' on TPU)")
     stng = m.settings
     dtype = stng.precision_dtype
     sc = m.scal

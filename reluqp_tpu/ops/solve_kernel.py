@@ -65,7 +65,8 @@ from .fused_step import LANE, _I0, _fori, _i32, round_up
 
 __all__ = ["FullSolveOperand", "AlphaOperand", "InfeasOperand",
            "build_residual_operator", "build_alpha_operand",
-           "build_infeas_operand", "full_solve", "full_solve_vmem_bytes"]
+           "build_infeas_operand", "full_solve", "full_solve_vmem_bytes",
+           "full_rollout", "full_rollout_batched"]
 
 _TINY = 1e-30
 
@@ -1112,3 +1113,365 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
     )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), *args)
     return (xs.reshape(n_steps, nplp), us.reshape(n_steps, nup),
             stats.reshape(n_steps, 128)[:, :8], y_f.reshape(-1))
+
+
+# --------------------------------------------------------------------- #
+# batched whole-ROLLOUT kernel: T scenario-MPC steps in ONE launch       #
+# --------------------------------------------------------------------- #
+
+def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
+                                 check_interval, adaptive_rho, tol,
+                                 rho_min, rho_max, rho_jump, rho_stride,
+                                 unroll,
+                                 # refs: prefetch, inputs, outputs, scratch
+                                 rho0_ref, wt_ref, bias_c_ref, maff_ref,
+                                 rhos_ref, eps_ref, mres_ref, g0w_ref,
+                                 gl_ref, lo0_ref, hi0_ref, sz_ref, su_ref,
+                                 bdw_ref, y0_ref, x0_ref, pad_ref,
+                                 noise_ref,
+                                 xs_ref, us_ref, stats_ref, yout_ref,
+                                 y_scr, x_scr, u_scr, st_scr, sm_scr,
+                                 w_scr, w_sem, m_scr, m_sem, out_sem):
+    """One grid cell = one control step of the whole SCENARIO ensemble.
+
+    Batched sibling of ``_kernel_scan_rollout``: the VMEM scratch
+    carries a (Bp, Dp) solver-state block and a (Bp, nplp) plant block
+    across steps; the iteration is a dense (Bp, Dp) @ (Dp, Dp) GEMM per
+    step (MXU work, exactly like ``core.batched.solve_batched_shared``),
+    and the per-step refresh/feedback/plant maps are in-kernel matmuls
+    against the same precomputed operators as the single-plant kernel.
+    Solve semantics mirror ``solve_batched_shared(rho_mode="shared")``:
+
+    - per-scenario residuals (row-wise ∞-norms of one Y @ M_res
+      matmul), per-row done flags with frozen stats, exit when every
+      scenario converged or the budget is spent;
+    - ONE shared ladder index for the ensemble, walked by the geometric
+      mean of the ACTIVE scenarios' OSQP ρ estimates (the throughput
+      mode of the batched solver), carried across control steps;
+    - ``pad_ref`` marks inert batch-padding rows (1.0): they start
+      "done" (like ``done0`` in the XLA loop) so they never hold the
+      loop open, and report status SOLVED.
+
+    Per cell the plant block also consumes its (1, Bp, nplp) slice of
+    the process-noise input (the scenario disturbance path). Outputs
+    stream per step by DMA like the single-plant kernel; the stats row
+    is the ENSEMBLE view: [n_iter_total, max_pri, max_dua, n_active0,
+    rho_ind, min_status, n_unsolved, 0].
+
+    Restrictions (wrapper-enforced): alpha=1, highest-only iteration,
+    no infeasibility certificates, ``max_iter % check_interval == 0``,
+    rho_mode="shared". Citing the reference: this fuses B copies of the
+    receding-horizon cycle (``ReLU-QP-py/reluqp/reluqpth.py:159-181``
+    update + ``:201-249`` solve) into one device launch for the whole
+    horizon — a construct the reference can only express as nested
+    Python loops (``benchmarks/random_qps.py:57-72``).
+    """
+    dtype = y0_ref.dtype
+    tol = np.float32(tol)
+    rho_min = np.float32(rho_min)
+    rho_max = np.float32(rho_max)
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    hp = lax.Precision.HIGHEST
+    n_rho = wt_ref.shape[0]
+    n_chunks = max_iter // check_interval
+    bp = y0_ref.shape[0]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == _I0)
+    def _init():
+        y_scr[:] = y0_ref[:]
+        x_scr[:] = x0_ref[:]
+        sm_scr[0] = rho0_ref[0]
+        sm_scr[1] = _i32(-1)          # no rung resident yet
+
+    pad = pad_ref[:].astype(jnp.float32)         # (Bp, 1): 1 = inert row
+    x = x_scr[:]                                 # (Bp, nplp) plant states
+    r2 = jnp.dot(x, gl_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp).astype(dtype)
+    g_row = g0w_ref[:] + r2[:, :nxp]             # (Bp, nxp)
+    shift = r2[:, nxp:nxp + ncp]
+    kx = r2[:, nxp + ncp:nxp + ncp + nup]
+    ax = r2[:, nxp + ncp + nup:]
+    sz = jnp.dot(shift, sz_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp).astype(dtype)
+    lo = lo0_ref[:] + sz                         # ±inf pads absorb the shift
+    hi = hi0_ref[:] + sz
+
+    eps_pri = eps_ref[0] * np.sqrt(nc).astype(np.float32)
+    eps_dua = eps_ref[0] * np.sqrt(nx).astype(np.float32)
+
+    def ensure_resident(k_idx, res_idx):
+        @pl.when(res_idx != k_idx)
+        def _copy():
+            dma_w = pltpu.make_async_copy(wt_ref.at[k_idx], w_scr, w_sem)
+            dma_w.start()
+            dma_m = pltpu.make_async_copy(maff_ref.at[k_idx], m_scr, m_sem)
+            dma_m.start()
+            dma_m.wait()
+            dma_w.wait()
+
+        return k_idx
+
+    def chunk(Y, k_idx, n_steps):
+        wt = w_scr[:]
+        b = bias_c_ref[k_idx] + jnp.dot(x, m_scr[:],
+                                        preferred_element_type=jnp.float32,
+                                        precision=hp).astype(dtype)
+
+        def it(Y):
+            YW = jnp.dot(Y, wt, preferred_element_type=jnp.float32,
+                         precision=hp)
+            return jnp.clip(YW.astype(dtype) + b, lo, hi)
+
+        return _fori(n_steps, it, Y, unroll)
+
+    def residuals(Y, rho):
+        """Per-scenario residuals + ρ estimates, (Bp, 1) each — the
+        row-wise analogue of ``core.batched.batched_residuals`` from
+        ONE Y @ M_res matmul."""
+        r = jnp.dot(Y, mres_ref[:], preferred_element_type=jnp.float32,
+                    precision=hp)
+        axx = r[:, 0:ncp]
+        z = r[:, ncp:2 * ncp]
+        hx = r[:, 2 * ncp:2 * ncp + nxp]
+        atl = r[:, 2 * ncp + nxp:]
+        g32 = g_row.astype(jnp.float32)
+        rmax = lambda v: jnp.max(jnp.abs(v), axis=1, keepdims=True)
+        pri = rmax(axx - z)
+        dua = rmax(hx + atl + g32)
+        sp = jnp.maximum(rmax(axx), rmax(z))
+        sd = jnp.maximum(jnp.maximum(rmax(hx), rmax(atl)), rmax(g32))
+        num = pri / jnp.maximum(sp, _TINY)
+        den = dua / jnp.maximum(sd, _TINY)
+        rho_new = jnp.clip(rho * jnp.sqrt(num / jnp.maximum(den, _TINY)),
+                           rho_min, rho_max)
+        return pri, dua, rho_new
+
+    def body(state):
+        (Y, k_idx, rho, k, pri, dua, done, iters, status,
+         res_idx) = state
+        res_idx = ensure_resident(k_idx, res_idx)
+        Y = chunk(Y, k_idx, check_interval)
+        pri_n, dua_n, rho_new = residuals(Y, rho)
+        open_m = done < np.float32(0.5)            # (Bp, 1) active rows
+        pri = jnp.where(open_m, pri_n, pri)        # freeze done rows
+        dua = jnp.where(open_m, dua_n, dua)
+        rho = jnp.where(open_m, rho_new, rho)
+        if adaptive_rho:
+            old_idx = k_idx
+            rho_k = rhos_ref[k_idx]
+            # geometric mean of ACTIVE rows' estimates drives the single
+            # shared ladder index (solve_batched_shared rho_mode="shared")
+            logr = jnp.sum(jnp.where(open_m, jnp.log(rho_new), zero))
+            n_act = jnp.sum(jnp.where(open_m, one, zero))
+            rho_gm = jnp.exp(logr / jnp.maximum(n_act, one))
+            rho_gm = jnp.where(n_act > zero, rho_gm, rho_k)
+            if rho_jump:
+                target = jnp.log(rho_gm)
+                d_best = jnp.asarray(np.inf, jnp.float32)
+                nearest = jnp.asarray(0, jnp.int32)
+                for ri in range(n_rho):   # static unroll (x64-safe)
+                    dd = jnp.abs(jnp.log(rhos_ref[ri]) - target)
+                    better = dd < d_best
+                    d_best = jnp.where(better, dd, d_best)
+                    nearest = jnp.where(better, _i32(ri), nearest)
+                moved = jnp.logical_or(rho_gm > rho_k * tol,
+                                       rho_gm < rho_k / tol)
+                k_idx = jnp.where(moved, nearest, k_idx)
+            else:
+                up = jnp.logical_and(rho_gm > rho_k * tol,
+                                     k_idx < n_rho - 1)
+                dn = jnp.logical_and(
+                    jnp.logical_and(rho_gm < rho_k / tol, k_idx > 0),
+                    ~up)
+                k_idx = (k_idx + up.astype(jnp.int32)
+                         - dn.astype(jnp.int32))
+            if rho_stride > 1:
+                adapt = ((k // check_interval) + 1) % rho_stride == 0
+                k_idx = jnp.where(adapt, k_idx, old_idx)
+        newly = jnp.logical_and(
+            open_m, jnp.logical_and(pri < eps_pri, dua < eps_dua))
+        k = k + _i32(check_interval)
+        iters = jnp.where(newly, k.astype(jnp.float32), iters)
+        status = jnp.where(newly, one, status)
+        done = jnp.where(newly, one, done)
+        return (Y, k_idx, rho, k, pri, dua, done, iters, status, res_idx)
+
+    def cond(state):
+        k, done = state[3], state[6]
+        all_done = jnp.min(done) > np.float32(0.5)
+        return jnp.logical_and(~all_done,
+                               k < _i32(n_chunks * check_interval))
+
+    k0 = sm_scr[0]
+    zcol = jnp.zeros((bp, 1), jnp.float32)
+    state = (y_scr[:], k0,
+             rhos_ref[k0].astype(jnp.float32) * (zcol + one),
+             jnp.asarray(0, jnp.int32), zcol, zcol,
+             pad,                       # pad rows start done (done0)
+             zcol,                      # iters (0 for never-open rows)
+             pad,                       # pad rows report SOLVED
+             sm_scr[1])
+    n_act0 = jnp.sum(jnp.where(pad < np.float32(0.5), one, zero))
+    state = body(state)                    # first window always runs
+    state = lax.while_loop(cond, body, state)
+    Y, k_idx, rho, k, pri, dua, done, iters, status, res_idx = state
+
+    v0 = jnp.dot(Y, su_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp).astype(dtype)
+    u = v0 - kx
+    x_next = (ax + jnp.dot(u, bdw_ref[:],
+                           preferred_element_type=jnp.float32,
+                           precision=hp).astype(dtype)
+              + noise_ref[0])
+
+    y_scr[:] = Y
+    x_scr[:] = x_next
+    u_scr[:] = u
+    sm_scr[0] = k_idx
+    sm_scr[1] = res_idx
+    dma_x = pltpu.make_async_copy(x_scr, xs_ref.at[i], out_sem)
+    dma_x.start()
+    dma_x.wait()
+    dma_u = pltpu.make_async_copy(u_scr, us_ref.at[i], out_sem)
+    dma_u.start()
+    dma_u.wait()
+    yout_ref[:] = Y
+    # ensemble stats row via the same iota-select + DMA pattern as the
+    # single-plant kernel (see its comment on Mosaic's lane tiling)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.zeros((1, 128), jnp.float32)
+    for slot, val in ((0, k.astype(jnp.float32)),
+                      (1, jnp.max(pri)), (2, jnp.max(dua)),
+                      (3, n_act0), (4, k_idx.astype(jnp.float32)),
+                      (5, jnp.min(status)),
+                      (6, jnp.sum(one - status))):
+        row = jnp.where(lane == _i32(slot), val, row)
+    st_scr[:] = row
+    dma_s = pltpu.make_async_copy(st_scr, stats_ref.at[i], out_sem)
+    dma_s.start()
+    dma_s.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "nc", "nxp", "ncp", "nup", "nplp", "n_steps",
+                     "max_iter", "check_interval", "adaptive_rho",
+                     "adaptive_rho_tolerance", "rho_min", "rho_max",
+                     "rho_jump", "adaptive_rho_interval"))
+def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
+                         lo0, hi0, S_z, S_u, Bdw, Y0, X0, pad_mask, noise,
+                         rho_ind0, *,
+                         nx: int, nc: int, nxp: int, ncp: int, nup: int,
+                         nplp: int, n_steps: int, max_iter: int,
+                         check_interval: int, adaptive_rho: bool,
+                         adaptive_rho_tolerance: float, eps_abs: float,
+                         rho_min: float, rho_max: float,
+                         rho_jump: bool = False,
+                         adaptive_rho_interval: int = 1):
+    """T warm-started SCENARIO-MPC steps (B plants) as ONE kernel launch.
+
+    Returns ``(xs (T, Bp, nplp), us (T, Bp, nup), stats (T, 8),
+    Y_f (Bp, Dp))``. ``pad_mask (Bp, 1)`` flags inert batch-padding
+    rows; ``noise (T, Bp, nplp)`` is the per-scenario process
+    disturbance (zeros when undisturbed). See
+    ``_kernel_scan_rollout_batched`` for the cell body and
+    ``models.mpc.scenario_rollout_scan(kernel="scan")`` for operand
+    preparation.
+    """
+    from ..core.iteration import rho_update_stride
+    n_rho, dp, _ = Wt_bank.shape
+    bp = Y0.shape[0]
+    dtype = Y0.dtype
+    if max_iter % check_interval != 0:
+        raise ValueError("the scan-rollout kernel requires max_iter to "
+                         "be a multiple of check_interval")
+    unroll = True if dp <= 512 else 1
+    kernel = functools.partial(
+        _kernel_scan_rollout_batched, nx, nc, nxp, ncp, nup, nplp,
+        max_iter, check_interval, bool(adaptive_rho),
+        float(adaptive_rho_tolerance), float(rho_min), float(rho_max),
+        bool(rho_jump),
+        rho_update_stride(adaptive_rho_interval, check_interval), unroll)
+
+    def _whole(a, space=pltpu.VMEM):
+        zeros = (_I0,) * a.ndim
+        return pl.BlockSpec(a.shape, lambda i, s, _z=zeros: _z,
+                            memory_space=space)
+
+    _any = pl.BlockSpec(memory_space=pl.ANY)
+    args = [Wt_bank, bias_c.reshape(n_rho, 1, dp),
+            M_aff, rhos.astype(jnp.float32),
+            jnp.asarray(eps_abs, jnp.float32).reshape(1),
+            M_res, g0w.reshape(1, nxp), gl_op, lo0.reshape(1, dp),
+            hi0.reshape(1, dp), S_z, S_u, Bdw, Y0, X0,
+            pad_mask.reshape(bp, 1), noise]
+    in_specs = [
+        _any,                                    # W bank: HBM, streamed
+        _whole(args[1]),                         # bias_c (N, 1, Dp)
+        _any,                                    # M_aff: HBM, streamed
+        _whole(args[3], pltpu.SMEM),             # rhos
+        _whole(args[4], pltpu.SMEM),             # eps_abs (runtime)
+        _whole(args[5]),                         # M_res
+        _whole(args[6]),                         # g0w
+        _whole(args[7]),                         # gl_op
+        _whole(args[8]),                         # lo0
+        _whole(args[9]),                         # hi0
+        _whole(args[10]),                        # S_z
+        _whole(args[11]),                        # S_u
+        _whole(args[12]),                        # Bdw
+        _whole(args[13]),                        # Y0 (Bp, Dp)
+        _whole(args[14]),                        # X0 (Bp, nplp)
+        _whole(args[15]),                        # pad mask (Bp, 1)
+        pl.BlockSpec((1, bp, nplp), lambda i, s: (i, _I0, _I0),
+                     memory_space=pltpu.VMEM),   # noise slice per cell
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # xs (T, Bp, nplp), HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # us (T, Bp, nup), HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # stats (T, 1, 128)
+            pl.BlockSpec((bp, dp), lambda i, s: (_I0, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bp, dp), dtype),          # Y carry
+            pltpu.VMEM((bp, nplp), dtype),        # X carry
+            pltpu.VMEM((bp, nup), dtype),         # U block (DMA source)
+            pltpu.VMEM((1, 128), jnp.float32),    # stats row (DMA source)
+            pltpu.SMEM((2,), jnp.int32),          # [rho_ind, resident]
+            pltpu.VMEM((dp, dp), Wt_bank.dtype),  # W rung scratch
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM(M_aff.shape[1:], M_aff.dtype),   # M rung scratch
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),          # trajectory-row DMAs
+        ],
+    )
+    xs, us, stats, Y_f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps, bp, nplp), dtype),
+            jax.ShapeDtypeStruct((n_steps, bp, nup), dtype),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bp, dp), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            # FLOPs: iteration GEMMs + the residual-operator matmul per
+            # window, for a typical warm budget of one window per step.
+            flops=2 * n_steps * bp * dp * (check_interval * dp
+                                           + 2 * ncp + 2 * nxp),
+            # bytes: rung re-DMAs are rung-change-only; charge one W+M
+            # fill plus the per-step state/trajectory traffic (see the
+            # full_rollout cost-model note).
+            bytes_accessed=(dp * dp + n_steps * bp * (dp + 2 * nplp))
+            * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), *args)
+    return (xs, us, stats.reshape(n_steps, 128)[:, :8], Y_f)

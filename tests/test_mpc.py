@@ -292,3 +292,70 @@ def test_kernel_rollout_gating():
     xs, us, it = mpc_rollout_scan(ctrl.solver, ctrl.prob,
                                   np.array([1.0, 0.0]), 3, kernel="auto")
     assert np.all(np.isfinite(np.asarray(xs)))
+
+
+def test_auto_kernel_follows_measured_ranking(monkeypatch):
+    """kernel='auto' encodes the measured ranking: scan when eligible
+    (docs/perf_notes.md: scan ≻ loop ≻ fused in the warm regime), else
+    loop; a scan-path compile failure demotes to loop instead of
+    crashing; fused is never auto-picked (it loses to the loop warm)."""
+    import pytest
+    from reluqp_tpu.models import mpc as mpc_mod
+    Ad, Bd, Q, R = _di()
+    ctrl = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+               eps_abs=1e-4, backend="xla")
+    x0 = np.array([1.0, 0.0])
+    calls = []
+
+    def fake_eligible(solver, ci=None, budget=None):
+        calls.append(("eligible", ci, budget))
+        return True
+
+    def fake_scan(solver, prob, x_init, n_steps, solve_max_iter, ci,
+                  y0, rho_ind0):
+        calls.append(("scan",))
+        return ("SCAN",) * 5
+
+    monkeypatch.setattr(mpc_mod, "_scan_rollout_eligible", fake_eligible)
+    monkeypatch.setattr(mpc_mod, "_scan_rollout", fake_scan)
+    out = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, 3, kernel="auto")
+    assert out == ("SCAN",) * 3 and ("scan",) in calls
+
+    # compile failure on the scan path demotes auto to the loop path
+    def broken_scan(*a, **kw):
+        raise mpc_mod._SCAN_COMPILE_ERRORS[0]("mosaic says no")
+
+    monkeypatch.setattr(mpc_mod, "_scan_rollout", broken_scan)
+    xs, us, it = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, 3,
+                                  kernel="auto")
+    assert np.all(np.isfinite(np.asarray(xs)))
+
+    # but an EXPLICIT kernel='scan' request must surface the failure
+    with pytest.raises(mpc_mod._SCAN_COMPILE_ERRORS[0]):
+        mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, 3, kernel="scan")
+
+    # ineligible → loop, scan never attempted
+    calls.clear()
+    monkeypatch.setattr(mpc_mod, "_scan_rollout_eligible",
+                        lambda *a, **k: False)
+    xs, us, it = mpc_rollout_scan(ctrl.solver, ctrl.prob, x0, 3,
+                                  kernel="auto")
+    assert np.all(np.isfinite(np.asarray(xs))) and ("scan",) not in calls
+
+
+def test_scan_rollout_budget_gate():
+    """A solve_max_iter smaller than one check window makes the scan
+    kernel ineligible (never silently rounded UP past the budget), and
+    _scan_rollout itself raises if reached directly."""
+    import pytest
+    from reluqp_tpu.models.mpc import _scan_rollout, _scan_rollout_eligible
+    Ad, Bd, Q, R = _di()
+    ctrl = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+               eps_abs=1e-4, backend="xla", check_interval=25)
+    assert not _scan_rollout_eligible(ctrl.solver, None, budget=10)
+    with pytest.raises(ValueError, match="scan"):
+        mpc_rollout_scan(ctrl.solver, ctrl.prob, np.array([1.0, 0.0]), 3,
+                         kernel="scan", solve_max_iter=10)
+    with pytest.raises(ValueError, match="budget"):
+        _scan_rollout(ctrl.solver, ctrl.prob, np.array([1.0, 0.0]), 3,
+                      10, None, None, None)

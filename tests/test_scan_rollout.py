@@ -130,3 +130,130 @@ def test_scan_rollout_non_divisible_window():
     xs_k, _, it_k, _, _ = _scan(_ctrl(max_iter=2000), [1.0, 0.0], T, ci=3)
     assert np.isfinite(np.asarray(xs_k)).all()
     assert (np.asarray(it_k) % 3 == 0).all()
+
+
+# --------------------------------------------------------------------- #
+# batched (scenario) whole-rollout kernel                               #
+# --------------------------------------------------------------------- #
+
+def _scenario_setup(B=5, eps=1e-4, **setup_kw):
+    from reluqp_tpu.batch import BatchedReLU_QP
+    from reluqp_tpu.models.mpc import gen_condensed_mpc_qp, ihlqr
+    Ad, Bd, Q, R = _di()
+    N = 8
+    K, Qf = ihlqr(Ad, Bd, Q, R)
+    ns = 3
+    rows = []
+    for k in range(N):
+        r = np.zeros((1, N * ns))
+        r[0, k * ns] = 1.0
+        rows.append(r)
+    prob = gen_condensed_mpc_qp(Ad, Bd, Q, R, Qf, N, np.vstack(rows),
+                                -np.ones(N), np.ones(N), K=K)
+    rng = np.random.RandomState(3)
+    X0 = np.array([[1.0, 0.0]]) + 0.2 * rng.randn(B, 2)
+    m = BatchedReLU_QP()
+    m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
+            np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
+            eps_abs=eps, backend="xla" if not _ON_ACCEL else "auto",
+            **setup_kw)
+    return m, prob, X0
+
+
+def _scenario_scan(m, prob, X0, T, ci=None, noise=None, Y0=None,
+                   rho0=None):
+    from reluqp_tpu.models.mpc import _scan_scenario_rollout
+    import jax.numpy as _jnp
+    if noise is None:
+        noise = np.zeros((T, X0.shape[0] if np.ndim(X0) == 2
+                          else len(X0), 2))
+    if _ON_ACCEL:
+        return _scan_scenario_rollout(
+            m, prob, _jnp.asarray(np.asarray(X0, np.float64),
+                                  m.settings.precision_dtype),
+            T, None, ci, m.Y if Y0 is None else Y0,
+            m.rho_ind if rho0 is None else rho0, noise)
+    with pltpu.force_tpu_interpret_mode():
+        return _scan_scenario_rollout(
+            m, prob, _jnp.asarray(np.asarray(X0, np.float64),
+                                  m.settings.precision_dtype),
+            T, None, ci, m.Y if Y0 is None else Y0,
+            m.rho_ind if rho0 is None else rho0, noise)
+
+
+@pytest.mark.tpu_smoke
+def test_scenario_scan_matches_loop():
+    """The batched whole-rollout kernel reproduces the XLA scenario
+    loop: trajectories, controls, and per-step collective iteration
+    counts (the rho_mode='shared' geometric-mean ladder walk and the
+    per-row done-freeze are mirrored in-kernel)."""
+    from reluqp_tpu.models.mpc import scenario_rollout_scan
+    T, B = 20, 5
+    m_l, prob, X0 = _scenario_setup(B)
+    Xs_l, Us_l, it_l = scenario_rollout_scan(m_l, prob, X0, T)
+    m_k, _, _ = _scenario_setup(B)
+    Xs_k, Us_k, it_k, Y_f, rho_f = _scenario_scan(m_k, prob, X0, T)
+    Xs_k = np.asarray(Xs_k, np.float64)
+    assert Xs_k.shape == (T + 1, B, 2)
+    assert np.asarray(Us_k).shape == (T, B, 1)
+    assert np.abs(Xs_k - np.asarray(Xs_l, np.float64)).max() < 1e-4
+    assert np.abs(np.asarray(Us_k, np.float64)
+                  - np.asarray(Us_l, np.float64)).max() < 1e-4
+    assert (np.asarray(it_k) == np.asarray(it_l)).all()
+    assert np.isfinite(np.asarray(Y_f)).all()
+    assert 0 <= int(rho_f) < len(m_k.rhos_np)
+
+
+def test_scenario_scan_noise_and_window():
+    """Per-scenario process noise + an explicit check window through
+    the batched kernel match the XLA loop."""
+    from reluqp_tpu.models.mpc import scenario_rollout_scan
+    T, B = 15, 4
+    rng = np.random.RandomState(7)
+    noise = 0.02 * rng.randn(T, B, 2)
+    m_l, prob, X0 = _scenario_setup(B)
+    Xs_l, Us_l, it_l = scenario_rollout_scan(m_l, prob, X0, T,
+                                             noise=noise,
+                                             check_interval=5)
+    m_k, _, _ = _scenario_setup(B)
+    Xs_k, Us_k, it_k, _, _ = _scenario_scan(m_k, prob, X0, T, ci=5,
+                                            noise=noise)
+    assert np.abs(np.asarray(Xs_k, np.float64)
+                  - np.asarray(Xs_l, np.float64)).max() < 1e-4
+    assert (np.asarray(it_k) == np.asarray(it_l)).all()
+
+
+def test_scenario_scan_continuation():
+    """Two stitched kernel segments equal one long run (the auto-ci
+    driver's contract), carrying Y/rho_ind/X across the boundary."""
+    T1, T2, B = 8, 8, 4
+    m, prob, X0 = _scenario_setup(B)
+    Xs_a, Us_a, it_a, Y_f, rho_f = _scenario_scan(m, prob, X0, T1)
+    Xs_b, Us_b, it_b, _, _ = _scenario_scan(
+        m, prob, np.asarray(Xs_a)[-1], T2, Y0=Y_f, rho0=rho_f)
+    m2, _, _ = _scenario_setup(B)
+    Xs_full, _, it_full, _, _ = _scenario_scan(m2, prob, X0, T1 + T2)
+    stitched = np.concatenate([np.asarray(Xs_a), np.asarray(Xs_b)[1:]])
+    assert np.abs(stitched - np.asarray(Xs_full)).max() < 1e-5
+    assert (np.concatenate([np.asarray(it_a), np.asarray(it_b)])
+            == np.asarray(it_full)).all()
+
+
+def test_scenario_scan_gating():
+    """kernel='scan' raises cleanly when ineligible; kernel='auto'
+    silently runs the loop path off-TPU; rho_mode / hetero guards."""
+    from reluqp_tpu.models.mpc import (_scan_scenario_eligible,
+                                       scenario_rollout_scan)
+    m, prob, X0 = _scenario_setup(4)
+    if not _ON_ACCEL:
+        assert not _scan_scenario_eligible(m)
+        with pytest.raises(ValueError, match="scan"):
+            scenario_rollout_scan(m, prob, X0, 3, kernel="scan")
+        Xs, Us, it = scenario_rollout_scan(m, prob, X0, 3, kernel="auto")
+        assert np.isfinite(np.asarray(Xs)).all()
+    # budget below one window is never eligible
+    assert not _scan_scenario_eligible(m, ci=25, budget=10)
+    # reduced iteration precision is never eligible
+    m2, prob2, X02 = _scenario_setup(4, iter_precision="high",
+                                     refine=False)
+    assert not _scan_scenario_eligible(m2)
