@@ -44,6 +44,18 @@ def main(argv=None):
                    help="per-rollout window override: an int or 'auto' "
                         "(self-calibrating; scenario_rollout_scan"
                         "(check_interval=...))")
+    p.add_argument("--no-refine", action="store_true",
+                   help="refine=False: single-phase reduced-precision "
+                        "iteration (required for kernel='scan' with "
+                        "--iter-precision high/bf16)")
+    p.add_argument("--kernel", default="loop",
+                   help="rollout path (loop|scan|auto): 'scan' runs the "
+                        "whole ensemble rollout as ONE Pallas launch "
+                        "(full_rollout_batched); 'auto' picks the "
+                        "measured winner")
+    p.add_argument("--noise", type=float, default=0.0,
+                   help="per-step process-noise std (scenario "
+                        "disturbance; 0 = undisturbed)")
     p.add_argument("--repeats", type=int, default=1,
                    help="independent measurements per batch size; the "
                         "record carries the max (congestion noise is "
@@ -83,6 +95,7 @@ def main(argv=None):
                 np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
                 eps_abs=args.tol, backend=args.backend,
                 iter_precision=args.iter_precision,
+                refine=not args.no_refine,
                 check_interval=args.check_interval)
         # Axon-safe two-point timing: fresh X0 per timed dispatch, scalar
         # fetch forces execution, overhead cancelled by differencing a
@@ -100,8 +113,11 @@ def main(argv=None):
             # auto mode's calibration segment is a fixed per-rollout cost
             # paid by both chain lengths — the two-point difference is
             # the tuned steady-state rate (see benchmarks/mpc_rate.py)
+            noise = (args.noise * rng.randn(n, B, args.nx)
+                     if args.noise > 0 else None)
             t0 = time.perf_counter()
-            Xs, _, _ = scenario_rollout_scan(m, prob, X, n,
+            Xs, _, _ = scenario_rollout_scan(m, prob, X, n, noise=noise,
+                                             kernel=args.kernel,
                                              check_interval=rollout_ci)
             float(jax.device_get(Xs[-1].sum()))
             return time.perf_counter() - t0, Xs

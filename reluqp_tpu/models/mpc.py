@@ -357,7 +357,9 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
                   rho_min: float, rho_max: float, chunk_runner,
                   iter_precision: str = "highest", refine: bool = True,
                   rho_jump: bool = False, adaptive_rho_interval: int = 1,
-                  alpha: float = 1.0):
+                  alpha: float = 1.0, check_infeasibility: bool = False,
+                  eps_prim_inf: float = 1e-4,
+                  eps_dual_inf: float = 1e-4):
     """Jitted body of ``mpc_rollout_scan``.
 
     All arrays are ARGUMENTS (not closure captures) so the weight bank is
@@ -426,16 +428,20 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
             rho_min=rho_min, rho_max=rho_max, chunk_runner=chunk_runner,
             iter_precision=iter_precision, refine=refine,
             rho_jump=rho_jump, adaptive_rho_interval=adaptive_rho_interval,
-            alpha=alpha, with_obj=False)
+            alpha=alpha, with_obj=False,
+            check_infeasibility=check_infeasibility,
+            eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf)
         v0 = res.y[:nu] * v0_scale
         u = -kx + v0
         x_next = ax + jnp.matmul(Bd, u, precision=hp)
-        return (res.y, res.rho_ind, x_next), (x_next, u, res.iters)
+        return (res.y, res.rho_ind, x_next), (x_next, u, res.iters,
+                                              res.status_code)
 
     carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
-    (y_f, rho_f, _), (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
-                                                  length=n_steps)
-    return jnp.concatenate([x0[None], xs], axis=0), us, its, y_f, rho_f
+    (y_f, rho_f, _), (xs, us, its, st) = jax.lax.scan(
+        ctrl_step, carry0, None, length=n_steps)
+    return (jnp.concatenate([x0[None], xs], axis=0), us, its, st, y_f,
+            rho_f)
 
 
 # Module-level jit handles (here and _scenario_jit below) are intentional:
@@ -449,7 +455,8 @@ _rollout_jit = jax.jit(
                      "adaptive_rho_tolerance", "rho_min",
                      "rho_max", "chunk_runner", "iter_precision",
                      "refine", "rho_jump", "adaptive_rho_interval",
-                     "alpha"))
+                     "alpha", "check_infeasibility", "eps_prim_inf",
+                     "eps_dual_inf"))
 
 
 def auto_check_interval(calib_iters, default_ci: int,
@@ -492,6 +499,7 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
                      solve_max_iter: Optional[int] = None,
                      kernel: str = "loop",
                      check_interval=None, calib_steps: int = 8,
+                     return_stats: bool = False,
                      return_state: bool = False):
     """Closed-loop MPC rollout as ONE compiled ``lax.scan`` on device.
 
@@ -551,7 +559,12 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         ci = (stng.check_interval if check_interval is None
               else int(check_interval))
         out = run(ci, x_init, solver.y, solver.rho_ind, n_steps)
-    return out if return_state else out[:3]
+    res = out[:3]
+    if return_stats:
+        res = res + (out[3],)
+    if return_state:
+        res = res + out[4:6]
+    return res
 
 
 def _auto_ci_rollout(run, stng, x_init, n_steps, calib_steps, y0, rho0,
@@ -559,15 +572,17 @@ def _auto_ci_rollout(run, stng, x_init, n_steps, calib_steps, y0, rho0,
     """Shared ``check_interval="auto"`` driver: ci=1 calibration segment,
     window sizing, tuned continuation, stitched trajectory."""
     calib = max(1, min(int(calib_steps), int(n_steps)))
-    st1, u1, it1, y_f, r_f = run(1, x_init, y0, rho0, calib)
+    st1, u1, it1, s1, y_f, r_f = run(1, x_init, y0, rho0, calib)
     it_host = np.asarray(jax.device_get(it1))
     ci = auto_check_interval(it_host, stng.check_interval, max_iter)
     if n_steps <= calib:
-        return st1, u1, it1, y_f, r_f
-    st2, u2, it2, y2, r2 = run(ci, st1[-1], y_f, r_f, n_steps - calib)
+        return st1, u1, it1, s1, y_f, r_f
+    st2, u2, it2, s2, y2, r2 = run(ci, st1[-1], y_f, r_f,
+                                   n_steps - calib)
     return (jnp.concatenate([st1, st2[1:]], axis=0),
             jnp.concatenate([u1, u2], axis=0),
-            jnp.concatenate([it1, it2], axis=0), y2, r2)
+            jnp.concatenate([it1, it2], axis=0),
+            jnp.concatenate([s1, s2], axis=0), y2, r2)
 
 
 def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
@@ -653,7 +668,10 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
         iter_precision=stng.iter_precision, refine=bool(stng.refine),
         rho_jump=bool(stng.rho_jump),
         adaptive_rho_interval=int(stng.adaptive_rho_interval),
-        alpha=float(stng.alpha))
+        alpha=float(stng.alpha),
+        check_infeasibility=bool(stng.check_infeasibility),
+        eps_prim_inf=float(stng.eps_prim_inf),
+        eps_dual_inf=float(stng.eps_dual_inf))
 
 
 def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
@@ -767,12 +785,14 @@ def _rollout_kernel_impl(Wt_bank, bias_c, rhos, M_res, M_aff, g0w, gl_map,
         x_next = (jnp.matmul(Ad, x, precision=hp)
                   + jnp.matmul(Bd, u, precision=hp))
         return (y, rho_ind, x_next), (x_next, u,
-                                      stats[0].astype(jnp.int32))
+                                      stats[0].astype(jnp.int32),
+                                      stats[5].astype(jnp.int32))
 
     carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
-    (y_f, rho_f, _), (xs, us, its) = jax.lax.scan(ctrl_step, carry0, None,
-                                                  length=n_steps)
-    return jnp.concatenate([x0[None], xs], axis=0), us, its, y_f, rho_f
+    (y_f, rho_f, _), (xs, us, its, st) = jax.lax.scan(
+        ctrl_step, carry0, None, length=n_steps)
+    return (jnp.concatenate([x0[None], xs], axis=0), us, its, st, y_f,
+            rho_f)
 
 
 _rollout_kernel_jit = jax.jit(
@@ -802,6 +822,11 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
             or getattr(solver, "_mesh", None) is not None \
             or solver.Dp != pad_dim(solver.D):
         return None
+    if pad_dim(solver.D) > 768:
+        # the ROLLOUT kernels still use whole-operand dots; only
+        # full_solve has the rung-tiled path that Dp > 768 needs
+        # (solve_kernel.full_solve dot_tile note)
+        return None
     nxp = round_up(max(solver.nx, LANE), LANE)
     ncp = round_up(max(solver.nc, LANE), LANE)
     # conservative bound on the plant dim (the eligibility check has no
@@ -821,13 +846,16 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
 def _scan_rollout_eligible(solver, ci=None, budget=None) -> bool:
     """Gate for the whole-ROLLOUT kernel (``full_rollout``): the
     whole-solve eligibility (streamed rung + affine bias fits VMEM)
-    plus: highest-only iteration (the scan kernel carries no two-phase
-    machinery) and an iteration budget (``solve_max_iter`` override or
-    ``settings.max_iter``) that fits at least one full check window —
-    the kernel runs whole windows only and must never exceed the
-    caller's budget by rounding it up."""
+    plus: single-phase iteration only (the scan kernel carries no
+    two-phase refine machinery — reduced ``iter_precision`` is allowed
+    with ``refine=False``, running every chunk at the reduced precision
+    with HIGHEST-precision residual certification, the same guarantee
+    ``full_solve`` documents) and an iteration budget (``solve_max_iter``
+    override or ``settings.max_iter``) that fits at least one full
+    check window — the kernel runs whole windows only and must never
+    exceed the caller's budget by rounding it up."""
     stng = solver.settings
-    if stng.iter_precision != "highest":
+    if stng.iter_precision != "highest" and stng.refine:
         return False
     ci_eff = stng.check_interval if ci is None else int(ci)
     eff_budget = stng.max_iter if budget is None else int(budget)
@@ -932,12 +960,14 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
         rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
-        adaptive_rho_interval=int(stng.adaptive_rho_interval))
+        adaptive_rho_interval=int(stng.adaptive_rho_interval),
+        iter_precision=stng.iter_precision)
     x0_row = x0_dev[:, :npl]
     states = jnp.concatenate([x0_row, xs[:, :npl]], axis=0)
     iters = stats[:, 0].astype(jnp.int32)
+    status = stats[:, 5].astype(jnp.int32)
     rho_f = stats[-1, 4].astype(jnp.int32)
-    return states, us[:, :nu], iters, y_f, rho_f
+    return states, us[:, :nu], iters, status, y_f, rho_f
 
 
 def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
@@ -957,7 +987,7 @@ def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
     if (not _is_tpu(stng.device) or not _mosaic_supports(
             stng.precision_dtype) or stng.alpha != 1.0
             or stng.check_infeasibility
-            or stng.iter_precision != "highest"):
+            or (stng.iter_precision != "highest" and stng.refine)):
         return False
     ci_eff = stng.check_interval if ci is None else int(ci)
     eff_budget = stng.max_iter if budget is None else int(budget)
@@ -969,13 +999,21 @@ def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
     nplp = round_up(max(m.nx, LANE), LANE)   # conservative plant dim
     bp = round_up(max(m.B_n, 8), 8)
     bs = jnp.dtype(stng.precision_dtype).itemsize
-    # W scratch + Mosaic matmul temporaries (the measured ~5-W model of
-    # full_solve_vmem_bytes) + M_res + streamed M rung + per-row blocks
-    # (Y carry/Y0/Yout/lo/hi/bias + (Bp, R) residual product + matmul
-    # temporaries, modeled as 8 (Bp, Dp) buffers + 2 (Bp, R))
-    total = (5 * dp * dp + dp * (2 * ncp + 2 * nxp) + nplp * dp
-             + 8 * bp * dp + 2 * bp * (2 * ncp + 2 * nxp)
-             + 6 * bp * nplp) * bs
+    n_rho = len(m.rhos_np)
+    # VMEM model CALIBRATED on the real chip at the north-star config
+    # (Dp=640, R=1024): B ∈ {16, 64, 128} compile and run, B=256 is
+    # refused by the Mosaic compiler — so per-row cost is modeled as 5
+    # (Bp, Dp) buffers (Y carry/out/lo/hi + GEMM temporaries) + one
+    # (Bp, R) residual product, and the W-sized scratch+temporaries as
+    # 4 rungs. With the 12 MB budget this admits exactly the measured
+    # envelope and refuses B=256 (which falls back to the loop path).
+    R = 2 * ncp + 2 * nxp
+    total = (4 * dp * dp + dp * R + nplp * dp + n_rho * dp
+             + 5 * bp * dp + bp * R) * bs
+    # iter_precision="high"/"bf16" adds a per-chunk bf16 hi/lo split of
+    # the rung (~1 f32-W of bf16 pairs) — measured to fit inside the
+    # 4-W allowance's headroom: B ∈ {64, 128} @ "high" compile and run
+    # on the same chip/config as the calibration above.
     return total <= _PALLAS_VMEM_BUDGET
 
 
@@ -1099,20 +1137,23 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
         adaptive_rho_tolerance=float(stng.adaptive_rho_tolerance),
         eps_abs=float(stng.eps_abs), rho_min=float(stng.rho_min),
         rho_max=float(stng.rho_max), rho_jump=bool(stng.rho_jump),
-        adaptive_rho_interval=int(stng.adaptive_rho_interval))
+        adaptive_rho_interval=int(stng.adaptive_rho_interval),
+        iter_precision=stng.iter_precision)
     X0_row = X0k[None, :B_n, :npl]
     states = jnp.concatenate([X0_row, xs[:, :B_n, :npl]], axis=0)
     iters = stats[:, 0].astype(jnp.int32)
+    status = stats[:, 5].astype(jnp.int32)
     rho_f = stats[-1, 4].astype(jnp.int32)
     # back to the batch solver's layout for continuation segments
     Y_out = jnp.zeros((m.Y.shape[0], m.Y.shape[1]), dtype=dtype)
     Y_out = Y_out.at[:B_n, :D].set(Y_f[:B_n, :D])
-    return states, us[:, :B_n, :nu], iters, Y_out, rho_f
+    return states, us[:, :B_n, :nu], iters, status, Y_out, rho_f
 
 
 def _scenario_scan_driver(m, prob: CondensedMPC, X_init, n_steps: int,
                           noise, solve_max_iter, check_interval,
-                          calib_steps, return_state):
+                          calib_steps, return_state,
+                          return_stats=False):
     """Kernel-path driver for ``scenario_rollout_scan``: noise
     materialization, segment slicing (the ``"auto"`` window driver runs
     a ci=1 calibration segment then the tuned continuation), and the
@@ -1149,7 +1190,12 @@ def _scenario_scan_driver(m, prob: CondensedMPC, X_init, n_steps: int,
         ci = (stng.check_interval if check_interval is None
               else int(check_interval))
         out = run(ci, X0, m.Y, m.rho_ind, n_steps)
-    return out if return_state else out[:3]
+    res = out[:3]
+    if return_stats:
+        res = res + (out[3],)
+    if return_state:
+        res = res + out[4:6]
+    return res
 
 
 def _affine_bias_fp64(B64, g0_s, gx0_s):
@@ -1215,7 +1261,10 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
                            iter_precision: str = "highest",
                            refine: bool = True, use_pallas: bool = False,
                            adaptive_rho_interval: int = 1,
-                           alpha: float = 1.0):
+                           alpha: float = 1.0,
+                           check_infeasibility: bool = False,
+                           eps_prim_inf: float = 1e-4,
+                           eps_dual_inf: float = 1e-4):
     """Jitted body of ``scenario_rollout_scan`` (arrays are arguments)."""
     import jax
     import jax.numpy as jnp
@@ -1260,19 +1309,24 @@ def _scenario_rollout_impl(Wt_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_,
             rho_min=rho_min, rho_max=rho_max, rho_mode="shared",
             rho_jump=rho_jump, iter_precision=iter_precision,
             refine=refine, chunk_runner=runner,
-            adaptive_rho_interval=adaptive_rho_interval, alpha=alpha)
+            adaptive_rho_interval=adaptive_rho_interval, alpha=alpha,
+            check_infeasibility=check_infeasibility,
+            eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf)
         # Unscale the first-stage variable back to plant units (identity
         # when the batch solver runs without Ruiz scaling).
         V0 = res.Y[:, :nu] * v0_scale[None, :]
         U = -jnp.matmul(X, Kg.T, precision=hp) + V0
         X_next = (jnp.matmul(X, Ad.T, precision=hp)
                   + jnp.matmul(U, Bd.T, precision=hp) + w)
-        return (res.Y, res.rho_ind, X_next), (X_next, U, res.n_iter_total)
+        return (res.Y, res.rho_ind, X_next), (X_next, U,
+                                              res.n_iter_total,
+                                              jnp.min(res.status))
 
     carry0 = (Y0, jnp.asarray(rho_ind0, jnp.int32), X0)
-    (Y_f, rho_f, _), (Xs, Us, its) = jax.lax.scan(ctrl_step, carry0, noise,
-                                                  length=n_steps)
-    return jnp.concatenate([X0[None], Xs], axis=0), Us, its, Y_f, rho_f
+    (Y_f, rho_f, _), (Xs, Us, its, st) = jax.lax.scan(
+        ctrl_step, carry0, noise, length=n_steps)
+    return (jnp.concatenate([X0[None], Xs], axis=0), Us, its, st, Y_f,
+            rho_f)
 
 
 _scenario_jit = jax.jit(
@@ -1281,7 +1335,9 @@ _scenario_jit = jax.jit(
                      "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "rho_min",
                      "rho_max", "rho_jump", "iter_precision", "refine",
-                     "use_pallas", "adaptive_rho_interval", "alpha"))
+                     "use_pallas", "adaptive_rho_interval", "alpha",
+                     "check_infeasibility", "eps_prim_inf",
+                     "eps_dual_inf"))
 
 
 def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
@@ -1289,6 +1345,7 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
                           solve_max_iter: Optional[int] = None,
                           kernel: str = "loop",
                           check_interval=None, calib_steps: int = 8,
+                          return_stats: bool = False,
                           return_state: bool = False):
     """Closed-loop SCENARIO MPC: B plants under one shared condensed
     controller, the whole ensemble as ONE compiled ``lax.scan``.
@@ -1333,7 +1390,8 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
             try:
                 return _scenario_scan_driver(
                     m, prob, X_init, n_steps, noise, solve_max_iter,
-                    check_interval, calib_steps, return_state)
+                    check_interval, calib_steps, return_state,
+                    return_stats)
             except _SCAN_COMPILE_ERRORS:  # pragma: no cover - env-bound
                 kernel = "loop"
     if kernel == "scan":
@@ -1346,7 +1404,8 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
                 "operands that fit VMEM")
         return _scenario_scan_driver(m, prob, X_init, n_steps, noise,
                                      solve_max_iter, check_interval,
-                                     calib_steps, return_state)
+                                     calib_steps, return_state,
+                                     return_stats)
     if m.B_pad != m.B_n:
         raise ValueError("the XLA scenario rollout requires an unpadded "
                          "batch (use backend='xla' for the batch "
@@ -1402,7 +1461,10 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
             iter_precision=stng.iter_precision, refine=bool(stng.refine),
             use_pallas=bool(m._use_pallas),
             adaptive_rho_interval=int(stng.adaptive_rho_interval),
-            alpha=float(stng.alpha))
+            alpha=float(stng.alpha),
+            check_infeasibility=bool(stng.check_infeasibility),
+            eps_prim_inf=float(stng.eps_prim_inf),
+            eps_dual_inf=float(stng.eps_dual_inf))
 
     if check_interval == "auto":
         out = _auto_ci_rollout(run, stng, X0, n_steps, calib_steps,
@@ -1412,4 +1474,9 @@ def scenario_rollout_scan(batch_solver, prob: CondensedMPC, X_init,
         ci = (stng.check_interval if check_interval is None
               else int(check_interval))
         out = run(ci, X0, m.Y, m.rho_ind, n_steps)
-    return out if return_state else out[:3]
+    res = out[:3]
+    if return_stats:
+        res = res + (out[3],)
+    if return_state:
+        res = res + out[4:6]
+    return res

@@ -240,15 +240,20 @@ def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
     bs = jnp.dtype(dtype).itemsize
     alpha_mode = alpha != 1.0
     R = 2 * ncp + (nxp if alpha_mode else 2 * nxp)
-    # streaming holds ONE rung — but Mosaic's scoped stack adds several
-    # W-sized temporaries around the in-kernel matmuls (measured: 27.3 MB
-    # scoped allocation at Dp=1024 f32 = ~5 W-equivalents once M_res's
-    # 1.5 W-eq share is counted separately below; Dp=640 measured ~11 MB
-    # total and runs. The whole-bank mode never hits this because its
-    # bank bound binds first). Model the streaming footprint as 5 W-sized
-    # buffers; with the 12 MB budget this admits Dp ≤ 640 (the kHz-MPC
-    # regime the resident kernel could not reach) and refuses Dp = 1024.
-    bank_elems = 5 * dp * dp if stream_bank else n_rho * dp * dp
+    # Streaming holds ONE rung. Round-5 on-chip calibration: whole-
+    # operand dots run up to Dp=768 (W scratch + ~2 W-eq of Mosaic
+    # dot temporaries; nx=323 of the reference protocol solves), and
+    # beyond that ``full_solve`` switches to the rung-TILED dot
+    # (dot_tile=256: the contraction streams (256, Dp) ref tiles, never
+    # materializing the rung as a value) whose footprint is the scratch
+    # plus two tile-sized buffers — Dp=1024 (protocol nx=500) compiles
+    # and runs where the whole-dot kernel was refused by the compiler.
+    # The whole-bank mode never hits this: its bank bound binds first.
+    if stream_bank:
+        bank_elems = (dp * dp + 256 * dp if dp > 768
+                      else 3 * dp * dp)
+    else:
+        bank_elems = n_rho * dp * dp
     total = (bank_elems + n_rho * dp + dp * R
              + 8 * dp + 4 * R) * bs
     if alpha_mode:
@@ -281,6 +286,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
             tol, rho_min, rho_max, rho_jump, rho_stride, unroll,
             alpha_mode, verbose, iter_precision, refine,
             check_infeas, eps_pinf, eps_dinf, stream, bias_affine,
+            dot_tile,
             # refs (scalar prefetch first, then inputs, then outputs)
             rho0_ref, wt_ref, b_ref, rhos_ref, eps_ref, mres_ref, g_ref,
             lo_ref, hi_ref, y_ref, *rest):
@@ -366,10 +372,31 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     eps_dua = eps_ref[0] * np.sqrt(nx).astype(np.float32)
     hp = lax.Precision.HIGHEST
 
+    def tdot_ref(y, ref):
+        """(1, K) @ ref[(K, N)], the contraction streamed in row-block
+        tiles READ FROM THE REF per tile — never materializes the whole
+        (K, N) operand as a value, which bounds Mosaic's scoped-memory
+        peak at large Dp (the round-4 wall: whole-operand dots at
+        Dp=1024 exceed VMEM; tiled, Dp=1024 compiles and runs)."""
+        if dot_tile is None:
+            return jnp.dot(y, ref[:], preferred_element_type=jnp.float32,
+                           precision=hp)
+        K = y.shape[1]
+        acc = jnp.zeros((y.shape[0], ref.shape[1]), jnp.float32)
+        for t in range(0, K, dot_tile):
+            acc = acc + jnp.dot(y[:, t:t + dot_tile],
+                                ref[t:t + dot_tile, :],
+                                preferred_element_type=jnp.float32,
+                                precision=hp)
+        return acc
+
     def chunk(y, k_idx, n_steps: int, prec: str):
         # (Dp, Dp): the resident scratch rung (streaming) or a dynamic
-        # index into the VMEM-resident bank
-        wt = w_scr_ref[:] if stream else wt_ref[k_idx]
+        # index into the VMEM-resident bank. With a tiled dot the rung
+        # is never loaded whole — tdot_ref reads it tile-by-tile.
+        tiled = stream and dot_tile is not None
+        wt = None if tiled else (w_scr_ref[:] if stream
+                                 else wt_ref[k_idx])
         b = bias_row(k_idx)                      # (1, Dp) — bank is (N,1,Dp)
         if prec == "bf16":
             wt_b = wt.astype(jnp.bfloat16)
@@ -396,11 +423,21 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         else:
 
             def it(y):
-                yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
-                             precision=hp)
+                if tiled:
+                    yw = tdot_ref(y, w_scr_ref)
+                else:
+                    yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
+                                 precision=hp)
                 return jnp.clip(yw.astype(dtype) + b, lo, hi)
 
-        return _fori(n_steps, it, y, (n_steps if unroll else 1))
+        # NOTE: pass ``unroll`` THROUGH — the round-4 form
+        # ``n_steps if unroll else 1`` treated the int 1 as truthy and
+        # fully unrolled every window regardless of Dp, which is where
+        # the 27.27 MB scoped-VMEM blowup at Dp=1024 actually came from
+        # (25 textual dot instances, ~1 MB of Mosaic dot temporaries
+        # each — measured round 5; the whole-dot NESTED-loop kernel
+        # itself compiles fine at Dp=1024).
+        return _fori(n_steps, it, y, unroll)
 
     def lam_and_d(y, k_idx):
         """(λ (1,ncp), d (1,ncp)) — λ reconstruction for residuals and
@@ -417,8 +454,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     need_lam = alpha_mode or check_infeas
 
     def residuals(y, rho, k_idx):
-        r = jnp.dot(y, mres_ref[:], preferred_element_type=jnp.float32,
-                    precision=hp)  # (1, R)
+        r = tdot_ref(y, mres_ref)  # (1, R)
         ax = r[:, 0:ncp]
         z = r[:, ncp:2 * ncp]
         hx = r[:, 2 * ncp:2 * ncp + nxp]
@@ -452,8 +488,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
         dlam = (lam - lam_prev).astype(f32)                     # (1, ncp)
         # x-rows of M_res feed the Ax/Hx segments exclusively — applying
         # it to δy yields A δx and H δx without any slot masking.
-        r_d = jnp.dot(dy.astype(dtype), mres_ref[:],
-                      preferred_element_type=f32, precision=hp)
+        r_d = tdot_ref(dy.astype(dtype), mres_ref)
         adx = r_d[:, 0:ncp] * invwp_ref[:].astype(f32)
         hdx = r_d[:, 2 * ncp:2 * ncp + nxp] * invwd_ref[:].astype(f32)
         atdl = jnp.dot(dlam.astype(dtype), ainf_ref[:],
@@ -705,7 +740,17 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
     from ..core.iteration import rho_update_stride
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
-    unroll = True if dp <= 512 else 1
+    unroll = True if dp <= 640 else 1   # ≤640: full window unroll (measured regime)
+    # Beyond Dp=640 the streamed kernel's whole-operand dots exceed
+    # Mosaic's scoped-memory limit (measured: Dp=768 whole-dot runs,
+    # Dp=1024 is refused); tile the contraction so the sweep's largest
+    # sizes (nx=500 -> Dp=1024) fit. Highest-precision path only — the
+    # Dekker-split paths materialize rung-sized temporaries by design.
+    dot_tile = 256 if (stream_bank and dp > 768) else None
+    if dot_tile is not None and iter_precision != "highest":
+        raise ValueError(
+            "the rung-tiled streaming path (Dp > 768) supports "
+            "iter_precision='highest' only")
     kernel = functools.partial(
         _kernel, nx, nc, nxp, ncp, max_iter, check_interval,
         bool(adaptive_rho), float(adaptive_rho_tolerance),
@@ -713,7 +758,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
         rho_update_stride(adaptive_rho_interval, check_interval), unroll,
         bool(alpha_mode), bool(verbose), str(iter_precision), bool(refine),
         bool(check_infeasibility), float(eps_prim_inf), float(eps_dual_inf),
-        bool(stream_bank), bias_affine is not None)
+        bool(stream_bank), bias_affine is not None, dot_tile)
     # Every spec gets an EXPLICIT whole-array block + pinned-i32 index
     # map: a BlockSpec with only a memory_space synthesizes a default
     # index map whose Python-int zeros become i64 constants under
@@ -799,9 +844,45 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
 # whole-ROLLOUT kernel: T control steps in ONE launch                    #
 # --------------------------------------------------------------------- #
 
+def _make_iter(wt, b, lo, hi, dtype, prec: str):
+    """Per-iteration ``y ← clip(y @ Wᵀ + b)`` at the requested matmul
+    precision — shared by the scan-rollout kernels. "high" is the
+    bf16x3 Dekker split of ``full_solve``'s chunk (Mosaic has no
+    Precision.HIGH lowering); "bf16" is one MXU pass. Residual checks
+    in the callers always run HIGHEST, so convergence is never
+    certified at reduced precision (same guarantee as ``full_solve``)."""
+    if prec == "bf16":
+        wt_b = wt.astype(jnp.bfloat16)
+
+        def it(y):
+            yw = jnp.dot(y.astype(jnp.bfloat16), wt_b,
+                         preferred_element_type=jnp.float32)
+            return jnp.clip(yw.astype(dtype) + b, lo, hi)
+    elif prec == "high":
+        wt_h = wt.astype(jnp.bfloat16)
+        wt_l = (wt - wt_h.astype(wt.dtype)).astype(jnp.bfloat16)
+
+        def it(y):
+            y_h = y.astype(jnp.bfloat16)
+            y_l = (y - y_h.astype(y.dtype)).astype(jnp.bfloat16)
+            yw = (jnp.dot(y_h, wt_l, preferred_element_type=jnp.float32)
+                  + jnp.dot(y_l, wt_h, preferred_element_type=jnp.float32)
+                  + jnp.dot(y_h, wt_h,
+                            preferred_element_type=jnp.float32))
+            return jnp.clip(yw.astype(dtype) + b, lo, hi)
+    else:
+
+        def it(y):
+            yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+            return jnp.clip(yw.astype(dtype) + b, lo, hi)
+    return it
+
+
 def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
                          check_interval, adaptive_rho, tol, rho_min,
                          rho_max, rho_jump, rho_stride, unroll,
+                         iter_precision,
                          # refs: prefetch, inputs, outputs, scratch
                          rho0_ref, wt_ref, bias_c_ref, maff_ref, rhos_ref,
                          eps_ref, mres_ref, g0w_ref, gl_ref, lo0_ref,
@@ -887,13 +968,9 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
         b = bias_c_ref[k_idx] + jnp.dot(x, m_scr[:],
                                         preferred_element_type=jnp.float32,
                                         precision=hp).astype(dtype)
-
-        def it(y):
-            yw = jnp.dot(y, wt, preferred_element_type=jnp.float32,
-                         precision=hp)
-            return jnp.clip(yw.astype(dtype) + b, lo, hi)
-
-        return _fori(n_steps, it, y, unroll)
+        return _fori(n_steps,
+                     _make_iter(wt, b, lo, hi, dtype, iter_precision),
+                     y, unroll)
 
     def residuals(y, rho):
         r = jnp.dot(y, mres_ref[:], preferred_element_type=jnp.float32,
@@ -1011,7 +1088,8 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
     static_argnames=("nx", "nc", "nxp", "ncp", "nup", "nplp", "n_steps",
                      "max_iter", "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "rho_min", "rho_max",
-                     "rho_jump", "adaptive_rho_interval"))
+                     "rho_jump", "adaptive_rho_interval",
+                     "iter_precision"))
 def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
                  hi0, S_z, S_u, Bdw, y0, x0, rho_ind0, *,
                  nx: int, nc: int, nxp: int, ncp: int, nup: int,
@@ -1019,7 +1097,8 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
                  check_interval: int, adaptive_rho: bool,
                  adaptive_rho_tolerance: float, eps_abs: float,
                  rho_min: float, rho_max: float, rho_jump: bool = False,
-                 adaptive_rho_interval: int = 1):
+                 adaptive_rho_interval: int = 1,
+                 iter_precision: str = "highest"):
     """T warm-started MPC control steps as ONE kernel launch.
 
     Returns ``(xs (T, nplp), us (T, nup), stats (T, 8), y_f (Dp,))`` —
@@ -1035,13 +1114,14 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
     if max_iter % check_interval != 0:
         raise ValueError("the scan-rollout kernel requires max_iter to "
                          "be a multiple of check_interval")
-    unroll = True if dp <= 512 else 1
+    unroll = True if dp <= 640 else 1   # ≤640: full window unroll (measured regime)
     kernel = functools.partial(
         _kernel_scan_rollout, nx, nc, nxp, ncp, nup, nplp, max_iter,
         check_interval, bool(adaptive_rho),
         float(adaptive_rho_tolerance), float(rho_min), float(rho_max),
         bool(rho_jump),
-        rho_update_stride(adaptive_rho_interval, check_interval), unroll)
+        rho_update_stride(adaptive_rho_interval, check_interval), unroll,
+        str(iter_precision))
 
     def _whole(a, space=pltpu.VMEM):
         zeros = (_I0,) * a.ndim
@@ -1122,7 +1202,7 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
 def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
                                  check_interval, adaptive_rho, tol,
                                  rho_min, rho_max, rho_jump, rho_stride,
-                                 unroll,
+                                 unroll, iter_precision,
                                  # refs: prefetch, inputs, outputs, scratch
                                  rho0_ref, wt_ref, bias_c_ref, maff_ref,
                                  rhos_ref, eps_ref, mres_ref, g0w_ref,
@@ -1219,13 +1299,9 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
         b = bias_c_ref[k_idx] + jnp.dot(x, m_scr[:],
                                         preferred_element_type=jnp.float32,
                                         precision=hp).astype(dtype)
-
-        def it(Y):
-            YW = jnp.dot(Y, wt, preferred_element_type=jnp.float32,
-                         precision=hp)
-            return jnp.clip(YW.astype(dtype) + b, lo, hi)
-
-        return _fori(n_steps, it, Y, unroll)
+        return _fori(n_steps,
+                     _make_iter(wt, b, lo, hi, dtype, iter_precision),
+                     Y, unroll)
 
     def residuals(Y, rho):
         """Per-scenario residuals + ρ estimates, (Bp, 1) each — the
@@ -1360,7 +1436,8 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
     static_argnames=("nx", "nc", "nxp", "ncp", "nup", "nplp", "n_steps",
                      "max_iter", "check_interval", "adaptive_rho",
                      "adaptive_rho_tolerance", "rho_min", "rho_max",
-                     "rho_jump", "adaptive_rho_interval"))
+                     "rho_jump", "adaptive_rho_interval",
+                     "iter_precision"))
 def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
                          lo0, hi0, S_z, S_u, Bdw, Y0, X0, pad_mask, noise,
                          rho_ind0, *,
@@ -1370,7 +1447,8 @@ def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
                          adaptive_rho_tolerance: float, eps_abs: float,
                          rho_min: float, rho_max: float,
                          rho_jump: bool = False,
-                         adaptive_rho_interval: int = 1):
+                         adaptive_rho_interval: int = 1,
+                         iter_precision: str = "highest"):
     """T warm-started SCENARIO-MPC steps (B plants) as ONE kernel launch.
 
     Returns ``(xs (T, Bp, nplp), us (T, Bp, nup), stats (T, 8),
@@ -1388,13 +1466,14 @@ def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
     if max_iter % check_interval != 0:
         raise ValueError("the scan-rollout kernel requires max_iter to "
                          "be a multiple of check_interval")
-    unroll = True if dp <= 512 else 1
+    unroll = True if dp <= 640 else 1   # ≤640: full window unroll (measured regime)
     kernel = functools.partial(
         _kernel_scan_rollout_batched, nx, nc, nxp, ncp, nup, nplp,
         max_iter, check_interval, bool(adaptive_rho),
         float(adaptive_rho_tolerance), float(rho_min), float(rho_max),
         bool(rho_jump),
-        rho_update_stride(adaptive_rho_interval, check_interval), unroll)
+        rho_update_stride(adaptive_rho_interval, check_interval), unroll,
+        str(iter_precision))
 
     def _whole(a, space=pltpu.VMEM):
         zeros = (_I0,) * a.ndim

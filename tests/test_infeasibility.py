@@ -164,3 +164,88 @@ def test_feasible_alpha_relaxed_with_checks_matches_reference_solution():
     x = np.asarray(res.x, np.float64)
     dua = np.max(np.abs(qp.H @ x + qp.A.T @ lam + qp.g))
     assert dua < 5 * 1e-5 * np.sqrt(qp.H.shape[0])
+
+
+# --------------------------------------------------------------------- #
+# rollout status visibility                                             #
+# --------------------------------------------------------------------- #
+
+def _contradictory_mpc():
+    """Double-integrator condensed MPC whose constraint set contains two
+    contradictory duplicate rows (same A row, disjoint boxes) — every
+    per-step QP of the rollout is primal infeasible."""
+    from reluqp_tpu.models.mpc import MPC, double_integrator
+    Ad, Bd = double_integrator(dt=0.1)
+    Q = np.diag([10.0, 1.0])
+    R = np.array([[0.1]])
+    base = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
+               eps_abs=1e-4, backend="xla")
+    prob = base.prob
+    A2 = np.vstack([prob.A, prob.A[0:1]])
+    l2 = np.concatenate([prob.l0, [0.5]])
+    l2[0] = -np.inf
+    u2 = np.concatenate([prob.u0, [np.inf]])
+    u2[0] = -0.5
+    lu2 = np.vstack([prob.lu_x0, prob.lu_x0[0:1]])
+    return prob._replace(A=A2, l0=l2, u0=u2, lu_x0=lu2)
+
+
+def test_rollout_reports_infeasible_steps():
+    """A rollout stepping into an infeasible QP surfaces it through the
+    per-step status lane (return_stats=True) as PRIMAL_INFEASIBLE on
+    the loop path with certificates on — instead of silently burning
+    max_iter every step (the round-4 gap: the rollout never enabled
+    the solver's certificates)."""
+    from reluqp_tpu.core.iteration import (STATUS_PRIMAL_INFEASIBLE,
+                                           STATUS_SOLVED)
+    from reluqp_tpu.models.mpc import mpc_rollout_scan
+    prob2 = _contradictory_mpc()
+    m = ReLU_QP()
+    m.setup(prob2.H, prob2.g0, prob2.A, prob2.l0, prob2.u0,
+            warm_starting=True, backend="xla", check_infeasibility=True,
+            eps_abs=1e-4, max_iter=4000)
+    xs, us, it, st = mpc_rollout_scan(m, prob2, np.array([1.0, 0.0]), 3,
+                                      return_stats=True)
+    st = np.asarray(st)
+    assert (st == STATUS_PRIMAL_INFEASIBLE).all(), st
+    # certificates terminate the per-step solves far below max_iter
+    assert int(np.max(np.asarray(it))) <= 200
+
+    # a feasible rollout reports SOLVED through the same lane
+    from reluqp_tpu.models.mpc import MPC, double_integrator
+    Ad, Bd = double_integrator(dt=0.1)
+    ctrl = MPC(Ad, Bd, np.diag([10.0, 1.0]), np.array([[0.1]]),
+               horizon=8, u_min=-1.0, u_max=1.0, eps_abs=1e-4,
+               backend="xla", check_infeasibility=True)
+    xs, us, it, st = mpc_rollout_scan(ctrl.solver, ctrl.prob,
+                                      np.array([1.0, 0.0]), 3,
+                                      return_stats=True)
+    assert (np.asarray(st) == STATUS_SOLVED).all()
+
+
+def test_scan_kernel_rollout_certificate_gap_documented():
+    """The scan (whole-rollout) kernel cannot run infeasibility
+    certificates: check_infeasibility=True makes it INELIGIBLE (the
+    dispatch falls back / raises) rather than silently dropping the
+    checks — and without certificates an infeasible step surfaces as
+    max_iter in the status lane (the documented gap)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from reluqp_tpu.core.iteration import STATUS_MAX_ITER
+    from reluqp_tpu.models.mpc import (_scan_rollout,
+                                       _scan_rollout_eligible)
+    prob2 = _contradictory_mpc()
+    m = ReLU_QP()
+    m.setup(prob2.H, prob2.g0, prob2.A, prob2.l0, prob2.u0,
+            warm_starting=True, backend="xla", check_infeasibility=True,
+            eps_abs=1e-4, max_iter=100)
+    assert not _scan_rollout_eligible(m)
+    # the kernel itself (certificates off) reports max_iter per step
+    m2 = ReLU_QP()
+    m2.setup(prob2.H, prob2.g0, prob2.A, prob2.l0, prob2.u0,
+             warm_starting=True, backend="xla", eps_abs=1e-4,
+             max_iter=100)
+    with pltpu.force_tpu_interpret_mode():
+        out = _scan_rollout(m2, prob2, np.array([1.0, 0.0]), 3, None,
+                            None, None, None)
+    st = np.asarray(out[3])
+    assert (st == STATUS_MAX_ITER).all(), st

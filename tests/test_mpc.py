@@ -267,8 +267,8 @@ def test_kernel_rollout_matches_loop_rollout():
     ctrl2 = MPC(Ad, Bd, Q, R, horizon=8, u_min=-1.0, u_max=1.0,
                 eps_abs=1e-4, backend="xla")
     with pltpu.force_tpu_interpret_mode():
-        xs_k, us_k, it_k, _, _ = _kernel_rollout(ctrl2.solver, ctrl2.prob,
-                                                 x_init, T, None, True)
+        xs_k, us_k, it_k, _, _, _ = _kernel_rollout(
+            ctrl2.solver, ctrl2.prob, x_init, T, None, True)
     xs_k = np.asarray(xs_k, np.float64)
     assert int(np.max(np.asarray(it_k))) < ctrl2.solver.settings.max_iter
     assert np.max(np.abs(xs_k - np.asarray(xs_loop, np.float64))) < 5e-3

@@ -44,8 +44,9 @@ def _scan(ctrl, x_init, T, ci=None):
                                 kernel="scan", check_interval=ci,
                                 return_state=True)
     with pltpu.force_tpu_interpret_mode():
-        return _scan_rollout(ctrl.solver, ctrl.prob, x_init, T, None,
-                             ci, None, None)
+        out = _scan_rollout(ctrl.solver, ctrl.prob, x_init, T, None,
+                            ci, None, None)
+    return out[:3] + out[4:]   # drop the status lane (separate tests)
 
 
 @pytest.mark.tpu_smoke
@@ -87,7 +88,7 @@ def test_scan_rollout_continuation():
     ctrl = _ctrl()
     xs_a, us_a, it_a, y_f, rho_f = _scan(ctrl, x_init, 8)
     with pltpu.force_tpu_interpret_mode():
-        xs_b, us_b, it_b, _, _ = _scan_rollout(
+        xs_b, us_b, it_b, _, _, _ = _scan_rollout(
             ctrl.solver, ctrl.prob, jnp.asarray(xs_a)[-1], 8, None, None,
             y_f, rho_f)
     ctrl2 = _ctrl()
@@ -167,18 +168,19 @@ def _scenario_scan(m, prob, X0, T, ci=None, noise=None, Y0=None,
     if noise is None:
         noise = np.zeros((T, X0.shape[0] if np.ndim(X0) == 2
                           else len(X0), 2))
+    def call():
+        return _scan_scenario_rollout(
+            m, prob, _jnp.asarray(np.asarray(X0, np.float64),
+                                  m.settings.precision_dtype),
+            T, None, ci, m.Y if Y0 is None else Y0,
+            m.rho_ind if rho0 is None else rho0, noise)
+
     if _ON_ACCEL:
-        return _scan_scenario_rollout(
-            m, prob, _jnp.asarray(np.asarray(X0, np.float64),
-                                  m.settings.precision_dtype),
-            T, None, ci, m.Y if Y0 is None else Y0,
-            m.rho_ind if rho0 is None else rho0, noise)
-    with pltpu.force_tpu_interpret_mode():
-        return _scan_scenario_rollout(
-            m, prob, _jnp.asarray(np.asarray(X0, np.float64),
-                                  m.settings.precision_dtype),
-            T, None, ci, m.Y if Y0 is None else Y0,
-            m.rho_ind if rho0 is None else rho0, noise)
+        out = call()
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            out = call()
+    return out[:3] + out[4:]   # drop the status lane (separate tests)
 
 
 @pytest.mark.tpu_smoke
@@ -257,3 +259,45 @@ def test_scenario_scan_gating():
     m2, prob2, X02 = _scenario_setup(4, iter_precision="high",
                                      refine=False)
     assert not _scan_scenario_eligible(m2)
+
+
+def test_scan_rollout_reduced_precision_matches_loop():
+    """iter_precision='high' (bf16x3) with refine=False runs through the
+    scan kernel — single-phase reduced chunks with HIGHEST residual
+    certification, the same semantics as the XLA loop at refine=False —
+    and reproduces its trajectory and iteration counts."""
+    T = 15
+    x_init = np.array([1.0, 0.0])
+    kw = dict(iter_precision="high", refine=False)
+    ctrl_l = _ctrl(**kw)
+    xs_l, _, it_l = mpc_rollout_scan(ctrl_l.solver, ctrl_l.prob, x_init, T)
+    xs_k, _, it_k, _, _ = _scan(_ctrl(**kw), x_init, T)
+    assert np.abs(np.asarray(xs_k, np.float64)
+                  - np.asarray(xs_l, np.float64)).max() < 1e-3
+    # iteration counts may differ by a window: the loop's "high" is
+    # Precision.HIGH (plain f32 on CPU) while the kernel's is the
+    # explicit bf16x3 split Mosaic needs — numerically close, not equal
+    ci = ctrl_l.solver.settings.check_interval
+    assert np.abs(np.asarray(it_k, int) - np.asarray(it_l, int)).max() <= ci
+    # refine=True (two-phase) stays ineligible on the scan path
+    from reluqp_tpu.models.mpc import _scan_rollout_eligible
+    ctrl_r = _ctrl(iter_precision="high")
+    assert not _scan_rollout_eligible(ctrl_r.solver)
+
+
+def test_scenario_scan_reduced_precision_matches_loop():
+    """The batched kernel at iter_precision='high'/refine=False matches
+    the XLA scenario loop at the same settings."""
+    from reluqp_tpu.models.mpc import scenario_rollout_scan
+    T, B = 12, 4
+    kw = dict(iter_precision="high", refine=False)
+    m_l, prob, X0 = _scenario_setup(B, **kw)
+    Xs_l, _, it_l = scenario_rollout_scan(m_l, prob, X0, T)
+    m_k, _, _ = _scenario_setup(B, **kw)
+    Xs_k, _, it_k, _, _ = _scenario_scan(m_k, prob, X0, T)
+    assert np.abs(np.asarray(Xs_k, np.float64)
+                  - np.asarray(Xs_l, np.float64)).max() < 1e-3
+    # a marginal scenario can need an extra window or two under the
+    # different reduced-precision arithmetic (see the single-plant test)
+    ci = m_l.settings.check_interval
+    assert np.abs(np.asarray(it_k, int) - np.asarray(it_l, int)).max() <= 2 * ci
