@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
-              check_interval=25, rollout_ci=None, kernel="loop"):
+              check_interval=25, rollout_ci=None, kernel="loop",
+              noise_std=0.0):
     import jax
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
@@ -47,9 +48,12 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
     T_lo, T_hi = max(T // 5, min(25, T // 2)), T
 
     def rollout_s(x, n):
+        # fresh noise per timed dispatch (persistent process disturbance
+        # — the scan-vs-loop ratio study; 0.0 = the warm headline regime)
+        w = noise_std * rng.randn(n, nx) if noise_std > 0 else None
         t0 = time.perf_counter()
         xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, n,
-                                        kernel=kernel,
+                                        kernel=kernel, noise=w,
                                         check_interval=rollout_ci)
         float(jax.device_get(xs[-1].sum()))
         return time.perf_counter() - t0, xs, iters
@@ -75,6 +79,7 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
     hz_host = n_host / (time.perf_counter() - t0)
     return dict(nx=nx, nu=nu, horizon=horizon, qp_vars=horizon * nu,
                 alpha=alpha, rollout_ci=rollout_ci, kernel=kernel,
+                noise_std=noise_std,
                 hz_device=hz_device, hz_host=hz_host,
                 mean_iters=mean_iters, timing=method)
 
@@ -105,6 +110,11 @@ def main(argv=None):
                    help="rollout kernel: 'scan' = the whole rollout as "
                         "ONE Pallas launch (results/mpc_scan_kernel_tpu"
                         ".json)")
+    p.add_argument("--noise", type=float, nargs="+", default=[0.0],
+                   help="per-step process-noise std values to sweep "
+                        "(persistent disturbance pushes per-step "
+                        "iteration counts up — the scan-vs-loop ratio "
+                        "study, VERDICT r4 item 4)")
     p.add_argument("--out", default="results/mpc_rate.json")
     args = p.parse_args(argv)
     rollout_ci = args.rollout_ci
@@ -114,15 +124,18 @@ def main(argv=None):
     records = []
     for nx in args.sizes:
         nu = max(int(nx * args.nu_frac), 1)
-        rec = bench_one(nx, nu, args.horizon, args.steps, args.tol,
-                        args.backend, alpha=args.alpha,
-                        check_interval=args.check_interval,
-                        rollout_ci=rollout_ci, kernel=args.kernel)
-        records.append(rec)
-        print(f"nx={nx:4d} nu={nu:3d} h={args.horizon}  "
-              f"device {rec['hz_device']:8.0f} Hz   "
-              f"host {rec['hz_host']:7.0f} Hz   "
-              f"iters/step {rec['mean_iters']:5.0f}")
+        for ns in args.noise:
+            rec = bench_one(nx, nu, args.horizon, args.steps, args.tol,
+                            args.backend, alpha=args.alpha,
+                            check_interval=args.check_interval,
+                            rollout_ci=rollout_ci, kernel=args.kernel,
+                            noise_std=ns)
+            records.append(rec)
+            print(f"nx={nx:4d} nu={nu:3d} h={args.horizon} "
+                  f"noise={ns:g}  "
+                  f"device {rec['hz_device']:8.0f} Hz   "
+                  f"host {rec['hz_host']:7.0f} Hz   "
+                  f"iters/step {rec['mean_iters']:5.1f}")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

@@ -347,7 +347,8 @@ def _box_rows(nx, nu, horizon, x_min, x_max, u_min, u_max):
 # --------------------------------------------------------------------- #
 
 def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
-                  Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0, W_hi=None,
+                  Kg, Ad, Bd, v0_scale, noise, y0, rho_ind0, x0,
+                  W_hi=None,
                   rho_eff=None, bias_c=None, M_hi=None, M_lo=None,
                   w_pri=None, w_dua=None, M_res=None, *,
                   nx_qp: int,
@@ -389,7 +390,7 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
     n_lu = lu_x0.shape[0]
     n_u = Kg.shape[0]
 
-    def ctrl_step(carry, _):
+    def ctrl_step(carry, w):
         y, rho_ind, x = carry
         gs = jnp.matmul(gl_map, x, precision=hp)
         g = g0 + gs[:n_g]
@@ -433,13 +434,13 @@ def _rollout_impl(W_bank, B_bank, rhos, H, A, g0, g_x0, l0, u0_, lu_x0,
             eps_prim_inf=eps_prim_inf, eps_dual_inf=eps_dual_inf)
         v0 = res.y[:nu] * v0_scale
         u = -kx + v0
-        x_next = ax + jnp.matmul(Bd, u, precision=hp)
+        x_next = ax + jnp.matmul(Bd, u, precision=hp) + w
         return (res.y, res.rho_ind, x_next), (x_next, u, res.iters,
                                               res.status_code)
 
     carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
     (y_f, rho_f, _), (xs, us, its, st) = jax.lax.scan(
-        ctrl_step, carry0, None, length=n_steps)
+        ctrl_step, carry0, noise, length=n_steps)
     return (jnp.concatenate([x0[None], xs], axis=0), us, its, st, y_f,
             rho_f)
 
@@ -497,7 +498,7 @@ def auto_check_interval(calib_iters, default_ci: int,
 
 def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
                      solve_max_iter: Optional[int] = None,
-                     kernel: str = "loop",
+                     kernel: str = "loop", noise=None,
                      check_interval=None, calib_steps: int = 8,
                      return_stats: bool = False,
                      return_state: bool = False):
@@ -516,6 +517,10 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
       prob: the ``CondensedMPC`` maps.
       x_init: (nx,) initial plant state.
       n_steps: number of control steps (static).
+      noise: optional (n_steps, nx_plant) per-step process disturbance
+        added to the plant update (all three kernel paths support it;
+        the disturbance study in results/mpc_scan_disturbance_tpu.json
+        drives it).
       solve_max_iter: per-step iteration cap (defaults to settings).
       kernel: "loop" (default — the XLA/chunked solve loop per step),
         "scan" — ALL control steps as ONE kernel launch
@@ -546,10 +551,22 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
         rollout later.
     """
     stng = solver.settings
+    dtype = stng.precision_dtype
+    npl = prob.K.shape[1]
+    if noise is None:
+        noise = jnp.zeros((n_steps, npl), dtype=dtype)
+    else:
+        noise = jnp.asarray(np.asarray(noise, np.float64), dtype=dtype)
+        if noise.shape != (n_steps, npl):
+            raise ValueError(f"noise must be (T={n_steps}, {npl})")
+    n_used = [0]
 
     def run(ci, x0, y0, rho0, steps):
+        w = jax.lax.slice_in_dim(noise, n_used[0], n_used[0] + steps,
+                                 axis=0)
+        n_used[0] += steps
         return _dispatch_rollout(solver, prob, x0, steps, solve_max_iter,
-                                 kernel, ci, y0, rho0)
+                                 kernel, ci, y0, rho0, w)
 
     if check_interval == "auto":
         out = _auto_ci_rollout(run, stng, x_init, n_steps, calib_steps,
@@ -586,7 +603,7 @@ def _auto_ci_rollout(run, stng, x_init, n_steps, calib_steps, y0, rho0,
 
 
 def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
-                      kernel, ci, y0, rho_ind0):
+                      kernel, ci, y0, rho_ind0, noise=None):
     """Single-segment rollout dispatch (loop vs fused kernel) with an
     explicit check window and start state; returns
     ``(states, controls, iters, y_final, rho_ind_final)``."""
@@ -619,7 +636,8 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
         if kernel == "scan":
             try:
                 return _scan_rollout(solver, prob, x_init, n_steps,
-                                     solve_max_iter, ci, y0, rho_ind0)
+                                     solve_max_iter, ci, y0, rho_ind0,
+                                     noise)
             except _SCAN_COMPILE_ERRORS:  # pragma: no cover - env-bound
                 kernel = "loop"
     if kernel == "scan":
@@ -630,7 +648,7 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
                 "fp64 bias masters, an iteration budget of at least one "
                 "full check window, and operands that fit VMEM")
         return _scan_rollout(solver, prob, x_init, n_steps,
-                             solve_max_iter, ci, y0, rho_ind0)
+                             solve_max_iter, ci, y0, rho_ind0, noise)
     if kernel == "fused":
         stream = _kernel_rollout_eligible(solver)
         if stream is None:
@@ -640,11 +658,13 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
                 "+ residual operator that fit VMEM")
         return _kernel_rollout(solver, prob, x_init, n_steps,
                                solve_max_iter, stream, ci, y0,
-                               rho_ind0)
+                               rho_ind0, noise)
     bias_c = M_hi = M_lo = None
     if B64 is not None:
         bias_c, M_hi, M_lo = _affine_bias_maps(
             B64, gD * prob.g0, gD[:, None] * prob.g_x0, dtype)
+    if noise is None:
+        noise = jnp.zeros((n_steps, nxp), dtype=dtype)
     return _rollout_jit(
         solver.bank.W, solver.bank.B, solver.bank.rhos,
         solver.qp_dev.H, solver.qp_dev.A,
@@ -652,7 +672,7 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
         cst(sc.E * prob.l0), cst(sc.E * prob.u0),
         cst(sc.E[:, None] * prob.lu_x0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
-        cst(sc.D[:nu]),
+        cst(sc.D[:nu]), noise,
         y0, rho_ind0,
         jnp.asarray(x_init, dtype=dtype).reshape(nxp),
         solver._W_hi, solver._rho_eff, bias_c, M_hi, M_lo,
@@ -676,7 +696,8 @@ def _dispatch_rollout(solver, prob, x_init, n_steps, solve_max_iter,
 
 def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
                     solve_max_iter, stream_bank: bool,
-                    ci: Optional[int] = None, y0=None, rho_ind0=None):
+                    ci: Optional[int] = None, y0=None, rho_ind0=None,
+                    noise=None):
     """Host prep for the whole-solve-kernel rollout (see
     ``_rollout_kernel_impl``): builds the residual operator, the
     wd-weighted g maps, and the transposed lane-padded affine-bias
@@ -710,12 +731,14 @@ def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
     gl_map = np.concatenate([wd[:, None] * gx0_s,
                              sc.E[:, None] * prob.lu_x0], axis=0)
+    if noise is None:
+        noise = jnp.zeros((n_steps, npl), dtype=dtype)
     return _rollout_kernel_jit(
         solver.bank.W, cst(c64).reshape(n_rho, -1), solver.bank.rhos,
         M_res, cst(M_aff), cst(wd * g0_s), cst(gl_map),
         cst(sc.E * prob.l0), cst(sc.E * prob.u0), cst(prob.K),
         cst(solver_plant_A(prob)), cst(solver_plant_B(prob)),
-        cst(sc.D[:nu]),
+        cst(sc.D[:nu]), noise,
         solver.y if y0 is None else y0,
         solver.rho_ind if rho_ind0 is None else rho_ind0,
         jnp.asarray(x_init, dtype=dtype).reshape(npl),
@@ -733,7 +756,8 @@ def _kernel_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
 
 
 def _rollout_kernel_impl(Wt_bank, bias_c, rhos, M_res, M_aff, g0w, gl_map,
-                         l0, u0_, Kg, Ad, Bd, v0_scale, y0, rho_ind0, x0,
+                         l0, u0_, Kg, Ad, Bd, v0_scale, noise, y0,
+                         rho_ind0, x0,
                          *, nx_qp: int, nc: int, nu: int, nxp: int,
                          ncp: int, npl_pad: int, Dp: int, n_steps: int,
                          max_iter: int, check_interval: int,
@@ -759,7 +783,7 @@ def _rollout_kernel_impl(Wt_bank, bias_c, rhos, M_res, M_aff, g0w, gl_map,
     x_pad = jnp.zeros((1, npl_pad), dtype=dtype)
     g_pad = jnp.zeros((1, nxp), dtype=dtype)
 
-    def ctrl_step(carry, _):
+    def ctrl_step(carry, w):
         y, rho_ind, x = carry
         gs = jnp.matmul(gl_map, x, precision=hp)
         g_row = g_pad.at[0, :nx_qp].set(g0w + gs[:n_g])
@@ -783,14 +807,14 @@ def _rollout_kernel_impl(Wt_bank, bias_c, rhos, M_res, M_aff, g0w, gl_map,
         v0 = y[:nu] * v0_scale
         u = -jnp.matmul(Kg, x, precision=hp) + v0
         x_next = (jnp.matmul(Ad, x, precision=hp)
-                  + jnp.matmul(Bd, u, precision=hp))
+                  + jnp.matmul(Bd, u, precision=hp) + w)
         return (y, rho_ind, x_next), (x_next, u,
                                       stats[0].astype(jnp.int32),
                                       stats[5].astype(jnp.int32))
 
     carry0 = (y0, jnp.asarray(rho_ind0, jnp.int32), x0)
     (y_f, rho_f, _), (xs, us, its, st) = jax.lax.scan(
-        ctrl_step, carry0, None, length=n_steps)
+        ctrl_step, carry0, noise, length=n_steps)
     return (jnp.concatenate([x0[None], xs], axis=0), us, its, st, y_f,
             rho_f)
 
@@ -869,7 +893,7 @@ def _scan_rollout_eligible(solver, ci=None, budget=None) -> bool:
 
 
 def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
-                  solve_max_iter, ci, y0, rho_ind0):
+                  solve_max_iter, ci, y0, rho_ind0, noise=None):
     """Host prep for the whole-rollout kernel (``full_rollout``): every
     per-step refresh becomes an in-kernel matmul against precomputed
     operators — [wd·Ḡx | Ē·LUx | Kx | Ax] from one stacked GL operator,
@@ -949,10 +973,15 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     # window at max_iter%ci — at most ci-1 fewer iterations here, which
     # only matters for max_iter-bound solves)
     mi = (budget // ci_eff) * ci_eff
+    if noise is None:
+        noise_k = jnp.zeros((n_steps, nplp), dtype=dtype)
+    else:
+        noise_k = jnp.zeros((n_steps, nplp), dtype=dtype).at[
+            :, :npl].set(jnp.asarray(noise, dtype=dtype))
     xs, us, stats, y_f = full_rollout(
         solver.bank.W, cst(np.asarray(c64)), cst(M_aff),
         solver.bank.rhos, M_res, cst(g0w), cst(GL), cst(lo0), cst(hi0),
-        cst(S_z), cst(S_u), cst(Bdw), y0, x0_dev, rho_ind0,
+        cst(S_z), cst(S_u), cst(Bdw), y0, x0_dev, noise_k, rho_ind0,
         nx=nx_qp, nc=nc, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp,
         n_steps=n_steps, max_iter=mi,
         check_interval=ci_eff,

@@ -887,6 +887,7 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
                          rho0_ref, wt_ref, bias_c_ref, maff_ref, rhos_ref,
                          eps_ref, mres_ref, g0w_ref, gl_ref, lo0_ref,
                          hi0_ref, sz_ref, su_ref, bdw_ref, y0_ref, x0_ref,
+                         noise_ref,
                          xs_ref, us_ref, stats_ref, yout_ref,
                          y_scr, x_scr, u_scr, st_scr, sm_scr, w_scr,
                          w_sem, m_scr, m_sem, out_sem):
@@ -1047,9 +1048,10 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
     v0 = jnp.dot(y, su_ref[:], preferred_element_type=jnp.float32,
                  precision=hp).astype(dtype)
     u = v0 - kx
-    x_next = ax + jnp.dot(u, bdw_ref[:],
-                          preferred_element_type=jnp.float32,
-                          precision=hp).astype(dtype)
+    x_next = (ax + jnp.dot(u, bdw_ref[:],
+                           preferred_element_type=jnp.float32,
+                           precision=hp).astype(dtype)
+              + noise_ref[0])
 
     y_scr[:] = y
     x_scr[:] = x_next
@@ -1091,7 +1093,7 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
                      "rho_jump", "adaptive_rho_interval",
                      "iter_precision"))
 def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
-                 hi0, S_z, S_u, Bdw, y0, x0, rho_ind0, *,
+                 hi0, S_z, S_u, Bdw, y0, x0, noise, rho_ind0, *,
                  nx: int, nc: int, nxp: int, ncp: int, nup: int,
                  nplp: int, n_steps: int, max_iter: int,
                  check_interval: int, adaptive_rho: bool,
@@ -1134,7 +1136,7 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
             jnp.asarray(eps_abs, jnp.float32).reshape(1),
             M_res, g0w.reshape(1, nxp), gl_op, lo0.reshape(1, dp),
             hi0.reshape(1, dp), S_z, S_u, Bdw, y0.reshape(1, dp),
-            x0.reshape(1, nplp)]
+            x0.reshape(1, nplp), noise.reshape(n_steps, 1, nplp)]
     in_specs = [
         _any,                                    # W bank: HBM, streamed
         _whole(args[1]),                         # bias_c (N, 1, Dp)
@@ -1151,6 +1153,8 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
         _whole(args[12]),                        # Bdw
         _whole(args[13]),                        # y0
         _whole(args[14]),                        # x0
+        pl.BlockSpec((1, 1, nplp), lambda i, s: (i, _I0, _I0),
+                     memory_space=pltpu.VMEM),   # noise slice per cell
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1186,8 +1190,20 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
             jax.ShapeDtypeStruct((1, dp), dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_steps * 2 * check_interval * dp * dp,
-            bytes_accessed=n_steps * dp * dp * jnp.dtype(dtype).itemsize,
+            # FLOPs: one warm window per step (iteration matvecs + the
+            # residual-operator matmul). Bytes: ONE W+M rung fill plus
+            # the per-step refresh/trajectory traffic — rung re-DMAs on
+            # ladder moves are rung-change-only (data-dependent) and
+            # deliberately NOT charged: a warm rollout whose rung holds
+            # does zero bank HBM traffic after the first window, which
+            # is the regime this kernel exists for (stamped per the
+            # round-4 review: the old estimate charged a full rung
+            # re-DMA every step).
+            flops=2 * n_steps * dp * (check_interval * dp
+                                      + 2 * ncp + 2 * nxp),
+            bytes_accessed=(dp * dp + nplp * dp
+                            + n_steps * (dp + 2 * nplp + nup))
+            * jnp.dtype(dtype).itemsize,
             transcendentals=0,
         ),
     )(jnp.asarray(rho_ind0, jnp.int32).reshape(1), *args)

@@ -312,9 +312,9 @@ def test_auto_kernel_follows_measured_ranking(monkeypatch):
         return True
 
     def fake_scan(solver, prob, x_init, n_steps, solve_max_iter, ci,
-                  y0, rho_ind0):
+                  y0, rho_ind0, noise=None):
         calls.append(("scan",))
-        return ("SCAN",) * 5
+        return ("SCAN",) * 6
 
     monkeypatch.setattr(mpc_mod, "_scan_rollout_eligible", fake_eligible)
     monkeypatch.setattr(mpc_mod, "_scan_rollout", fake_scan)

@@ -301,3 +301,34 @@ def test_scenario_scan_reduced_precision_matches_loop():
     # different reduced-precision arithmetic (see the single-plant test)
     ci = m_l.settings.check_interval
     assert np.abs(np.asarray(it_k, int) - np.asarray(it_l, int)).max() <= 2 * ci
+
+
+def test_scan_rollout_noise_matches_loop():
+    """Per-step process noise through the single-plant scan kernel
+    matches the XLA loop path (both consume the same noise rows)."""
+    T = 15
+    rng = np.random.RandomState(9)
+    noise = 0.03 * rng.randn(T, 2)
+    x_init = np.array([0.8, 0.0])
+    ctrl_l = _ctrl()
+    xs_l, _, it_l = mpc_rollout_scan(ctrl_l.solver, ctrl_l.prob, x_init,
+                                     T, noise=noise)
+    ctrl_k = _ctrl()
+    if _ON_ACCEL:
+        xs_k, _, it_k, _, _ = mpc_rollout_scan(
+            ctrl_k.solver, ctrl_k.prob, x_init, T, kernel="scan",
+            noise=noise, return_state=True)
+    else:
+        from reluqp_tpu.models.mpc import _scan_rollout
+        with pltpu.force_tpu_interpret_mode():
+            out = _scan_rollout(ctrl_k.solver, ctrl_k.prob, x_init, T,
+                                None, None, None, None, noise)
+        xs_k, it_k = out[0], out[2]
+    assert np.abs(np.asarray(xs_k, np.float64)
+                  - np.asarray(xs_l, np.float64)).max() < 1e-4
+    assert (np.asarray(it_k) == np.asarray(it_l)).all()
+    # the disturbance actually perturbs the trajectory
+    xs_clean, _, _ = mpc_rollout_scan(_ctrl().solver, ctrl_l.prob,
+                                      x_init, T)
+    assert np.abs(np.asarray(xs_l, np.float64)
+                  - np.asarray(xs_clean, np.float64)).max() > 1e-3

@@ -164,3 +164,134 @@ def test_ruiz_scaling_solve(backend):
     x = np.asarray(res.x, np.float64)
     pri = np.max(np.clip(A @ x - u, 0, None) + np.clip(l - A @ x, 0, None))
     assert pri < 1e-2
+
+
+# --------------------------------------------------------------------- #
+# round-5 broadening: Ruiz scaling, repack, hetero, reduced precision,  #
+# certificates, alpha — each through the real Mosaic/XLA compilers      #
+# --------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_ruiz_scaling_solve(backend):
+    """Ruiz equilibration + unscaled termination on every backend (the
+    residual-unscale weights ride the kernels' residual operators)."""
+    H, g, A, l, u, _ = rand_qp(24, 6, 6, seed=3, compute_sol=False)
+    # badly scaled copy: scaling must recover fast convergence
+    s = np.logspace(-2, 2, 24)
+    Hs = H * s[:, None] * s[None, :]
+    gs = g * s
+    As = A * s[None, :]
+    m = ReLU_QP()
+    m.setup(Hs, gs, As, l, u, backend=backend, scaling=True,
+            eps_abs=1e-4)
+    res = m.solve()
+    assert res.info.status == "solved"
+    m0 = ReLU_QP()
+    m0.setup(Hs, gs, As, l, u, backend="xla", scaling=False,
+             eps_abs=1e-4)
+    r0 = m0.solve()
+    assert np.max(np.abs(np.asarray(res.x, np.float64)
+                         - np.asarray(r0.x, np.float64))) < 1e-2
+
+
+def test_repack_batched_on_chip():
+    """tail_policy='repack' (shrink-on-converge row compaction) matches
+    the dense batched loop's results through the real compiler."""
+    B = 48
+    rng = np.random.RandomState(0)
+    H, g, A, l, u, _ = rand_qp(12, 3, 3, seed=0, compute_sol=False)
+    G = np.tile(g, (B, 1)) + 0.3 * rng.randn(B, 12)
+    L = np.tile(l, (B, 1))
+    U = np.tile(u, (B, 1))
+    res = {}
+    for tp in ("dense", "repack"):
+        m = BatchedReLU_QP()
+        m.setup(H, G, A, L, U, eps_abs=1e-4, backend="xla",
+                tail_policy=tp)
+        r = m.solve()
+        assert bool(np.asarray(r.info.status).all()), tp
+        res[tp] = np.asarray(r.x, np.float64)
+    assert np.max(np.abs(res["dense"] - res["repack"])) < 1e-5
+
+
+def test_hetero_batched_on_chip():
+    """Per-problem (H, A) banks (device vmapped builder + hetero chunk
+    kernel on TPU) solve and match single-QP solves."""
+    B = 4
+    insts = [rand_qp(10, 2, 4, seed=s, compute_sol=False)
+             for s in range(B)]
+    H = np.stack([i[0] for i in insts])
+    G = np.stack([i[1] for i in insts])
+    A = np.stack([i[2] for i in insts])
+    L = np.stack([i[3] for i in insts])
+    U = np.stack([i[4] for i in insts])
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, L, U, eps_abs=1e-4)
+    r = m.solve()
+    assert bool(np.asarray(r.info.status).all())
+    for b in range(B):
+        s1 = ReLU_QP()
+        s1.setup(H[b], G[b], A[b], L[b], U[b], eps_abs=1e-4,
+                 backend="xla")
+        x1 = np.asarray(s1.solve().x, np.float64)
+        assert np.max(np.abs(np.asarray(r.x[b], np.float64) - x1)) < 1e-3
+
+
+@pytest.mark.parametrize("prec", ["bf16", "high"])
+def test_reduced_precision_batched_on_chip(prec):
+    """Reduced iteration precision + refine through the batched path on
+    the real MXU (bf16 passes + HIGHEST residual certification)."""
+    B = 16
+    rng = np.random.RandomState(1)
+    H, g, A, l, u, _ = rand_qp(16, 4, 4, seed=1, compute_sol=False)
+    G = np.tile(g, (B, 1)) + 0.2 * rng.randn(B, 16)
+    m = BatchedReLU_QP()
+    m.setup(H, G, A, np.tile(l, (B, 1)), np.tile(u, (B, 1)),
+            eps_abs=1e-3, iter_precision=prec)
+    r = m.solve()
+    assert bool(np.asarray(r.info.status).all())
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_infeasibility_certificates_on_chip(backend):
+    """The in-kernel/in-loop OSQP-style certificates fire on every
+    backend (x0 >= 1 and x0 <= -1 are contradictory)."""
+    H = np.eye(2)
+    g = np.zeros(2)
+    A = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([1.0, -np.inf, -1.0])
+    u = np.array([np.inf, -1.0, 1.0])
+    m = ReLU_QP()
+    m.setup(H, g, A, l, u, check_infeasibility=True, backend=backend,
+            max_iter=4000)
+    assert m.solve().info.status == "primal_infeasible"
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_alpha_relaxation_on_chip(backend, canonical):
+    """The relaxed (alpha=1.6) bank — the [x; z; p] parametrization with
+    per-rung p re-encoding — solves on every backend."""
+    qp = canonical
+    m = ReLU_QP()
+    m.setup(qp.H, qp.g, qp.A, qp.l, qp.u, backend=backend, alpha=1.6,
+            eps_abs=1e-4)
+    res = m.solve()
+    assert res.info.status == "solved"
+    assert np.max(np.abs(np.asarray(res.x, np.float64) - qp.x_sol)) < 1e-3
+
+
+def test_rollout_auto_ci_on_chip():
+    """check_interval='auto' self-calibration end-to-end (calibration
+    segment + tuned continuation, stitched trajectory)."""
+    from reluqp_tpu.models.mpc import MPC, double_integrator, \
+        mpc_rollout_scan
+    Ad, Bd = double_integrator(dt=0.1)
+    ctrl = MPC(Ad, Bd, np.diag([10.0, 1.0]), np.array([[0.1]]),
+               horizon=8, u_min=-1.0, u_max=1.0, eps_abs=1e-4,
+               backend="auto" if _ON_ACCEL else "xla")
+    xs, us, it = mpc_rollout_scan(ctrl.solver, ctrl.prob,
+                                  np.array([1.0, 0.0]), 20,
+                                  check_interval="auto")
+    xs = np.asarray(xs, np.float64)
+    assert xs.shape == (21, 2) and np.isfinite(xs).all()
+    assert np.linalg.norm(xs[-1]) < np.linalg.norm(xs[0])

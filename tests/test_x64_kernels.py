@@ -172,7 +172,33 @@ def test_full_rollout_kernel_64bit_free(kernel_jaxprs):
         op.lo.reshape(1, dp), op.hi.reshape(1, dp),
         jnp.zeros((ncp, dp), f32), jnp.zeros((dp, nup), f32),
         jnp.zeros((nup, nplp), f32), jnp.zeros((dp,), f32),
-        jnp.zeros((1, nplp), f32), 0,
+        jnp.zeros((1, nplp), f32), jnp.zeros((4, nplp), f32), 0,
+        nx=3, nc=5, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp, n_steps=4,
+        max_iter=100, check_interval=25, adaptive_rho=True,
+        adaptive_rho_tolerance=5.0, eps_abs=1e-3, rho_min=1e-6,
+        rho_max=1e6)
+    _assert_32bit_only(kernel_jaxprs)
+
+
+def test_full_rollout_batched_kernel_64bit_free(kernel_jaxprs):
+    """The BATCHED whole-rollout kernel (scenario MPC) must stay
+    x64-proof like its single-plant sibling."""
+    op, dp, nxp, ncp = _canonical_operands()
+    n_rho = op.Wt_bank.shape[0]
+    nplp = nup = 128
+    bp = 8
+    R2 = nxp + ncp + nup + nplp
+    f32 = jnp.float32
+    _swallow_interpret_error(
+        sk.full_rollout_batched, op.Wt_bank,
+        jnp.zeros((n_rho, dp), f32),
+        jnp.zeros((n_rho, nplp, dp), f32), op.rhos, op.M_res,
+        jnp.zeros((1, nxp), f32), jnp.zeros((nplp, R2), f32),
+        op.lo.reshape(1, dp), op.hi.reshape(1, dp),
+        jnp.zeros((ncp, dp), f32), jnp.zeros((dp, nup), f32),
+        jnp.zeros((nup, nplp), f32), jnp.zeros((bp, dp), f32),
+        jnp.zeros((bp, nplp), f32), jnp.zeros((bp, 1), f32),
+        jnp.zeros((4, bp, nplp), f32), 0,
         nx=3, nc=5, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp, n_steps=4,
         max_iter=100, check_interval=25, adaptive_rho=True,
         adaptive_rho_tolerance=5.0, eps_abs=1e-3, rho_min=1e-6,
