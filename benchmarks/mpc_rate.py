@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
               check_interval=25, rollout_ci=None, kernel="loop",
-              noise_std=0.0):
+              noise_std=0.0, repeats=1):
     import jax
     from reluqp_tpu.models.mpc import MPC, mpc_rollout_scan, random_linear_system
 
@@ -47,10 +47,22 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
         raise SystemExit("--steps must be >= 10 for the two-point fit")
     T_lo, T_hi = max(T // 5, min(25, T // 2)), T
 
+    # Device-RESIDENT noise, generated once per chain length OUTSIDE the
+    # timed region: regenerating + H2D-transferring (n, nx) noise per
+    # dispatch is tunnel-bandwidth-bound (~400 B/step ≈ 85k Hz ceiling,
+    # measured — it swamped the solver). The fresh-x0 per dispatch is
+    # what defeats the tunnel's memoization; the noise array may repeat.
+    import jax.numpy as jnp
+    noise_master = None
+    if noise_std > 0:
+        dtype = ctrl.solver.settings.precision_dtype
+        # 8x head-room: the two-point fit stretches the long chain up
+        # to 8x when the delta does not clear the tunnel jitter
+        noise_master = jnp.asarray(noise_std * rng.randn(8 * T, nx),
+                                   dtype)
+
     def rollout_s(x, n):
-        # fresh noise per timed dispatch (persistent process disturbance
-        # — the scan-vs-loop ratio study; 0.0 = the warm headline regime)
-        w = noise_std * rng.randn(n, nx) if noise_std > 0 else None
+        w = None if noise_master is None else noise_master[:n]
         t0 = time.perf_counter()
         xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, n,
                                         kernel=kernel, noise=w,
@@ -63,9 +75,17 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
     assert np.all(np.isfinite(np.asarray(jax.device_get(xs))))
     mean_iters = float(np.mean(np.asarray(iters)))
     from reluqp_tpu.utils.timing import two_point_step_time_or_coarse
-    best, method = two_point_step_time_or_coarse(
-        lambda x, T: rollout_s(x, T)[0],
-        lambda j: x0 + 5e-5 * rng.randn(nx), T_lo, T_hi, reps=5)
+    best = method = None
+    for _ in range(max(repeats, 1)):
+        # independent fits, keep the fastest: congestion on the
+        # time-shared chip is strictly additive noise (same protocol as
+        # bench.py and the scenario benchmark — a single fit can land
+        # 5-20x below capability under co-tenant load)
+        b, m_ = two_point_step_time_or_coarse(
+            lambda x, T: rollout_s(x, T)[0],
+            lambda j: x0 + 5e-5 * rng.randn(nx), T_lo, T_hi, reps=5)
+        if best is None or b < best:
+            best, method = b, m_
     hz_device = 1.0 / best
 
     # host-driven cycle (reference-style): time 25 steps
@@ -110,6 +130,9 @@ def main(argv=None):
                    help="rollout kernel: 'scan' = the whole rollout as "
                         "ONE Pallas launch (results/mpc_scan_kernel_tpu"
                         ".json)")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="independent two-point fits per row; the record "
+                        "carries the max rate (congestion is additive)")
     p.add_argument("--noise", type=float, nargs="+", default=[0.0],
                    help="per-step process-noise std values to sweep "
                         "(persistent disturbance pushes per-step "
@@ -129,7 +152,7 @@ def main(argv=None):
                             args.backend, alpha=args.alpha,
                             check_interval=args.check_interval,
                             rollout_ci=rollout_ci, kernel=args.kernel,
-                            noise_std=ns)
+                            noise_std=ns, repeats=args.repeats)
             records.append(rec)
             print(f"nx={nx:4d} nu={nu:3d} h={args.horizon} "
                   f"noise={ns:g}  "

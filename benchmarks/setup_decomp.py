@@ -47,6 +47,16 @@ def main(argv=None):
         for bb in args.bank_backends:
             m = ReLU_QP()
             try:
+                # TWO setups per (size, backend); the SECOND is the
+                # recorded one — the first pays one-time process warmup
+                # (PJRT init, tunnel, jit of device_put helpers) that
+                # otherwise lands entirely on whichever backend runs
+                # first and poisons the comparison (observed: "native"
+                # rows carrying 1.7 s of prep that is not native's).
+                m.setup(H, g, A, l, u, backend=args.backend,
+                        eps_abs=args.tol, bank_backend=bb)
+                cold = dict(m.setup_breakdown,
+                            setup_time_s=m.info.setup_time)
                 m.setup(H, g, A, l, u, backend=args.backend,
                         eps_abs=args.tol, bank_backend=bb)
             except Exception as e:  # numpy fallback missing native etc.
@@ -54,6 +64,7 @@ def main(argv=None):
                                     error=f"{type(e).__name__}: {e}"))
                 continue
             bd = dict(m.setup_breakdown)
+            bd["cold_setup_s"] = cold["setup_time_s"]
             bd.update(nx=nx, D=m.D, Dp=m.Dp,
                       requested_bank_backend=bb,
                       setup_time_s=m.info.setup_time)

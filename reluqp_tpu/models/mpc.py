@@ -556,7 +556,13 @@ def mpc_rollout_scan(solver, prob: CondensedMPC, x_init, n_steps: int,
     if noise is None:
         noise = jnp.zeros((n_steps, npl), dtype=dtype)
     else:
-        noise = jnp.asarray(np.asarray(noise, np.float64), dtype=dtype)
+        # a jax Array stays on device (no host bounce — per-dispatch
+        # H2D of (T, nx) noise is tunnel-bandwidth-bound and was the
+        # dominant cost of noisy benchmark rollouts when measured)
+        noise = (jnp.asarray(noise, dtype=dtype)
+                 if isinstance(noise, jax.Array)
+                 else jnp.asarray(np.asarray(noise, np.float64),
+                                  dtype=dtype))
         if noise.shape != (n_steps, npl):
             raise ValueError(f"noise must be (T={n_steps}, {npl})")
     n_used = [0]
@@ -924,13 +930,17 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     M_aff = np.zeros((n_rho, nplp, Dp))
     M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
 
-    # stacked refresh operator: x @ GL = [wd·Ḡx | Ē·LUx | Kx | Ax]
-    R2 = nxp + ncp + nup + nplp
+    # stacked refresh operator: x @ GL = [wd·Ḡx | Ē·LUx-in-Dp | Kx | Ax]
+    # — the bound-shift segment is PRE-SCATTERED into Dp layout (z
+    # slots), which folds the former S_z matmul into this one exactly
+    # (same contraction, wider zero-padded output columns)
+    R2 = nxp + Dp + nup + nplp
     GL = np.zeros((nplp, R2))
     GL[:npl, :nx_qp] = (wd[:, None] * gx0_s).T
-    GL[:npl, nxp:nxp + nc] = (sc.E[:, None] * prob.lu_x0).T
-    GL[:npl, nxp + ncp:nxp + ncp + nu] = prob.K.T
-    GL[:npl, nxp + ncp + nup:nxp + ncp + nup + npl] = \
+    GL[:npl, nxp + nx_qp:nxp + nx_qp + nc] = (sc.E[:, None]
+                                              * prob.lu_x0).T
+    GL[:npl, nxp + Dp:nxp + Dp + nu] = prob.K.T
+    GL[:npl, nxp + Dp + nup:nxp + Dp + nup + npl] = \
         solver_plant_A(prob).T
     g0w = np.zeros((1, nxp))
     g0w[0, :nx_qp] = wd * g0_s
@@ -938,8 +948,6 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     hi0 = np.full((1, Dp), np.inf)
     lo0[0, nx_qp:nx_qp + nc] = sc.E * prob.l0
     hi0[0, nx_qp:nx_qp + nc] = sc.E * prob.u0
-    S_z = np.zeros((ncp, Dp))
-    S_z[np.arange(nc), nx_qp + np.arange(nc)] = 1.0
     S_u = np.zeros((Dp, nup))
     S_u[np.arange(nu), np.arange(nu)] = np.asarray(sc.D[:nu], np.float64)
     Bdw = np.zeros((nup, nplp))
@@ -981,7 +989,7 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     xs, us, stats, y_f = full_rollout(
         solver.bank.W, cst(np.asarray(c64)), cst(M_aff),
         solver.bank.rhos, M_res, cst(g0w), cst(GL), cst(lo0), cst(hi0),
-        cst(S_z), cst(S_u), cst(Bdw), y0, x0_dev, noise_k, rho_ind0,
+        cst(S_u), cst(Bdw), y0, x0_dev, noise_k, rho_ind0,
         nx=nx_qp, nc=nc, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp,
         n_steps=n_steps, max_iter=mi,
         check_interval=ci_eff,
@@ -1074,6 +1082,8 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
     nplp = round_up(max(npl, LANE), LANE)
     nup = round_up(max(nu, LANE), LANE)
 
+    # cache key uses id(prob); the cache tuple HOLDS the prob reference
+    # so the id cannot be recycled by a GC'd-and-reallocated object
     cache = getattr(m, "_scan_ops_cache", None)
     key = (id(prob), Dp, Bp)
     if cache is not None and cache[0] == key:
@@ -1108,12 +1118,15 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
         c64, M64 = _affine_bias_fp64(B64, g0_s, gx0_s)
         M_aff = np.zeros((n_rho, nplp, Dp))
         M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
-        R2 = nxp + ncp + nup + nplp
+        # bound-shift segment pre-scattered into Dp layout (see
+        # _scan_rollout's GL note — exact fold of the former S_z matmul)
+        R2 = nxp + Dp + nup + nplp
         GL = np.zeros((nplp, R2))
         GL[:npl, :nx_qp] = (wd[:, None] * gx0_s).T
-        GL[:npl, nxp:nxp + nc] = (sc.E[:, None] * prob.lu_x0).T
-        GL[:npl, nxp + ncp:nxp + ncp + nu] = prob.K.T
-        GL[:npl, nxp + ncp + nup:nxp + ncp + nup + npl] = \
+        GL[:npl, nxp + nx_qp:nxp + nx_qp + nc] = (sc.E[:, None]
+                                                  * prob.lu_x0).T
+        GL[:npl, nxp + Dp:nxp + Dp + nu] = prob.K.T
+        GL[:npl, nxp + Dp + nup:nxp + Dp + nup + npl] = \
             solver_plant_A(prob).T
         g0w = np.zeros((1, nxp))
         g0w[0, :nx_qp] = wd * g0_s
@@ -1121,8 +1134,6 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
         hi0 = np.full((1, Dp), np.inf)
         lo0[0, nx_qp:nx_qp + nc] = sc.E * prob.l0
         hi0[0, nx_qp:nx_qp + nc] = sc.E * prob.u0
-        S_z = np.zeros((ncp, Dp))
-        S_z[np.arange(nc), nx_qp + np.arange(nc)] = 1.0
         S_u = np.zeros((Dp, nup))
         S_u[np.arange(nu), np.arange(nu)] = np.asarray(sc.D[:nu],
                                                        np.float64)
@@ -1132,11 +1143,11 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
         pad_mask[B_n:, 0] = 1.0
         ops = dict(Wt=cst(Wt), bias_c=cst(c64), M_aff=cst(M_aff),
                    M_res=M_res, g0w=cst(g0w), GL=cst(GL), lo0=cst(lo0),
-                   hi0=cst(hi0), S_z=cst(S_z), S_u=cst(S_u),
+                   hi0=cst(hi0), S_u=cst(S_u),
                    Bdw=cst(Bdw),
                    pad=jnp.asarray(pad_mask, jnp.float32),
                    nxp=nxp, ncp=ncp)
-        m._scan_ops_cache = (key, ops)
+        m._scan_ops_cache = (key, ops, prob)
 
     # state conversion: batch-solver layout (B_pad_m, Dp_m) ↔ kernel
     # layout (Bp, Dp) — pad slots/rows are exactly 0 in both.
@@ -1157,7 +1168,7 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
     mi = (budget // ci_eff) * ci_eff
     xs, us, stats, Y_f = full_rollout_batched(
         ops["Wt"], ops["bias_c"], ops["M_aff"], m.rhos, ops["M_res"],
-        ops["g0w"], ops["GL"], ops["lo0"], ops["hi0"], ops["S_z"],
+        ops["g0w"], ops["GL"], ops["lo0"], ops["hi0"],
         ops["S_u"], ops["Bdw"], Y0k, X0k, ops["pad"], noise_k,
         jnp.asarray(rho_ind0, jnp.int32),
         nx=nx_qp, nc=nc, nxp=ops["nxp"], ncp=ops["ncp"], nup=nup,
@@ -1199,7 +1210,10 @@ def _scenario_scan_driver(m, prob: CondensedMPC, X_init, n_steps: int,
     if noise is None:
         noise = jnp.zeros((n_steps, B_n, X0.shape[1]), dtype=dtype)
     else:
-        noise = jnp.asarray(np.asarray(noise, np.float64), dtype=dtype)
+        noise = (jnp.asarray(noise, dtype=dtype)
+                 if isinstance(noise, jax.Array)
+                 else jnp.asarray(np.asarray(noise, np.float64),
+                                  dtype=dtype))
         if noise.shape[0] != n_steps:
             raise ValueError(f"noise must be (T={n_steps}, B, nx)")
     n_used = [0]

@@ -740,7 +740,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
     from ..core.iteration import rho_update_stride
     n_rho, dp, _ = op.Wt_bank.shape
     dtype = y0.dtype
-    unroll = True if dp <= 640 else 1   # ≤640: full window unroll (measured regime)
+    unroll = True if dp <= 640 else 1   # ≤640: full window unroll (r4-measured for full_solve)
     # Beyond Dp=640 the streamed kernel's whole-operand dots exceed
     # Mosaic's scoped-memory limit (measured: Dp=768 whole-dot runs,
     # Dp=1024 is refused); tile the contraction so the sweep's largest
@@ -886,7 +886,7 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
                          # refs: prefetch, inputs, outputs, scratch
                          rho0_ref, wt_ref, bias_c_ref, maff_ref, rhos_ref,
                          eps_ref, mres_ref, g0w_ref, gl_ref, lo0_ref,
-                         hi0_ref, sz_ref, su_ref, bdw_ref, y0_ref, x0_ref,
+                         hi0_ref, su_ref, bdw_ref, y0_ref, x0_ref,
                          noise_ref,
                          xs_ref, us_ref, stats_ref, yout_ref,
                          y_scr, x_scr, u_scr, st_scr, sm_scr, w_scr,
@@ -902,9 +902,11 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
     1. ONE refresh matmul ``x @ GL`` produces the g refresh (wd-weighted,
        for the residual operator), the bound shift, the feedback term Kx,
        and the plant drift Ax (segments [wd·Ḡx | Ē·LUx | Kx | Ax]).
-    2. Bounds rebuild as ``lo0/hi0 + shift @ S_z`` (S_z scatters the nc
-       shift lanes into the unaligned z segment — a matmul instead of an
-       unaligned lane write).
+    2. Bounds rebuild as ``lo0/hi0 + shift`` with the bound-shift
+       segment of GL PRE-SCATTERED into Dp layout (the z-slot scatter is
+       a 0/1 matrix, so composing it into the refresh operator on the
+       host is exact — same f32 dot products, one fewer matmul per
+       step; round-5 fold of the former S_z operand).
     3. The warm-started solve runs the full_solve machinery (streamed W
        rung + streamed affine-bias row, one-matmul residuals, ladder
        walk, convergence exit) to eps_abs.
@@ -937,15 +939,14 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
         sm_scr[0] = rho0_ref[0]
         sm_scr[1] = _i32(-1)          # no rung resident yet
 
+    dp = y0_ref.shape[1]
     x = x_scr[:]                       # (1, nplp) plant state
     r2 = jnp.dot(x, gl_ref[:], preferred_element_type=jnp.float32,
                  precision=hp).astype(dtype)
     g_row = g0w_ref[:] + r2[:, :nxp]
-    shift = r2[:, nxp:nxp + ncp]
-    kx = r2[:, nxp + ncp:nxp + ncp + nup]
-    ax = r2[:, nxp + ncp + nup:]
-    sz = jnp.dot(shift, sz_ref[:], preferred_element_type=jnp.float32,
-                 precision=hp).astype(dtype)
+    sz = r2[:, nxp:nxp + dp]           # bound shift, Dp layout (z slots)
+    kx = r2[:, nxp + dp:nxp + dp + nup]
+    ax = r2[:, nxp + dp + nup:]
     lo = lo0_ref[:] + sz               # ±inf pads absorb the shift
     hi = hi0_ref[:] + sz
 
@@ -1093,7 +1094,7 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
                      "rho_jump", "adaptive_rho_interval",
                      "iter_precision"))
 def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
-                 hi0, S_z, S_u, Bdw, y0, x0, noise, rho_ind0, *,
+                 hi0, S_u, Bdw, y0, x0, noise, rho_ind0, *,
                  nx: int, nc: int, nxp: int, ncp: int, nup: int,
                  nplp: int, n_steps: int, max_iter: int,
                  check_interval: int, adaptive_rho: bool,
@@ -1116,7 +1117,11 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
     if max_iter % check_interval != 0:
         raise ValueError("the scan-rollout kernel requires max_iter to "
                          "be a multiple of check_interval")
-    unroll = True if dp <= 640 else 1   # ≤640: full window unroll (measured regime)
+    # rollout kernels keep the round-4 while-loop windows at Dp>512:
+    # a full unroll of a LARGE auto-calibrated window (ci≈25 under
+    # heavy disturbance) overflows scoped VMEM at Dp=640 (measured
+    # round 5 — the disturbance sweep's noise=0.3 row)
+    unroll = True if dp <= 512 else 1
     kernel = functools.partial(
         _kernel_scan_rollout, nx, nc, nxp, ncp, nup, nplp, max_iter,
         check_interval, bool(adaptive_rho),
@@ -1135,7 +1140,7 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
             M_aff, rhos.astype(jnp.float32),
             jnp.asarray(eps_abs, jnp.float32).reshape(1),
             M_res, g0w.reshape(1, nxp), gl_op, lo0.reshape(1, dp),
-            hi0.reshape(1, dp), S_z, S_u, Bdw, y0.reshape(1, dp),
+            hi0.reshape(1, dp), S_u, Bdw, y0.reshape(1, dp),
             x0.reshape(1, nplp), noise.reshape(n_steps, 1, nplp)]
     in_specs = [
         _any,                                    # W bank: HBM, streamed
@@ -1148,11 +1153,10 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
         _whole(args[7]),                         # gl_op
         _whole(args[8]),                         # lo0
         _whole(args[9]),                         # hi0
-        _whole(args[10]),                        # S_z
-        _whole(args[11]),                        # S_u
-        _whole(args[12]),                        # Bdw
-        _whole(args[13]),                        # y0
-        _whole(args[14]),                        # x0
+        _whole(args[10]),                        # S_u
+        _whole(args[11]),                        # Bdw
+        _whole(args[12]),                        # y0
+        _whole(args[13]),                        # x0
         pl.BlockSpec((1, 1, nplp), lambda i, s: (i, _I0, _I0),
                      memory_space=pltpu.VMEM),   # noise slice per cell
     ]
@@ -1222,7 +1226,7 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
                                  # refs: prefetch, inputs, outputs, scratch
                                  rho0_ref, wt_ref, bias_c_ref, maff_ref,
                                  rhos_ref, eps_ref, mres_ref, g0w_ref,
-                                 gl_ref, lo0_ref, hi0_ref, sz_ref, su_ref,
+                                 gl_ref, lo0_ref, hi0_ref, su_ref,
                                  bdw_ref, y0_ref, x0_ref, pad_ref,
                                  noise_ref,
                                  xs_ref, us_ref, stats_ref, yout_ref,
@@ -1282,16 +1286,15 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
         sm_scr[0] = rho0_ref[0]
         sm_scr[1] = _i32(-1)          # no rung resident yet
 
+    dp = y0_ref.shape[1]
     pad = pad_ref[:].astype(jnp.float32)         # (Bp, 1): 1 = inert row
     x = x_scr[:]                                 # (Bp, nplp) plant states
     r2 = jnp.dot(x, gl_ref[:], preferred_element_type=jnp.float32,
                  precision=hp).astype(dtype)
     g_row = g0w_ref[:] + r2[:, :nxp]             # (Bp, nxp)
-    shift = r2[:, nxp:nxp + ncp]
-    kx = r2[:, nxp + ncp:nxp + ncp + nup]
-    ax = r2[:, nxp + ncp + nup:]
-    sz = jnp.dot(shift, sz_ref[:], preferred_element_type=jnp.float32,
-                 precision=hp).astype(dtype)
+    sz = r2[:, nxp:nxp + dp]           # bound shift, Dp layout (z slots)
+    kx = r2[:, nxp + dp:nxp + dp + nup]
+    ax = r2[:, nxp + dp + nup:]
     lo = lo0_ref[:] + sz                         # ±inf pads absorb the shift
     hi = hi0_ref[:] + sz
 
@@ -1455,7 +1458,7 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
                      "rho_jump", "adaptive_rho_interval",
                      "iter_precision"))
 def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
-                         lo0, hi0, S_z, S_u, Bdw, Y0, X0, pad_mask, noise,
+                         lo0, hi0, S_u, Bdw, Y0, X0, pad_mask, noise,
                          rho_ind0, *,
                          nx: int, nc: int, nxp: int, ncp: int, nup: int,
                          nplp: int, n_steps: int, max_iter: int,
@@ -1482,7 +1485,7 @@ def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
     if max_iter % check_interval != 0:
         raise ValueError("the scan-rollout kernel requires max_iter to "
                          "be a multiple of check_interval")
-    unroll = True if dp <= 640 else 1   # ≤640: full window unroll (measured regime)
+    unroll = True if dp <= 512 else 1   # see full_rollout's unroll note
     kernel = functools.partial(
         _kernel_scan_rollout_batched, nx, nc, nxp, ncp, nup, nplp,
         max_iter, check_interval, bool(adaptive_rho),
@@ -1501,7 +1504,7 @@ def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
             M_aff, rhos.astype(jnp.float32),
             jnp.asarray(eps_abs, jnp.float32).reshape(1),
             M_res, g0w.reshape(1, nxp), gl_op, lo0.reshape(1, dp),
-            hi0.reshape(1, dp), S_z, S_u, Bdw, Y0, X0,
+            hi0.reshape(1, dp), S_u, Bdw, Y0, X0,
             pad_mask.reshape(bp, 1), noise]
     in_specs = [
         _any,                                    # W bank: HBM, streamed
@@ -1514,12 +1517,11 @@ def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
         _whole(args[7]),                         # gl_op
         _whole(args[8]),                         # lo0
         _whole(args[9]),                         # hi0
-        _whole(args[10]),                        # S_z
-        _whole(args[11]),                        # S_u
-        _whole(args[12]),                        # Bdw
-        _whole(args[13]),                        # Y0 (Bp, Dp)
-        _whole(args[14]),                        # X0 (Bp, nplp)
-        _whole(args[15]),                        # pad mask (Bp, 1)
+        _whole(args[10]),                        # S_u
+        _whole(args[11]),                        # Bdw
+        _whole(args[12]),                        # Y0 (Bp, Dp)
+        _whole(args[13]),                        # X0 (Bp, nplp)
+        _whole(args[14]),                        # pad mask (Bp, 1)
         pl.BlockSpec((1, bp, nplp), lambda i, s: (i, _I0, _I0),
                      memory_space=pltpu.VMEM),   # noise slice per cell
     ]

@@ -154,10 +154,13 @@ def _scenario_setup(B=5, eps=1e-4, **setup_kw):
     rng = np.random.RandomState(3)
     X0 = np.array([[1.0, 0.0]]) + 0.2 * rng.randn(B, 2)
     m = BatchedReLU_QP()
+    # backend="xla" everywhere: the XLA scenario loop needs the
+    # unpadded batch, and the kernel prep pads (B, Dp) internally — so
+    # one solver serves both comparison sides, on chip too (the padded
+    # pallas batch backend tripped the loop side's gate on hardware).
     m.setup(prob.H, np.tile(prob.g0, (B, 1)), prob.A,
             np.tile(prob.l0, (B, 1)), np.tile(prob.u0, (B, 1)),
-            eps_abs=eps, backend="xla" if not _ON_ACCEL else "auto",
-            **setup_kw)
+            eps_abs=eps, backend="xla", **setup_kw)
     return m, prob, X0
 
 
@@ -332,3 +335,28 @@ def test_scan_rollout_noise_matches_loop():
                                       x_init, T)
     assert np.abs(np.asarray(xs_l, np.float64)
                   - np.asarray(xs_clean, np.float64)).max() > 1e-3
+
+
+def test_scenario_scan_auto_window_driver():
+    """check_interval='auto' through the KERNEL driver: ci=1 calibration
+    segment + tuned continuation, stitched trajectory matching the
+    plain kernel rollout's regulation."""
+    from reluqp_tpu.models.mpc import _scenario_scan_driver
+    T, B = 24, 4
+    m, prob, X0 = _scenario_setup(B)
+    with pltpu.force_tpu_interpret_mode():
+        Xs, Us, it, st, Y_f, rho_f = _scenario_scan_driver(
+            m, prob, X0, T, None, None, "auto", 6, True, True)
+    Xs = np.asarray(Xs, np.float64)
+    assert Xs.shape == (T + 1, B, 2) and np.isfinite(Xs).all()
+    assert np.asarray(it).shape == (T,)
+    assert (np.asarray(st) == 1).all()     # every step solved
+    # calibration segment ran at ci=1 (exact needs), continuation at the
+    # tuned window: every tuned step's count is a multiple of the window
+    it = np.asarray(it)
+    from reluqp_tpu.models.mpc import auto_check_interval
+    ci = auto_check_interval(it[:6], m.settings.check_interval,
+                             m.settings.max_iter)
+    assert (it[6:] % ci == 0).all()
+    assert np.mean(np.linalg.norm(Xs[-1], axis=-1)) < \
+        np.mean(np.linalg.norm(Xs[0], axis=-1))

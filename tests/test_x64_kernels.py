@@ -163,14 +163,14 @@ def test_full_rollout_kernel_64bit_free(kernel_jaxprs):
     op, dp, nxp, ncp = _canonical_operands()
     n_rho = op.Wt_bank.shape[0]
     nplp = nup = 128
-    R2 = nxp + ncp + nup + nplp
+    R2 = nxp + dp + nup + nplp   # shift segment pre-scattered to Dp
     f32 = jnp.float32
     _swallow_interpret_error(
         sk.full_rollout, op.Wt_bank, jnp.zeros((n_rho, dp), f32),
         jnp.zeros((n_rho, nplp, dp), f32), op.rhos, op.M_res,
         jnp.zeros((1, nxp), f32), jnp.zeros((nplp, R2), f32),
         op.lo.reshape(1, dp), op.hi.reshape(1, dp),
-        jnp.zeros((ncp, dp), f32), jnp.zeros((dp, nup), f32),
+        jnp.zeros((dp, nup), f32),
         jnp.zeros((nup, nplp), f32), jnp.zeros((dp,), f32),
         jnp.zeros((1, nplp), f32), jnp.zeros((4, nplp), f32), 0,
         nx=3, nc=5, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp, n_steps=4,
@@ -187,7 +187,7 @@ def test_full_rollout_batched_kernel_64bit_free(kernel_jaxprs):
     n_rho = op.Wt_bank.shape[0]
     nplp = nup = 128
     bp = 8
-    R2 = nxp + ncp + nup + nplp
+    R2 = nxp + dp + nup + nplp   # shift segment pre-scattered to Dp
     f32 = jnp.float32
     _swallow_interpret_error(
         sk.full_rollout_batched, op.Wt_bank,
@@ -195,7 +195,7 @@ def test_full_rollout_batched_kernel_64bit_free(kernel_jaxprs):
         jnp.zeros((n_rho, nplp, dp), f32), op.rhos, op.M_res,
         jnp.zeros((1, nxp), f32), jnp.zeros((nplp, R2), f32),
         op.lo.reshape(1, dp), op.hi.reshape(1, dp),
-        jnp.zeros((ncp, dp), f32), jnp.zeros((dp, nup), f32),
+        jnp.zeros((dp, nup), f32),
         jnp.zeros((nup, nplp), f32), jnp.zeros((bp, dp), f32),
         jnp.zeros((bp, nplp), f32), jnp.zeros((bp, 1), f32),
         jnp.zeros((4, bp, nplp), f32), 0,
