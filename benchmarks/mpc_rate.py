@@ -47,22 +47,27 @@ def bench_one(nx, nu, horizon, T, tol, backend, alpha=1.0,
         raise SystemExit("--steps must be >= 10 for the two-point fit")
     T_lo, T_hi = max(T // 5, min(25, T // 2)), T
 
-    # Device-RESIDENT noise, generated once per chain length OUTSIDE the
-    # timed region: regenerating + H2D-transferring (n, nx) noise per
-    # dispatch is tunnel-bandwidth-bound (~400 B/step ≈ 85k Hz ceiling,
-    # measured — it swamped the solver). The fresh-x0 per dispatch is
-    # what defeats the tunnel's memoization; the noise array may repeat.
+    # Device-GENERATED noise, one array per chain length, cached: host
+    # randn + H2D per dispatch is tunnel-bandwidth-bound (~400 B/step
+    # ≈ 85k Hz ceiling, measured — it swamped the solver). jax.random
+    # on device costs no transfer at all; the first use of each length
+    # happens in an untimed compile pass, and the fresh-x0 per dispatch
+    # is what defeats the tunnel's memoization.
     import jax.numpy as jnp
-    noise_master = None
-    if noise_std > 0:
-        dtype = ctrl.solver.settings.precision_dtype
-        # 8x head-room: the two-point fit stretches the long chain up
-        # to 8x when the delta does not clear the tunnel jitter
-        noise_master = jnp.asarray(noise_std * rng.randn(8 * T, nx),
-                                   dtype)
+    dtype = ctrl.solver.settings.precision_dtype
+    noise_cache = {}
+
+    def noise_for(n):
+        if noise_std == 0:
+            return None
+        if n not in noise_cache:
+            key = jax.random.PRNGKey(int(rng.randint(2 ** 31)))
+            noise_cache[n] = (noise_std
+                              * jax.random.normal(key, (n, nx), dtype))
+        return noise_cache[n]
 
     def rollout_s(x, n):
-        w = None if noise_master is None else noise_master[:n]
+        w = noise_for(n)
         t0 = time.perf_counter()
         xs, _, iters = mpc_rollout_scan(ctrl.solver, ctrl.prob, x, n,
                                         kernel=kernel, noise=w,

@@ -109,12 +109,26 @@ def main(argv=None):
         if rollout_ci is not None and rollout_ci != "auto":
             rollout_ci = int(rollout_ci)
 
+        # Device-GENERATED noise per chain length, cached: host randn +
+        # H2D per dispatch is tunnel-bandwidth-bound and swamps the
+        # solver (the mpc_rate.py noise_for note); first use of each
+        # length lands in an untimed compile pass.
+        noise_cache = {}
+
+        def noise_for(n):
+            if args.noise == 0:
+                return None
+            if n not in noise_cache:
+                key = jax.random.PRNGKey(int(rng.randint(2 ** 31)))
+                noise_cache[n] = args.noise * jax.random.normal(
+                    key, (n, B, args.nx), m.settings.precision_dtype)
+            return noise_cache[n]
+
         def rollout_s(X, n):
             # auto mode's calibration segment is a fixed per-rollout cost
             # paid by both chain lengths — the two-point difference is
             # the tuned steady-state rate (see benchmarks/mpc_rate.py)
-            noise = (args.noise * rng.randn(n, B, args.nx)
-                     if args.noise > 0 else None)
+            noise = noise_for(n)
             t0 = time.perf_counter()
             Xs, _, _ = scenario_rollout_scan(m, prob, X, n, noise=noise,
                                              kernel=args.kernel,

@@ -898,42 +898,42 @@ def _scan_rollout_eligible(solver, ci=None, budget=None) -> bool:
     return _kernel_rollout_eligible(solver) is not None
 
 
-def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
-                  solve_max_iter, ci, y0, rho_ind0, noise=None):
-    """Host prep for the whole-rollout kernel (``full_rollout``): every
-    per-step refresh becomes an in-kernel matmul against precomputed
-    operators — [wd·Ḡx | Ē·LUx | Kx | Ax] from one stacked GL operator,
-    bounds via a z-segment scatter matrix, v0 extraction (unscale folded
-    in) via a selector, and the plant step via Bdᵀ."""
-    from ..ops.fused_step import LANE, round_up
-    from ..ops.solve_kernel import build_residual_operator, full_rollout
 
-    stng = solver.settings
-    dtype = stng.precision_dtype
+def _build_rollout_operators(prob: CondensedMPC, sc, H_s, A_s, wp_np,
+                             wd_np, B64, nx_qp: int, nc: int, Dp: int,
+                             dtype):
+    """Shared host build of the scan-rollout kernel operands (single
+    source for the single-plant and scenario preps — the segment-offset
+    arithmetic here must stay in lockstep with the kernel slicing in
+    ``ops.solve_kernel``): the residual operator, the fp64 state-affine
+    bias masters, the stacked refresh operator GL with the bound-shift
+    segment PRE-SCATTERED into Dp layout (exact fold of the former S_z
+    matmul — the scatter is 0/1, so composing it on the host yields the
+    same f32 dot products with one fewer matmul per step), the base
+    bounds, the v0 selector and the plant-step map.
+
+    ``B64``: the fp64 bias master already padded to (N, Dp, nx_qp).
+    Returns a dict of device operands + the padded dims.
+    """
+    from ..ops.fused_step import LANE, round_up
+    from ..ops.solve_kernel import build_residual_operator
+
     cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
     nu = prob.K.shape[0]
     npl = prob.K.shape[1]
-    nx_qp, nc, Dp = solver.nx, solver.nc, solver.Dp
-    sc = solver.scal
     gD = sc.c * sc.D
     g0_s = gD * prob.g0
     gx0_s = gD[:, None] * prob.g_x0
-    wd = np.ones(nx_qp) if solver._w_dua_np is None \
-        else np.asarray(solver._w_dua_np, np.float64)
+    wd = np.ones(nx_qp) if wd_np is None else np.asarray(wd_np,
+                                                         np.float64)
     M_res, _, nxp, ncp = build_residual_operator(
-        solver._H_s, solver._A_s, solver._g_s, Dp, dtype,
-        w_pri=solver._w_pri_np, w_dua=solver._w_dua_np)
-    c64, M64 = _affine_bias_fp64(B64 := solver._B_np, g0_s, gx0_s)
+        H_s, A_s, np.zeros(nx_qp), Dp, dtype, w_pri=wp_np, w_dua=wd_np)
+    c64, M64 = _affine_bias_fp64(B64, g0_s, gx0_s)
     nplp = round_up(max(npl, LANE), LANE)
     nup = round_up(max(nu, LANE), LANE)
     n_rho = B64.shape[0]
     M_aff = np.zeros((n_rho, nplp, Dp))
     M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
-
-    # stacked refresh operator: x @ GL = [wd·Ḡx | Ē·LUx-in-Dp | Kx | Ax]
-    # — the bound-shift segment is PRE-SCATTERED into Dp layout (z
-    # slots), which folds the former S_z matmul into this one exactly
-    # (same contraction, wider zero-padded output columns)
     R2 = nxp + Dp + nup + nplp
     GL = np.zeros((nplp, R2))
     GL[:npl, :nx_qp] = (wd[:, None] * gx0_s).T
@@ -952,6 +952,39 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     S_u[np.arange(nu), np.arange(nu)] = np.asarray(sc.D[:nu], np.float64)
     Bdw = np.zeros((nup, nplp))
     Bdw[:nu, :npl] = solver_plant_B(prob).T
+    return dict(M_res=M_res, bias_c=cst(c64), M_aff=cst(M_aff),
+                GL=cst(GL), g0w=cst(g0w), lo0=cst(lo0), hi0=cst(hi0),
+                S_u=cst(S_u), Bdw=cst(Bdw),
+                nxp=nxp, ncp=ncp, nplp=nplp, nup=nup)
+
+
+def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
+                  solve_max_iter, ci, y0, rho_ind0, noise=None):
+    """Host prep for the whole-rollout kernel (``full_rollout``): every
+    per-step refresh becomes an in-kernel matmul against the
+    ``_build_rollout_operators`` operands (cached per prob/bank — the
+    auto-ci driver and repeated benchmark dispatches reuse them)."""
+    from ..ops.solve_kernel import full_rollout
+
+    stng = solver.settings
+    dtype = stng.precision_dtype
+    cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
+    nu = prob.K.shape[0]
+    npl = prob.K.shape[1]
+    nx_qp, nc, Dp = solver.nx, solver.nc, solver.Dp
+    sc = solver.scal
+    cache = getattr(solver, "_scan_ops_cache", None)
+    key = (id(prob), Dp)
+    if (cache is not None and cache[0] == key
+            and cache[3] is solver.bank.W):   # bank identity = setup gen
+        ops = cache[1]
+    else:
+        ops = _build_rollout_operators(
+            prob, sc, solver._H_s, solver._A_s, solver._w_pri_np,
+            solver._w_dua_np, solver._B_np, nx_qp, nc, Dp, dtype)
+        solver._scan_ops_cache = (key, ops, prob, solver.bank.W)
+    nxp, ncp = ops["nxp"], ops["ncp"]
+    nplp, nup = ops["nplp"], ops["nup"]
     x0p = np.zeros((1, nplp))
     x0p[0, :npl] = np.asarray(x_init, np.float64).reshape(npl) \
         if not isinstance(x_init, jax.Array) else 0.0
@@ -987,9 +1020,10 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
         noise_k = jnp.zeros((n_steps, nplp), dtype=dtype).at[
             :, :npl].set(jnp.asarray(noise, dtype=dtype))
     xs, us, stats, y_f = full_rollout(
-        solver.bank.W, cst(np.asarray(c64)), cst(M_aff),
-        solver.bank.rhos, M_res, cst(g0w), cst(GL), cst(lo0), cst(hi0),
-        cst(S_u), cst(Bdw), y0, x0_dev, noise_k, rho_ind0,
+        solver.bank.W, ops["bias_c"], ops["M_aff"],
+        solver.bank.rhos, ops["M_res"], ops["g0w"], ops["GL"],
+        ops["lo0"], ops["hi0"],
+        ops["S_u"], ops["Bdw"], y0, x0_dev, noise_k, rho_ind0,
         nx=nx_qp, nc=nc, nxp=nxp, ncp=ncp, nup=nup, nplp=nplp,
         n_steps=n_steps, max_iter=mi,
         check_interval=ci_eff,
@@ -1064,8 +1098,7 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
     prep is cached on the solver per (prob, Dp) — repeated segments
     (the auto-ci driver) reuse it."""
     from ..ops.fused_step import LANE, pad_dim, round_up
-    from ..ops.solve_kernel import (build_residual_operator,
-                                    full_rollout_batched)
+    from ..ops.solve_kernel import full_rollout_batched
     from ..parallel import host_replicated
     from ..utils.scaling import residual_unscale_weights
 
@@ -1082,26 +1115,22 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
     nplp = round_up(max(npl, LANE), LANE)
     nup = round_up(max(nu, LANE), LANE)
 
-    # cache key uses id(prob); the cache tuple HOLDS the prob reference
-    # so the id cannot be recycled by a GC'd-and-reallocated object
+    # cache key uses id(prob); the cache tuple HOLDS the prob (and the
+    # bank array) references so ids cannot be recycled by GC'd objects,
+    # and the bank-identity check invalidates the cache when setup()/
+    # update_matrices() rebuilds the solver (stale operators would
+    # otherwise silently solve against the OLD factorizations)
     cache = getattr(m, "_scan_ops_cache", None)
     key = (id(prob), Dp, Bp)
-    if cache is not None and cache[0] == key:
+    if (cache is not None and cache[0] == key
+            and cache[3] is m.Wt_bank):
         ops = cache[1]
     else:
-        gD = sc.c * sc.D
-        g0_s = gD * prob.g0
-        gx0_s = gD[:, None] * prob.g_x0
         wp_np, wd_np = residual_unscale_weights(sc, stng)
-        wd = np.ones(nx_qp) if wd_np is None \
-            else np.asarray(wd_np, np.float64)
         # H in the solver's iteration dtype (the values the XLA batched
         # residuals contract against); A from the fp64 scaled master.
         H_s = np.asarray(host_replicated(m.H_dev), np.float64)
         A_s = m._A_scaled_np
-        M_res, _, nxp, ncp = build_residual_operator(
-            H_s, A_s, np.zeros(nx_qp), Dp, dtype, w_pri=wp_np,
-            w_dua=wd_np)
         Wt = np.asarray(host_replicated(m.Wt_bank), np.float64)
         n_rho = Wt.shape[0]
         if Wt.shape[1] != Dp:
@@ -1115,39 +1144,13 @@ def _scan_scenario_rollout(m, prob: CondensedMPC, X0_dev, n_steps: int,
             B_p = np.zeros((n_rho, Dp, nx_qp))
             B_p[:, :D, :] = B64[:, :D, :]
             B64 = B_p
-        c64, M64 = _affine_bias_fp64(B64, g0_s, gx0_s)
-        M_aff = np.zeros((n_rho, nplp, Dp))
-        M_aff[:, :npl, :] = np.swapaxes(M64, 1, 2)
-        # bound-shift segment pre-scattered into Dp layout (see
-        # _scan_rollout's GL note — exact fold of the former S_z matmul)
-        R2 = nxp + Dp + nup + nplp
-        GL = np.zeros((nplp, R2))
-        GL[:npl, :nx_qp] = (wd[:, None] * gx0_s).T
-        GL[:npl, nxp + nx_qp:nxp + nx_qp + nc] = (sc.E[:, None]
-                                                  * prob.lu_x0).T
-        GL[:npl, nxp + Dp:nxp + Dp + nu] = prob.K.T
-        GL[:npl, nxp + Dp + nup:nxp + Dp + nup + npl] = \
-            solver_plant_A(prob).T
-        g0w = np.zeros((1, nxp))
-        g0w[0, :nx_qp] = wd * g0_s
-        lo0 = np.full((1, Dp), -np.inf)
-        hi0 = np.full((1, Dp), np.inf)
-        lo0[0, nx_qp:nx_qp + nc] = sc.E * prob.l0
-        hi0[0, nx_qp:nx_qp + nc] = sc.E * prob.u0
-        S_u = np.zeros((Dp, nup))
-        S_u[np.arange(nu), np.arange(nu)] = np.asarray(sc.D[:nu],
-                                                       np.float64)
-        Bdw = np.zeros((nup, nplp))
-        Bdw[:nu, :npl] = solver_plant_B(prob).T
+        ops = _build_rollout_operators(prob, sc, H_s, A_s, wp_np, wd_np,
+                                       B64, nx_qp, nc, Dp, dtype)
         pad_mask = np.zeros((Bp, 1), np.float32)
         pad_mask[B_n:, 0] = 1.0
-        ops = dict(Wt=cst(Wt), bias_c=cst(c64), M_aff=cst(M_aff),
-                   M_res=M_res, g0w=cst(g0w), GL=cst(GL), lo0=cst(lo0),
-                   hi0=cst(hi0), S_u=cst(S_u),
-                   Bdw=cst(Bdw),
-                   pad=jnp.asarray(pad_mask, jnp.float32),
-                   nxp=nxp, ncp=ncp)
-        m._scan_ops_cache = (key, ops, prob)
+        ops = dict(ops, Wt=cst(Wt),
+                   pad=jnp.asarray(pad_mask, jnp.float32))
+        m._scan_ops_cache = (key, ops, prob, m.Wt_bank)
 
     # state conversion: batch-solver layout (B_pad_m, Dp_m) ↔ kernel
     # layout (Bp, Dp) — pad slots/rows are exactly 0 in both.

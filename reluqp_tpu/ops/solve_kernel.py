@@ -1345,7 +1345,7 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
         return pri, dua, rho_new
 
     def body(state):
-        (Y, k_idx, rho, k, pri, dua, done, iters, status,
+        (Y, k_idx, rho, k, pri, dua, done, status,
          res_idx) = state
         res_idx = ensure_resident(k_idx, res_idx)
         Y = chunk(Y, k_idx, check_interval)
@@ -1389,10 +1389,9 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
         newly = jnp.logical_and(
             open_m, jnp.logical_and(pri < eps_pri, dua < eps_dua))
         k = k + _i32(check_interval)
-        iters = jnp.where(newly, k.astype(jnp.float32), iters)
         status = jnp.where(newly, one, status)
         done = jnp.where(newly, one, done)
-        return (Y, k_idx, rho, k, pri, dua, done, iters, status, res_idx)
+        return (Y, k_idx, rho, k, pri, dua, done, status, res_idx)
 
     def cond(state):
         k, done = state[3], state[6]
@@ -1406,13 +1405,12 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
              rhos_ref[k0].astype(jnp.float32) * (zcol + one),
              jnp.asarray(0, jnp.int32), zcol, zcol,
              pad,                       # pad rows start done (done0)
-             zcol,                      # iters (0 for never-open rows)
              pad,                       # pad rows report SOLVED
              sm_scr[1])
     n_act0 = jnp.sum(jnp.where(pad < np.float32(0.5), one, zero))
     state = body(state)                    # first window always runs
     state = lax.while_loop(cond, body, state)
-    Y, k_idx, rho, k, pri, dua, done, iters, status, res_idx = state
+    Y, k_idx, rho, k, pri, dua, done, status, res_idx = state
 
     v0 = jnp.dot(Y, su_ref[:], preferred_element_type=jnp.float32,
                  precision=hp).astype(dtype)

@@ -258,9 +258,10 @@ def test_scenario_scan_gating():
         assert np.isfinite(np.asarray(Xs)).all()
     # budget below one window is never eligible
     assert not _scan_scenario_eligible(m, ci=25, budget=10)
-    # reduced iteration precision is never eligible
-    m2, prob2, X02 = _scenario_setup(4, iter_precision="high",
-                                     refine=False)
+    # reduced precision WITH two-phase refine (the default) is never
+    # eligible — the scan kernels carry no refine machinery; with
+    # refine=False it IS eligible on TPU (the reduced-precision tests)
+    m2, prob2, X02 = _scenario_setup(4, iter_precision="high")
     assert not _scan_scenario_eligible(m2)
 
 

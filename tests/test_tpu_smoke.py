@@ -172,7 +172,7 @@ def test_ruiz_scaling_solve(backend):
 # --------------------------------------------------------------------- #
 
 @pytest.mark.parametrize("backend", BACKENDS)
-def test_ruiz_scaling_solve(backend):
+def test_ruiz_scaling_solve_on_chip(backend):
     """Ruiz equilibration + unscaled termination on every backend (the
     residual-unscale weights ride the kernels' residual operators)."""
     H, g, A, l, u, _ = rand_qp(24, 6, 6, seed=3, compute_sol=False)
