@@ -834,7 +834,8 @@ _rollout_kernel_jit = jax.jit(
                      "iter_precision", "refine", "verbose", "stream_bank"))
 
 
-def _kernel_rollout_eligible(solver) -> Optional[bool]:
+def _kernel_rollout_eligible(solver, require_padded_layout=True
+                             ) -> Optional[bool]:
     """None when the whole-solve-kernel rollout cannot run, else the
     stream_bank flag — ALWAYS True when eligible: inside a scan each
     launch of a VMEM-resident-bank kernel would re-copy the whole bank
@@ -849,13 +850,18 @@ def _kernel_rollout_eligible(solver) -> Optional[bool]:
     if not _is_tpu(stng.device) or stng.alpha != 1.0 \
             or stng.check_infeasibility \
             or getattr(solver, "_B_np", None) is None \
-            or getattr(solver, "_mesh", None) is not None \
-            or solver.Dp != pad_dim(solver.D):
+            or getattr(solver, "_mesh", None) is not None:
         return None
-    if pad_dim(solver.D) > 768:
-        # the ROLLOUT kernels still use whole-operand dots; only
-        # full_solve has the rung-tiled path that Dp > 768 needs
-        # (solve_kernel.full_solve dot_tile note)
+    if require_padded_layout and solver.Dp != pad_dim(solver.D):
+        # the FUSED per-step rollout consumes solver.bank.W directly and
+        # needs the padded runtime layout; the SCAN rollout pads its own
+        # operand copies on the fly (cached), so it passes
+        # require_padded_layout=False
+        return None
+    if pad_dim(solver.D) > 768 and stng.iter_precision != "highest":
+        # beyond Dp=768 the rollout kernels run the rung-TILED dots
+        # (measured: whole-operand dots fail Mosaic at Dp=960), which
+        # support the highest-precision path only
         return None
     nxp = round_up(max(solver.nx, LANE), LANE)
     ncp = round_up(max(solver.nc, LANE), LANE)
@@ -892,10 +898,11 @@ def _scan_rollout_eligible(solver, ci=None, budget=None) -> bool:
     if eff_budget < ci_eff:
         return False   # not even one full window fits the budget
     # extra VMEM beyond full_solve's streamed+affine model: the refresh
-    # operator, the z-scatter, the v0 selector, Bdᵀ and the carried rows
-    # are all small next to the W scratch (~0.5-1.5 MB at Dp<=640) —
-    # the shared gate is the binding one.
-    return _kernel_rollout_eligible(solver) is not None
+    # operator, the v0 selector, Bdᵀ and the carried rows are all small
+    # next to the W scratch (~0.5-1.5 MB at Dp<=640) — the shared gate
+    # is the binding one.
+    return _kernel_rollout_eligible(solver,
+                                    require_padded_layout=False) is not None
 
 
 
@@ -971,7 +978,10 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     cst = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype=dtype)
     nu = prob.K.shape[0]
     npl = prob.K.shape[1]
-    nx_qp, nc, Dp = solver.nx, solver.nc, solver.Dp
+    from ..ops.fused_step import pad_dim
+    nx_qp, nc = solver.nx, solver.nc
+    D = solver.D
+    Dp = pad_dim(D)
     sc = solver.scal
     cache = getattr(solver, "_scan_ops_cache", None)
     key = (id(prob), Dp)
@@ -979,9 +989,24 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
             and cache[3] is solver.bank.W):   # bank identity = setup gen
         ops = cache[1]
     else:
+        B64 = solver._B_np
+        if solver.Dp != Dp:
+            # solver laid out unpadded (xla runner at sizes past the
+            # chunked kernel's envelope): pad the kernel's own operand
+            # copies here — once, cached
+            B_p = np.zeros((B64.shape[0], Dp, nx_qp))
+            B_p[:, :B64.shape[1], :] = B64
+            B64 = B_p
         ops = _build_rollout_operators(
             prob, sc, solver._H_s, solver._A_s, solver._w_pri_np,
-            solver._w_dua_np, solver._B_np, nx_qp, nc, Dp, dtype)
+            solver._w_dua_np, B64, nx_qp, nc, Dp, dtype)
+        if solver.Dp != Dp:
+            Wt = np.asarray(jax.device_get(solver.bank.W), np.float64)
+            Wt_p = np.zeros((Wt.shape[0], Dp, Dp))
+            Wt_p[:, :Wt.shape[1], :Wt.shape[2]] = Wt
+            ops["Wt"] = jnp.asarray(Wt_p, dtype=dtype)
+        else:
+            ops["Wt"] = solver.bank.W
         solver._scan_ops_cache = (key, ops, prob, solver.bank.W)
     nxp, ncp = ops["nxp"], ops["ncp"]
     nplp, nup = ops["nplp"], ops["nup"]
@@ -990,6 +1015,8 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
         if not isinstance(x_init, jax.Array) else 0.0
 
     y0 = solver.y if y0 is None else y0
+    if y0.shape[0] != Dp:    # unpadded-solver state -> kernel layout
+        y0 = jnp.zeros((Dp,), dtype=dtype).at[:D].set(y0[:D])
     rho_ind0 = solver.rho_ind if rho_ind0 is None else rho_ind0
     if isinstance(x_init, jax.Array):
         # traced start state (auto-ci continuation segment)
@@ -1020,7 +1047,7 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
         noise_k = jnp.zeros((n_steps, nplp), dtype=dtype).at[
             :, :npl].set(jnp.asarray(noise, dtype=dtype))
     xs, us, stats, y_f = full_rollout(
-        solver.bank.W, ops["bias_c"], ops["M_aff"],
+        ops["Wt"], ops["bias_c"], ops["M_aff"],
         solver.bank.rhos, ops["M_res"], ops["g0w"], ops["GL"],
         ops["lo0"], ops["hi0"],
         ops["S_u"], ops["Bdw"], y0, x0_dev, noise_k, rho_ind0,
@@ -1038,6 +1065,10 @@ def _scan_rollout(solver, prob: CondensedMPC, x_init, n_steps: int,
     iters = stats[:, 0].astype(jnp.int32)
     status = stats[:, 5].astype(jnp.int32)
     rho_f = stats[-1, 4].astype(jnp.int32)
+    if solver.Dp != Dp:
+        # back to the solver's (unpadded) state layout — kernel padding
+        # slots are exactly 0, so the slice is lossless
+        y_f = y_f[:solver.Dp]
     return states, us[:, :nu], iters, status, y_f, rho_f
 
 
@@ -1078,8 +1109,13 @@ def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
     # (Bp, R) residual product, and the W-sized scratch+temporaries as
     # 4 rungs. With the 12 MB budget this admits exactly the measured
     # envelope and refuses B=256 (which falls back to the loop path).
+    from ..ops.solve_kernel import _DOT_TILE, _TILE_ABOVE
     R = 2 * ncp + 2 * nxp
-    total = (4 * dp * dp + dp * R + nplp * dp + n_rho * dp
+    # beyond the tile threshold the kernels stream the rung contraction
+    # in (tile, Dp) slices — the W allowance drops to scratch + tiles
+    w_elems = (dp * dp + 2 * _DOT_TILE * dp if dp > _TILE_ABOVE
+               else 4 * dp * dp)
+    total = (w_elems + dp * R + nplp * dp + n_rho * dp
              + 5 * bp * dp + bp * R) * bs
     # iter_precision="high"/"bf16" adds a per-chunk bf16 hi/lo split of
     # the rung (~1 f32-W of bf16 pairs) — measured to fit inside the

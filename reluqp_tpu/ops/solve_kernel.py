@@ -70,6 +70,53 @@ __all__ = ["FullSolveOperand", "AlphaOperand", "InfeasOperand",
 
 _TINY = 1e-30
 
+# Rung/operand dots switch to contraction tiling above this padded dim:
+# whole-operand dots exceed Mosaic's scoped-VMEM limit beyond Dp=768
+# (measured round 5 — full_solve AND the rollout kernels). Module
+# constants so tests can monkeypatch the tiled path onto small shapes.
+_TILE_ABOVE = 768
+_DOT_TILE = 256
+
+
+def _tiled_dot(v, ref, tile):
+    """(B, K) @ ref[(K, N)] with the contraction streamed in (tile, N)
+    ref slices loaded ONE AT A TIME inside a dynamic loop (pl.load with
+    a loop-carried offset) — a statically unrolled accumulation keeps
+    every tile slice live on Mosaic's scoped stack and measured WORSE
+    than the whole dot (17.3 MB at 8×128 tiles vs 16.9 at 4×256 vs the
+    16 MB limit, Dp=1024 rollout); the dynamic loop bounds the peak at
+    one tile. HIGHEST only; K must be a multiple of ``tile`` (both are
+    lane multiples by construction)."""
+    hp = lax.Precision.HIGHEST
+    if tile is None:
+        return jnp.dot(v, ref[:], preferred_element_type=jnp.float32,
+                       precision=hp)
+    K = v.shape[1]
+    n_t = K // tile
+
+    # one STATIC-slice branch per tile, selected dynamically: Mosaic
+    # cannot lower dynamic_slice of a value, and only one branch is
+    # live at a program point, so the scoped peak is one tile
+    def mk(t):
+        def br(acc):
+            return acc + jnp.dot(v[:, t * tile:(t + 1) * tile],
+                                 ref[t * tile:(t + 1) * tile, :],
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+        return br
+
+    branches = [mk(t) for t in range(n_t)]
+
+    def body(c):
+        i, acc = c
+        return i + _i32(1), lax.switch(i, branches, acc)
+
+    _, acc = lax.while_loop(
+        lambda c: c[0] < _i32(n_t), body,
+        (jnp.asarray(0, jnp.int32),
+         jnp.zeros((v.shape[0], ref.shape[1]), jnp.float32)))
+    return acc
+
 
 class AlphaOperand(NamedTuple):
     """Extra operands for the relaxed (alpha != 1) parametrization."""
@@ -250,7 +297,7 @@ def full_solve_vmem_bytes(n_rho: int, dp: int, nxp: int, ncp: int,
     # and runs where the whole-dot kernel was refused by the compiler.
     # The whole-bank mode never hits this: its bank bound binds first.
     if stream_bank:
-        bank_elems = (dp * dp + 256 * dp if dp > 768
+        bank_elems = (dp * dp + _DOT_TILE * dp if dp > _TILE_ABOVE
                       else 3 * dp * dp)
     else:
         bank_elems = n_rho * dp * dp
@@ -373,22 +420,7 @@ def _kernel(nx, nc, nxp, ncp, max_iter, check_interval, adaptive_rho,
     hp = lax.Precision.HIGHEST
 
     def tdot_ref(y, ref):
-        """(1, K) @ ref[(K, N)], the contraction streamed in row-block
-        tiles READ FROM THE REF per tile — never materializes the whole
-        (K, N) operand as a value, which bounds Mosaic's scoped-memory
-        peak at large Dp (the round-4 wall: whole-operand dots at
-        Dp=1024 exceed VMEM; tiled, Dp=1024 compiles and runs)."""
-        if dot_tile is None:
-            return jnp.dot(y, ref[:], preferred_element_type=jnp.float32,
-                           precision=hp)
-        K = y.shape[1]
-        acc = jnp.zeros((y.shape[0], ref.shape[1]), jnp.float32)
-        for t in range(0, K, dot_tile):
-            acc = acc + jnp.dot(y[:, t:t + dot_tile],
-                                ref[t:t + dot_tile, :],
-                                preferred_element_type=jnp.float32,
-                                precision=hp)
-        return acc
+        return _tiled_dot(y, ref, dot_tile)
 
     def chunk(y, k_idx, n_steps: int, prec: str):
         # (Dp, Dp): the resident scratch rung (streaming) or a dynamic
@@ -746,7 +778,7 @@ def full_solve(op: FullSolveOperand, y0, rho_ind0, bias_affine=None, *,
     # Dp=1024 is refused); tile the contraction so the sweep's largest
     # sizes (nx=500 -> Dp=1024) fit. Highest-precision path only — the
     # Dekker-split paths materialize rung-sized temporaries by design.
-    dot_tile = 256 if (stream_bank and dp > 768) else None
+    dot_tile = _DOT_TILE if (stream_bank and dp > _TILE_ABOVE) else None
     if dot_tile is not None and iter_precision != "highest":
         raise ValueError(
             "the rung-tiled streaming path (Dp > 768) supports "
@@ -882,7 +914,7 @@ def _make_iter(wt, b, lo, hi, dtype, prec: str):
 def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
                          check_interval, adaptive_rho, tol, rho_min,
                          rho_max, rho_jump, rho_stride, unroll,
-                         iter_precision,
+                         iter_precision, dot_tile,
                          # refs: prefetch, inputs, outputs, scratch
                          rho0_ref, wt_ref, bias_c_ref, maff_ref, rhos_ref,
                          eps_ref, mres_ref, g0w_ref, gl_ref, lo0_ref,
@@ -966,17 +998,20 @@ def _kernel_scan_rollout(nx, nc, nxp, ncp, nup, nplp, max_iter,
         return k_idx
 
     def chunk(y, k_idx, n_steps):
-        wt = w_scr[:]
         b = bias_c_ref[k_idx] + jnp.dot(x, m_scr[:],
                                         preferred_element_type=jnp.float32,
                                         precision=hp).astype(dtype)
-        return _fori(n_steps,
-                     _make_iter(wt, b, lo, hi, dtype, iter_precision),
-                     y, unroll)
+        if dot_tile is not None:
+            # rung read tile-by-tile from the scratch ref (highest only)
+            def it(y):
+                yw = _tiled_dot(y, w_scr, dot_tile)
+                return jnp.clip(yw.astype(dtype) + b, lo, hi)
+        else:
+            it = _make_iter(w_scr[:], b, lo, hi, dtype, iter_precision)
+        return _fori(n_steps, it, y, unroll)
 
     def residuals(y, rho):
-        r = jnp.dot(y, mres_ref[:], preferred_element_type=jnp.float32,
-                    precision=hp)
+        r = _tiled_dot(y, mres_ref, dot_tile)
         axx = r[:, 0:ncp]
         z = r[:, ncp:2 * ncp]
         hx = r[:, 2 * ncp:2 * ncp + nxp]
@@ -1122,13 +1157,17 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
     # heavy disturbance) overflows scoped VMEM at Dp=640 (measured
     # round 5 — the disturbance sweep's noise=0.3 row)
     unroll = True if dp <= 512 else 1
+    dot_tile = _DOT_TILE if dp > _TILE_ABOVE else None
+    if dot_tile is not None and iter_precision != "highest":
+        raise ValueError("the rung-tiled rollout path (Dp > 768) "
+                         "supports iter_precision='highest' only")
     kernel = functools.partial(
         _kernel_scan_rollout, nx, nc, nxp, ncp, nup, nplp, max_iter,
         check_interval, bool(adaptive_rho),
         float(adaptive_rho_tolerance), float(rho_min), float(rho_max),
         bool(rho_jump),
         rho_update_stride(adaptive_rho_interval, check_interval), unroll,
-        str(iter_precision))
+        str(iter_precision), dot_tile)
 
     def _whole(a, space=pltpu.VMEM):
         zeros = (_I0,) * a.ndim
@@ -1222,7 +1261,7 @@ def full_rollout(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op, lo0,
 def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
                                  check_interval, adaptive_rho, tol,
                                  rho_min, rho_max, rho_jump, rho_stride,
-                                 unroll, iter_precision,
+                                 unroll, iter_precision, dot_tile,
                                  # refs: prefetch, inputs, outputs, scratch
                                  rho0_ref, wt_ref, bias_c_ref, maff_ref,
                                  rhos_ref, eps_ref, mres_ref, g0w_ref,
@@ -1314,20 +1353,22 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
         return k_idx
 
     def chunk(Y, k_idx, n_steps):
-        wt = w_scr[:]
         b = bias_c_ref[k_idx] + jnp.dot(x, m_scr[:],
                                         preferred_element_type=jnp.float32,
                                         precision=hp).astype(dtype)
-        return _fori(n_steps,
-                     _make_iter(wt, b, lo, hi, dtype, iter_precision),
-                     Y, unroll)
+        if dot_tile is not None:
+            def it(Y):
+                YW = _tiled_dot(Y, w_scr, dot_tile)
+                return jnp.clip(YW.astype(dtype) + b, lo, hi)
+        else:
+            it = _make_iter(w_scr[:], b, lo, hi, dtype, iter_precision)
+        return _fori(n_steps, it, Y, unroll)
 
     def residuals(Y, rho):
         """Per-scenario residuals + ρ estimates, (Bp, 1) each — the
         row-wise analogue of ``core.batched.batched_residuals`` from
         ONE Y @ M_res matmul."""
-        r = jnp.dot(Y, mres_ref[:], preferred_element_type=jnp.float32,
-                    precision=hp)
+        r = _tiled_dot(Y, mres_ref, dot_tile)
         axx = r[:, 0:ncp]
         z = r[:, ncp:2 * ncp]
         hx = r[:, 2 * ncp:2 * ncp + nxp]
@@ -1484,13 +1525,17 @@ def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
         raise ValueError("the scan-rollout kernel requires max_iter to "
                          "be a multiple of check_interval")
     unroll = True if dp <= 512 else 1   # see full_rollout's unroll note
+    dot_tile = _DOT_TILE if dp > _TILE_ABOVE else None
+    if dot_tile is not None and iter_precision != "highest":
+        raise ValueError("the rung-tiled rollout path (Dp > 768) "
+                         "supports iter_precision='highest' only")
     kernel = functools.partial(
         _kernel_scan_rollout_batched, nx, nc, nxp, ncp, nup, nplp,
         max_iter, check_interval, bool(adaptive_rho),
         float(adaptive_rho_tolerance), float(rho_min), float(rho_max),
         bool(rho_jump),
         rho_update_stride(adaptive_rho_interval, check_interval), unroll,
-        str(iter_precision))
+        str(iter_precision), dot_tile)
 
     def _whole(a, space=pltpu.VMEM):
         zeros = (_I0,) * a.ndim

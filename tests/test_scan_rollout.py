@@ -361,3 +361,40 @@ def test_scenario_scan_auto_window_driver():
     assert (it[6:] % ci == 0).all()
     assert np.mean(np.linalg.norm(Xs[-1], axis=-1)) < \
         np.mean(np.linalg.norm(Xs[0], axis=-1))
+
+
+def test_scan_rollout_tiled_dot_path(monkeypatch):
+    """The rung-tiled dot path (Dp beyond the whole-dot envelope)
+    produces the same trajectories: force tiling onto a small shape by
+    monkeypatching the module thresholds and pin against the untiled
+    kernel run."""
+    from reluqp_tpu.ops import solve_kernel as sk
+    T = 10
+    x_init = np.array([1.0, 0.0])
+    ctrl_a = _ctrl()
+    xs_a, _, it_a, _, _ = _scan(ctrl_a, x_init, T)
+    monkeypatch.setattr(sk, "_TILE_ABOVE", 0)
+    monkeypatch.setattr(sk, "_DOT_TILE", 64)   # 2 tiles at Dp=128
+    sk.full_rollout.clear_cache()
+    xs_b, _, it_b, _, _ = _scan(_ctrl(), x_init, T)
+    sk.full_rollout.clear_cache()   # do not leak tiled executables
+    assert np.abs(np.asarray(xs_a, np.float64)
+                  - np.asarray(xs_b, np.float64)).max() < 1e-5
+    assert (np.asarray(it_a) == np.asarray(it_b)).all()
+
+
+def test_scenario_scan_tiled_dot_path(monkeypatch):
+    """Batched sibling of the tiled-dot equivalence test."""
+    from reluqp_tpu.ops import solve_kernel as sk
+    T, B = 10, 4
+    m_a, prob, X0 = _scenario_setup(B)
+    Xs_a, _, it_a, _, _ = _scenario_scan(m_a, prob, X0, T)
+    monkeypatch.setattr(sk, "_TILE_ABOVE", 0)
+    monkeypatch.setattr(sk, "_DOT_TILE", 64)
+    sk.full_rollout_batched.clear_cache()
+    m_b, _, _ = _scenario_setup(B)
+    Xs_b, _, it_b, _, _ = _scenario_scan(m_b, prob, X0, T)
+    sk.full_rollout_batched.clear_cache()
+    assert np.abs(np.asarray(Xs_a, np.float64)
+                  - np.asarray(Xs_b, np.float64)).max() < 1e-5
+    assert (np.asarray(it_a) == np.asarray(it_b)).all()
