@@ -1320,12 +1320,19 @@ def _kernel_scan_rollout_batched(nx, nc, nxp, ncp, nup, nplp, max_iter,
 
     @pl.when(i == _I0)
     def _init():
-        y_scr[:] = y0_ref[:]
-        x_scr[:] = x0_ref[:]
+        # Y0/X0 live in HBM (ANY) and are DMA'd once at cell 0: VMEM
+        # input blocks for (Bp, Dp) state cost ~770 KB at B=256 that
+        # pushed the kernel 190 KB past the 16 MB scoped limit
+        dma_y = pltpu.make_async_copy(y0_ref, y_scr, w_sem)
+        dma_y.start()
+        dma_x = pltpu.make_async_copy(x0_ref, x_scr, m_sem)
+        dma_x.start()
+        dma_x.wait()
+        dma_y.wait()
         sm_scr[0] = rho0_ref[0]
         sm_scr[1] = _i32(-1)          # no rung resident yet
 
-    dp = y0_ref.shape[1]
+    dp = y_scr.shape[1]
     pad = pad_ref[:].astype(jnp.float32)         # (Bp, 1): 1 = inert row
     x = x_scr[:]                                 # (Bp, nplp) plant states
     r2 = jnp.dot(x, gl_ref[:], preferred_element_type=jnp.float32,
@@ -1562,8 +1569,8 @@ def full_rollout_batched(Wt_bank, bias_c, M_aff, rhos, M_res, g0w, gl_op,
         _whole(args[9]),                         # hi0
         _whole(args[10]),                        # S_u
         _whole(args[11]),                        # Bdw
-        _whole(args[12]),                        # Y0 (Bp, Dp)
-        _whole(args[13]),                        # X0 (Bp, nplp)
+        _any,                                    # Y0: HBM, DMA at cell 0
+        _any,                                    # X0: HBM, DMA at cell 0
         _whole(args[14]),                        # pad mask (Bp, 1)
         pl.BlockSpec((1, bp, nplp), lambda i, s: (i, _I0, _I0),
                      memory_space=pltpu.VMEM),   # noise slice per cell
