@@ -858,10 +858,15 @@ def _kernel_rollout_eligible(solver, require_padded_layout=True
         # operand copies on the fly (cached), so it passes
         # require_padded_layout=False
         return None
-    if pad_dim(solver.D) > 768 and stng.iter_precision != "highest":
-        # beyond Dp=768 the rollout kernels run the rung-TILED dots
-        # (measured: whole-operand dots fail Mosaic at Dp=960), which
-        # support the highest-precision path only
+    from ..ops.solve_kernel import _TILE_ABOVE
+    # the kernels run at the PADDED dim even when the solver laid out
+    # unpadded (the scan path pads its own operand copies) — gate the
+    # VMEM estimate at that dim, not solver.Dp
+    dp_k = pad_dim(solver.D)
+    if dp_k > _TILE_ABOVE and stng.iter_precision != "highest":
+        # beyond the tile threshold the rollout kernels run the
+        # rung-TILED dots (measured: whole-operand dots fail Mosaic at
+        # Dp=960), which support the highest-precision path only
         return None
     nxp = round_up(max(solver.nx, LANE), LANE)
     ncp = round_up(max(solver.nc, LANE), LANE)
@@ -870,7 +875,7 @@ def _kernel_rollout_eligible(solver, require_padded_layout=True
     npl = solver.nx
     n_rho = len(solver.rhos_np)
     if full_solve_vmem_bytes(
-            n_rho, solver.Dp, nxp, ncp, stng.precision_dtype, alpha=1.0,
+            n_rho, dp_k, nxp, ncp, stng.precision_dtype, alpha=1.0,
             iter_precision=stng.iter_precision, check_infeasibility=False,
             stream_bank=True,
             bias_affine_npl=round_up(max(npl, LANE), LANE)) \
@@ -1096,6 +1101,12 @@ def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
     if eff_budget < ci_eff:
         return False
     dp = pad_dim(m.D)
+    from ..ops.solve_kernel import _TILE_ABOVE as _TA
+    if dp > _TA and stng.iter_precision != "highest":
+        # the tiled dots are highest-only; without this clause the
+        # dispatch would raise out of full_rollout_batched instead of
+        # falling back to the loop path
+        return False
     nxp = round_up(max(m.nx, LANE), LANE)
     ncp = round_up(max(m.nc, LANE), LANE)
     nplp = round_up(max(m.nx, LANE), LANE)   # conservative plant dim

@@ -80,27 +80,31 @@ _DOT_TILE = 256
 
 def _tiled_dot(v, ref, tile):
     """(B, K) @ ref[(K, N)] with the contraction streamed in (tile, N)
-    ref slices loaded ONE AT A TIME inside a dynamic loop (pl.load with
-    a loop-carried offset) — a statically unrolled accumulation keeps
-    every tile slice live on Mosaic's scoped stack and measured WORSE
-    than the whole dot (17.3 MB at 8×128 tiles vs 16.9 at 4×256 vs the
-    16 MB limit, Dp=1024 rollout); the dynamic loop bounds the peak at
-    one tile. HIGHEST only; K must be a multiple of ``tile`` (both are
-    lane multiples by construction)."""
+    ref slices consumed ONE AT A TIME inside a dynamic loop — a
+    statically unrolled accumulation keeps every tile slice live on
+    Mosaic's scoped stack and measured WORSE than the whole dot
+    (17.3 MB at 8×128 tiles vs 16.9 at 4×256 vs the 16 MB limit,
+    Dp=1024 rollout), and Mosaic cannot lower dynamic_slice of a
+    value, so the loop selects one STATIC-slice branch per tile with
+    ``lax.switch`` (only one branch is live at a program point).
+    HIGHEST only; K and ``tile`` are lane multiples by construction,
+    and a PARTIAL final tile (K % tile != 0 — e.g. Dp=896 with
+    256-tiles) gets its own correctly-sized branch: a floor-division
+    trip count would silently DROP the last operator rows from every
+    product and certify wrong solutions."""
     hp = lax.Precision.HIGHEST
     if tile is None:
         return jnp.dot(v, ref[:], preferred_element_type=jnp.float32,
                        precision=hp)
     K = v.shape[1]
-    n_t = K // tile
+    n_t = -(-K // tile)   # ceil: the remainder tile must be included
 
-    # one STATIC-slice branch per tile, selected dynamically: Mosaic
-    # cannot lower dynamic_slice of a value, and only one branch is
-    # live at a program point, so the scoped peak is one tile
     def mk(t):
+        lo_i = t * tile
+        hi_i = min(K, (t + 1) * tile)
+
         def br(acc):
-            return acc + jnp.dot(v[:, t * tile:(t + 1) * tile],
-                                 ref[t * tile:(t + 1) * tile, :],
+            return acc + jnp.dot(v[:, lo_i:hi_i], ref[lo_i:hi_i, :],
                                  preferred_element_type=jnp.float32,
                                  precision=hp)
         return br

@@ -390,7 +390,10 @@ def test_scenario_scan_tiled_dot_path(monkeypatch):
     m_a, prob, X0 = _scenario_setup(B)
     Xs_a, _, it_a, _, _ = _scenario_scan(m_a, prob, X0, T)
     monkeypatch.setattr(sk, "_TILE_ABOVE", 0)
-    monkeypatch.setattr(sk, "_DOT_TILE", 64)
+    # 48-tiles at Dp=128: a PARTIAL final tile (48+48+32) — regression
+    # for the floor-division trip count that silently dropped the last
+    # operator rows (review finding, round 5)
+    monkeypatch.setattr(sk, "_DOT_TILE", 48)
     sk.full_rollout_batched.clear_cache()
     m_b, _, _ = _scenario_setup(B)
     Xs_b, _, it_b, _, _ = _scenario_scan(m_b, prob, X0, T)
@@ -398,3 +401,29 @@ def test_scenario_scan_tiled_dot_path(monkeypatch):
     assert np.abs(np.asarray(Xs_a, np.float64)
                   - np.asarray(Xs_b, np.float64)).max() < 1e-5
     assert (np.asarray(it_a) == np.asarray(it_b)).all()
+
+
+def test_tiled_dot_partial_final_tile():
+    """_tiled_dot must include the remainder tile: K=192 with 128-tiles
+    equals the plain dot (the floor-division bug dropped rows 128:192
+    of the operator and certified wrong solutions)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from reluqp_tpu.ops import solve_kernel as sk
+    import numpy as _np
+    K, N = 192, 128
+    rng = _np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(1, K), jnp.float32)
+    M = jnp.asarray(rng.randn(K, N), jnp.float32)
+
+    def kern(m_ref, v_ref, o_ref):
+        o_ref[:] = sk._tiled_dot(v_ref[:], m_ref, 128)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        )(M, v)
+    ref = np.asarray(v, np.float64) @ np.asarray(M, np.float64)
+    assert np.abs(np.asarray(out, np.float64) - ref).max() < 1e-3
