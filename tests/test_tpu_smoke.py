@@ -295,3 +295,24 @@ def test_rollout_auto_ci_on_chip():
     xs = np.asarray(xs, np.float64)
     assert xs.shape == (21, 2) and np.isfinite(xs).all()
     assert np.linalg.norm(xs[-1]) < np.linalg.norm(xs[0])
+
+
+def test_fused_tiled_partial_tile_on_chip():
+    """The rung-tiled streaming path with a PARTIAL final tile (Dp=896
+    = 3 full 256-tiles + a 128-row remainder) through the real Mosaic
+    compiler — the round-5 floor-division regression dropped the
+    remainder rows and certified wrong solutions, invisibly to every
+    exact-division test."""
+    if not _ON_ACCEL:
+        pytest.skip("needs the real Mosaic compiler (Dp=896 streaming)")
+    from reluqp_tpu.utils.problems import kkt_error
+    nx = 430
+    H, g, A, l, u, _ = rand_qp(nx, 107, 107, seed=0, compute_sol=False)
+    m = ReLU_QP()
+    m.setup(H, g, A, l, u, backend="fused", eps_abs=1e-4, scaling=True)
+    assert m.Dp == 896 and m._stream_bank
+    res = m.solve()
+    assert res.info.status == "solved"
+    x = np.asarray(res.x, np.float64)
+    _, pviol, _ = kkt_error(H, g, A, l, u, x)
+    assert pviol < 5e-3      # a dropped tile violates primal feasibility
