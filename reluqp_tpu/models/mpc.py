@@ -1101,8 +1101,8 @@ def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
     if eff_budget < ci_eff:
         return False
     dp = pad_dim(m.D)
-    from ..ops.solve_kernel import _TILE_ABOVE as _TA
-    if dp > _TA and stng.iter_precision != "highest":
+    from ..ops.solve_kernel import _DOT_TILE, _TILE_ABOVE
+    if dp > _TILE_ABOVE and stng.iter_precision != "highest":
         # the tiled dots are highest-only; without this clause the
         # dispatch would raise out of full_rollout_batched instead of
         # falling back to the loop path
@@ -1120,7 +1120,6 @@ def _scan_scenario_eligible(m, ci=None, budget=None) -> bool:
     # (Bp, R) residual product, and the W-sized scratch+temporaries as
     # 4 rungs. With the 12 MB budget this admits exactly the measured
     # envelope and refuses B=256 (which falls back to the loop path).
-    from ..ops.solve_kernel import _DOT_TILE, _TILE_ABOVE
     R = 2 * ncp + 2 * nxp
     # beyond the tile threshold the kernels stream the rung contraction
     # in (tile, Dp) slices — the W allowance drops to scratch + tiles
